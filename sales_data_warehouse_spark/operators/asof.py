@@ -1,0 +1,69 @@
+"""Reusable as-of (point-in-time) join.
+
+Reference: ``FactTable.sql:18-27`` does this with a correlated scalar
+subquery per fact row (``ORDER BY last_update_date DESC LIMIT 1``) —
+O(fact x versions) probes. Spark has no native ASOF JOIN; the idiomatic
+plan is a non-equi join on ``version_ts <= event_ts`` plus a top-1 window
+(SURVEY J8/W3).
+
+Scale: when the versioned side is dimension-sized (price lists, configs),
+Catalyst picks a broadcast join and the window partitions by the *left*
+row key, so state never exceeds versions-per-key per row. For
+billion-row versioned sides, pre-bucket both sides on ``on`` keys to make
+the join shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' = least
+    ``right_ts`` >= ``left_ts``), matching on equality of ``on`` keys.
+
+    Left rows with no qualifying right row are dropped (inner semantics,
+    matching the reference's correlated-subquery inner join).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    lid = "__asof_left_id"
+    lft = left.withColumn(lid, F.monotonically_increasing_id())
+    rgt = F.broadcast(right) if broadcast_right else right
+
+    cond = (
+        (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        if direction == "backward"
+        else (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+    )
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+
+    order = (
+        F.col(f"r.{right_ts}").desc()
+        if direction == "backward"
+        else F.col(f"r.{right_ts}").asc()
+    )
+    joined = lft.alias("l").join(rgt.alias("r"), cond, "inner")
+    best = joined.withColumn(
+        "__asof_rn",
+        F.row_number().over(Window.partitionBy(F.col(f"l.{lid}")).orderBy(order)),
+    ).filter(F.col("__asof_rn") == 1)
+
+    right_cols = [c for c in right.columns if c not in on]
+    return best.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in right_cols],
+    )

@@ -1,0 +1,74 @@
+"""Product dimension — SCD Type 2 price-version history.
+
+Reference: ``ProductDimension.sql:2-157`` — an ``all_products`` snapshot
+(:30-39, quirk Q4: its NOT EXISTS guard is vacuous), a date-ordered cursor
+that inserts one row per (product, price) first occurrence and flips
+predecessor versions' status (:52-138), a hard-coded initial-load date
+hack (:112, quirk Q6), an MD5 id that is dead code (:59, quirk Q5), and a
+final DENSE_RANK renumbering (:143-152).
+
+Spark-first rationalization (documented in SURVEY Q4-Q6):
+  * version set   = distinct (product, price) with min(order_date) as the
+    version's effective date — one groupBy, no cursor.
+  * version order = effective date (ties broken by price for determinism).
+  * active_status = 'Y' only for the latest version per product.
+  * action_flag   = 'I' for a product's first version, 'U' for later ones
+    (replaces the hard-coded '2019-01-01' check).
+  * product_id    = dense_rank over product_name (same id across versions,
+    as in the reference after its renumbering pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_product_dimension(cleansed: DataFrame) -> DataFrame:
+    # all_products, rationalized per Q4: first sale date per price version.
+    versions = (
+        cleansed.groupBy("product", "price_each")
+        .agg(F.min("order_date").alias("last_update_date"))
+        .withColumnRenamed("product", "product_name")
+    )
+
+    w_ver = Window.partitionBy("product_name").orderBy(
+        "last_update_date", "price_each"
+    )
+    w_all = Window.partitionBy("product_name")
+
+    dim = (
+        versions.withColumn("_ver", F.row_number().over(w_ver))
+        .withColumn("_n_ver", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "active_status",
+            F.when(F.col("_ver") == F.col("_n_ver"), F.lit("Y")).otherwise(
+                F.lit("N")
+            ),
+        )
+        .withColumn(
+            "action_flag",
+            F.when(F.col("_ver") == 1, F.lit("I")).otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "product_id",
+            F.concat(
+                F.lit("P"),
+                F.lpad(
+                    F.dense_rank()
+                    .over(Window.orderBy("product_name"))
+                    .cast("string"),
+                    6,
+                    "0",
+                ),
+            ),
+        )
+    )
+    return dim.select(
+        "product_id",
+        "product_name",
+        "price_each",
+        "last_update_date",
+        "active_status",
+        "action_flag",
+    )

@@ -1,0 +1,82 @@
+"""SparkSession factory with the engine's required configuration.
+
+The reference relies on PostgreSQL behaviors that map to specific Spark
+configs:
+
+- ``spark.sql.ansi.enabled=false``: the cleansing stage's reject-routing
+  (reference ``Cleansing.sql:64-106``) depends on casts returning NULL on
+  failure instead of throwing. Spark 4 defaults ANSI **on**, so this must
+  be explicit.
+- ``spark.sql.session.timeZone=UTC``: all reference timestamps are naive
+  wall-clock values; pinning UTC makes parquet timestamp round-trips and
+  DuckDB-oracle comparisons deterministic.
+- AQE on: runtime coalescing + skew-join handling stand in for the
+  hand-tuning a 1000-executor deployment would otherwise need.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that encode *semantics* (not tuning) — always applied.
+REQUIRED_CONF = {
+    # Cast-to-null IS the cleansing mechanism (SURVEY P3).
+    "spark.sql.ansi.enabled": "false",
+    # Deterministic wall-clock handling for oracle comparisons.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+#: Scale/perf defaults — overridable per session.
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few pandas-UDF operators (multimodal, LSH).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10 MB default broadcast threshold is right for our dims (time=KBs,
+    # product=KBs, location up to ~1 MB at reference scale); AQE will
+    # upgrade shuffle joins to broadcast at runtime when sides turn out
+    # small.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Files: favor large scan partitions; AQE coalesces post-shuffle.
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "sales-data-warehouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and no
+    active session exists; on a real cluster pass ``None`` with an external
+    master supplied by spark-submit.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # Re-assert semantic configs on the borrowed session (the driver
+        # may hand us one); these are runtime-settable.
+        for k, v in REQUIRED_CONF.items():
+            active.conf.set(k, v)
+        return active
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {**DEFAULT_CONF, **REQUIRED_CONF, **(extra_conf or {})}
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
