@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Spark SQL expressions (JVM-side, whole-stage codegen) — no Python
+UDFs: language-ID and quality scoring over 100 TB of documents stay as fast
+as any other columnar scan. Each operator has a matching ANSI-SQL oracle in
+``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenization: whitespace runs. Matches the oracle's string_split_regex.
+TOKEN_SPLIT = r"\s+"
+
+#: Punctuation class shared verbatim with the DuckDB oracle (explicit list —
+#: engine-specific POSIX classes differ).
+PUNCT_CLASS = r"[.,;:!?]"
+
+#: Stopword regexes per language for the n-gram language-ID heuristic.
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|for)\b",
+    "es": r"\b(el|la|de|los|las|una|que)\b",
+    "de": r"\b(der|die|das|und|ist|von|mit)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans)\b",
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, TOKEN_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, BIGINT (matches oracle len())."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation and
+    stopword ratios. The canonical pre-training quality filter inputs."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tok = token_count(t)
+    no_punct = F.regexp_replace(t, PUNCT_CLASS, "")
+    n_punct = (F.length(t) - F.length(no_punct)).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(LANG_STOPWORDS["en"]))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / n_tok, 4).alias("chars_per_token"),
+        n_punct.alias("n_punct"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic, SURVEY extension).
+
+    Scores each language by stopword matches; deterministic tie-break by
+    the fixed language order en > es > de > fr.
+    """
+    lowered = F.lower(F.col(text_col))
+    hits = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat))).cast("bigint")
+        for lang, pat in LANG_STOPWORDS.items()
+    }
+    guess = (
+        F.when(
+            (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"]),
+            F.lit("en"),
+        )
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]), F.lit("es"))
+        .when(hits["de"] >= hits["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint: md5 of lowercase, whitespace-collapsed
+    text — the exact-dedup key that survives formatting noise."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Building block for Jaccard / MinHash dedup. Documents with fewer than
+    ``n`` tokens yield an empty array.
+    """
+    w = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,1272 @@
+"""Operator-level query corpus: one entry per SURVEY.md §2 operator,
+each with a DuckDB-runnable ANSI-SQL oracle (the driver's correctness
+gate, see ``__spark_entry__``).
+
+Cross-engine determinism rules used throughout (learned empirically —
+both engines verified to agree under them):
+
+* Money math in DECIMAL(18,2): all monetary doubles in the testdata are
+  2-decimal, so casting to decimal makes every SUM exact and independent
+  of partition/aggregation order; final results are cast back to DOUBLE.
+  Plain double sums would drift in the low bits per partitioning.
+* Ratios/averages: computed from exact components then rounded, so both
+  engines round the same double.
+* Derived integer columns cast to BIGINT (DuckDB's natural width).
+* Timestamp outputs as TIMESTAMP_NTZ under a UTC session (DuckDB
+  timestamps are naive).
+* ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's reader
+  rejects; loaded via ``spark.sql.legacy.parquet.nanosAsLong`` + integer
+  ``DIV 1000`` to microseconds (exact — double division would lose
+  precision at 1e18 nanos).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators import dedup, similarity, text
+from sales_data_warehouse_spark.operators.asof import asof_join
+from sales_data_warehouse_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_batch,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalizes the events NANOS timestamp."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _money(c) -> F.Column:
+    """Exact decimal view of a 2-decimal double column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+# SQL fragment mirrors of _money for the oracles.
+_D = "CAST({} AS DECIMAL(18,2))"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / scans (SURVEY S1, P1, A2, A4; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (filter + groupBy agg).
+
+    The plan to want at 100 TB: parquet scan with the shipdate filter
+    pushed down, map-side partial aggregation, tiny shuffle of 4 groups.
+    """
+    l = load_table(spark, sf, "lineitem")
+    disc = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    charge = disc * (F.lit(1) + _money("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_money("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_projection",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+    """,
+)
+def filter_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/P1/P4: projection + predicate — both must reach the parquet scan
+    (PushedFilters / pruned ReadSchema in explain)."""
+    o = load_table(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "scalar_aggregates",
+    """
+    SELECT COALESCE(MAX(o_orderkey), 0) AS max_orderkey,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    """,
+)
+def scalar_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2/P6: scalar MAX with COALESCE default + MIN/MAX date bounds
+    (the reference's order-id seed and calendar-bounds queries)."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_orderkey"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+
+
+@query(
+    "distinct_dedup",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """A5/S7: full-row DISTINCT (the reference's cleansed dedup)."""
+    return (
+        load_table(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+@query(
+    "group_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+    """,
+)
+def group_having(spark: SparkSession, sf: str) -> DataFrame:
+    """A4/A6: GROUP BY + HAVING over count (reference J10's guard)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@query(
+    "case_when_classify",
+    """
+    SELECT o_orderstatus,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                ELSE 'low' END AS priority_class,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def case_when_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """P5: multi-branch CASE WHEN (the reference's SCD2 status logic)."""
+    o = load_table(spark, sf, "orders")
+    cls = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("high")
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        o.withColumn("priority_class", cls)
+        .groupBy("o_orderstatus", "priority_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY J1-J11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_multiway",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/J2: chained equi-joins up a hierarchy; nation/region broadcast
+    (the reference's 5-way time-hierarchy assembly shape)."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_composite_key",
+    """
+    WITH order_part AS (
+      SELECT l_orderkey, l_partkey, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey, l_partkey
+    )
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, op.n_lines, op.total_qty
+    FROM lineitem l
+    JOIN order_part op
+      ON l.l_orderkey = op.l_orderkey AND l.l_partkey = op.l_partkey
+    WHERE op.n_lines > 1
+    """,
+)
+def join_composite_key(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: multi-column equi-join (the reference's 4-key location join)."""
+    l = load_table(spark, sf, "lineitem")
+    op = l.groupBy("l_orderkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_money("l_quantity")).cast("double").alias("total_qty"),
+    )
+    return (
+        l.join(op, on=["l_orderkey", "l_partkey"])
+        .filter(F.col("n_lines") > 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "n_lines", "total_qty")
+    )
+
+
+@query(
+    "dense_cube_crossjoin",
+    """
+    SELECT s.o_orderstatus, p.o_orderpriority, COALESCE(c.n, 0) AS n_orders
+    FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    LEFT JOIN (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ) c ON s.o_orderstatus = c.o_orderstatus
+       AND p.o_orderpriority = c.o_orderpriority
+    """,
+)
+def dense_cube_crossjoin(spark: SparkSession, sf: str) -> DataFrame:
+    """J6/J7/P6: dense cube via CROSS JOIN + LEFT JOIN + COALESCE(0) —
+    the reference fact cube in miniature (FactTable.sql:78-110)."""
+    o = load_table(spark, sf, "orders")
+    s = o.select("o_orderstatus").distinct()
+    p = o.select("o_orderpriority").distinct()
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        s.crossJoin(p)
+        .join(c, on=["o_orderstatus", "o_orderpriority"], how="left")
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "left_join_coalesce",
+    """
+    SELECT n_name, COALESCE(c.n_customers, 0) AS n_customers
+    FROM nation
+    LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1
+    ) c ON n_nationkey = c.c_nationkey
+    """,
+)
+def left_join_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """J7: LEFT JOIN with zero-fill."""
+    n = load_table(spark, sf, "nation")
+    c = (
+        load_table(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .select(
+            "n_name", F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers")
+        )
+    )
+
+
+@query(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J9: NOT EXISTS -> left_anti (reference's all_products guard)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_having",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    )
+    """,
+)
+def semi_join_having(spark: SparkSession, sf: str) -> DataFrame:
+    """J10/A6: pre-aggregated counts + left_semi (reference's correlated
+    EXISTS ... HAVING COUNT(*)>1 rewritten set-based)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    frequent = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 15)
+    )
+    return c.join(
+        frequent, c.c_custkey == frequent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def _price_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic SCD2 price history from part: v1 at 1995-01-01 (retail
+    price), v2 at 1998-01-01 (price * 1.2, exact decimal)."""
+    p = load_table(spark, sf, "part")
+    v1 = p.select(
+        "p_partkey",
+        _money("p_retailprice").alias("eff_price"),
+        F.lit("1995-01-01").cast("date").alias("eff_date"),
+    )
+    v2 = p.select(
+        "p_partkey",
+        (_money("p_retailprice") * F.lit(1.2).cast("decimal(2,1)"))
+        .cast("decimal(18,2)")
+        .alias("eff_price"),
+        F.lit("1998-01-01").cast("date").alias("eff_date"),
+    )
+    return v1.unionByName(v2)
+
+
+_PRICE_HISTORY_SQL = """
+      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS eff_price,
+             DATE '1995-01-01' AS eff_date FROM part
+      UNION ALL
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.2 AS DECIMAL(2,1))
+                  AS DECIMAL(18,2)) AS eff_price,
+             DATE '1998-01-01' AS eff_date FROM part
+"""
+
+
+@query(
+    "asof_join_pricelist",
+    f"""
+    WITH price_history AS ({_PRICE_HISTORY_SQL}),
+    -- as-of resolved at the (partkey, ship_date) grain: the synthetic
+    -- lineitem has duplicate (orderkey, linenumber) pairs, so a
+    -- per-row window partition would collapse rows
+    best AS (
+      SELECT li.l_partkey, li.ship_date, MAX(ph.eff_date) AS eff_date
+      FROM (SELECT DISTINCT l_partkey, CAST(l_shipdate AS DATE) AS ship_date
+            FROM lineitem) li
+      JOIN price_history ph
+        ON ph.p_partkey = li.l_partkey AND ph.eff_date <= li.ship_date
+      GROUP BY 1, 2
+    )
+    SELECT b.eff_date, COUNT(*) AS n_lines,
+           CAST(SUM(ph.eff_price) AS DOUBLE) AS sum_eff_price
+    FROM lineitem l
+    JOIN best b
+      ON b.l_partkey = l.l_partkey AND b.ship_date = CAST(l.l_shipdate AS DATE)
+    JOIN price_history ph
+      ON ph.p_partkey = l.l_partkey AND ph.eff_date = b.eff_date
+    GROUP BY b.eff_date
+    """,
+)
+def asof_join_pricelist(spark: SparkSession, sf: str) -> DataFrame:
+    """J8/W3/O3: as-of join — each lineitem priced at the latest price
+    version effective on its ship date (the reference's correlated
+    scalar-subquery price lookup, via the join+window idiom)."""
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+    ph = _price_history(spark, sf)
+    matched = asof_join(
+        l, ph, on=["p_partkey"], left_ts="ship_date", right_ts="eff_date"
+    )
+    return matched.groupBy("eff_date").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("eff_price").cast("double").alias("sum_eff_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts (SURVEY W1-W3, O1-O3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_dense_rank",
+    """
+    SELECT p_partkey, p_brand,
+           DENSE_RANK() OVER (
+             PARTITION BY p_brand ORDER BY p_retailprice DESC
+           ) AS price_rank
+    FROM part
+    """,
+)
+def window_dense_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: DENSE_RANK (reference product-id renumbering)."""
+    p = load_table(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.dense_rank().over(w).cast("bigint").alias("price_rank"),
+    )
+
+
+@query(
+    "window_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def window_top1_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """W2/W3/O3: latest order per customer (top-1-per-group idiom)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic frame spec (ROWS BETWEEN): per-customer running spend —
+    beyond the reference's window surface, standard warehouse ask."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_gap",
+    """
+    SELECT o_orderkey, o_custkey,
+           DATE_DIFF('day',
+             LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG + date arithmetic: days since the customer's previous order."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@query(
+    "topk_global_sort",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_global_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """O1/O3: global ORDER BY + LIMIT — Spark executes as TakeOrdered
+    (per-partition top-k + merge), never a full sort at scale."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT (set semantics; exceptAll = multiset)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (query layer over the star schema, SURVEY §2.4 note)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS BIGINT), o_orderstatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    return o.rollup("o_year", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "cube_quantity",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY F1-F11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           TRIM(SPLIT_PART(c_name, '#', 2)) AS name_num,
+           CONCAT('C', LPAD(CAST(c_custkey AS VARCHAR), 9, '0')) AS padded_key,
+           LOWER(c_mktsegment) AS seg_lower,
+           UPPER(SUBSTR(c_name, 1, 8)) AS name_prefix,
+           MD5(c_name) AS name_md5
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """F1-F5: SPLIT_PART / TRIM / concat / LPAD / MD5 — the reference's id
+    construction and address parsing toolkit."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.split_part(F.col("c_name"), F.lit("#"), F.lit(2))).alias(
+            "name_num"
+        ),
+        F.concat(
+            F.lit("C"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+        ).alias("padded_key"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.md5("c_name").alias("name_md5"),
+    )
+
+
+@query(
+    "date_functions",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS o_quarter,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+           CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS o_week,
+           STRFTIME(o_orderdate, '%Y-%m') AS year_month,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """F8/F9: EXTRACT family + TO_CHAR-style formatting (ISO week —
+    verified identical between Spark weekofyear and DuckDB)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+            F.weekofyear("o_orderdate").cast("bigint").alias("o_week"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        )
+        .groupBy("o_year", "o_quarter", "o_month", "o_week", "year_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "date_spine",
+    """
+    SELECT CAST(UNNEST(GENERATE_SERIES(
+             (SELECT MIN(o_orderdate) FROM orders),
+             (SELECT MAX(o_orderdate) FROM orders),
+             INTERVAL 1 DAY)) AS DATE) AS d
+    """,
+)
+def date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """F10: generate_series date spine (the time dimension's backbone)."""
+    o = load_table(spark, sf, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("d")
+    )
+
+
+@query(
+    "time_hierarchy",
+    """
+    WITH spine AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(
+               (SELECT MIN(o_orderdate) FROM orders),
+               (SELECT MAX(o_orderdate) FROM orders),
+               INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT d,
+           'D' || STRFTIME(d, '%Y%m%d') AS time_id,
+           'M' || STRFTIME(d, '%m%y') AS month_id,
+           'Q' || CAST(QUARTER(d) AS VARCHAR) || STRFTIME(d, '%y') AS quarter_id,
+           'H' || (CASE WHEN MONTH(d) <= 6 THEN '1' ELSE '2' END)
+               || STRFTIME(d, '%Y') AS half_year_id,
+           'Y' || STRFTIME(d, '%Y') AS year_id
+    FROM spine
+    """,
+)
+def time_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference time dimension's id scheme over the testdata date
+    range (TimeDimension.sql rationalized per quirks Q2/Q3)."""
+    spine = date_spine(spark, sf)
+    d = F.col("d")
+    return spine.select(
+        d,
+        F.concat(F.lit("D"), F.date_format(d, "yyyyMMdd")).alias("time_id"),
+        F.concat(F.lit("M"), F.date_format(d, "MMyy")).alias("month_id"),
+        F.concat(
+            F.lit("Q"), F.quarter(d).cast("string"), F.date_format(d, "yy")
+        ).alias("quarter_id"),
+        F.concat(
+            F.when(F.month(d) <= 6, F.lit("H1")).otherwise(F.lit("H2")),
+            F.date_format(d, "yyyy"),
+        ).alias("half_year_id"),
+        F.concat(F.lit("Y"), F.date_format(d, "yyyy")).alias("year_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ETL-shaped operators over the testdata (cleanse / hierarchy / SCD2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cleanse_reject_routing",
+    """
+    WITH stringly AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+                  ELSE CAST(o_totalprice AS VARCHAR) END AS amount_str
+      FROM orders
+    )
+    SELECT CASE WHEN TRY_CAST(amount_str AS DECIMAL(18,2)) IS NULL
+                THEN 'invalid' ELSE 'valid' END AS route,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(TRY_CAST(amount_str AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS sum_amount
+    FROM stringly GROUP BY 1
+    """,
+)
+def cleanse_reject_routing(spark: SparkSession, sf: str) -> DataFrame:
+    """P2/P3 (the reference's core cleansing idea): type a stringly column
+    with cast-to-null, route failures to a reject bucket, keep the rest.
+    Every 10th order's amount is corrupted with a non-numeric string."""
+    o = load_table(spark, sf, "orders")
+    stringly = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_orderpriority")
+        )
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("amount_str"),
+    )
+    typed = stringly.withColumn(
+        "amount", F.col("amount_str").cast("decimal(18,2)")
+    )
+    return (
+        typed.withColumn(
+            "route",
+            F.when(F.col("amount").isNull(), F.lit("invalid")).otherwise(
+                F.lit("valid")
+            ),
+        )
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("amount"), F.lit(0))
+            .cast("double")
+            .alias("sum_amount"),
+        )
+    )
+
+
+@query(
+    "location_hierarchy",
+    """
+    WITH region_ids AS (
+      SELECT r_regionkey, r_name,
+             'R' || LPAD(CAST(ROW_NUMBER() OVER (ORDER BY r_name) AS VARCHAR),
+                         2, '0') AS region_code
+      FROM region
+    ),
+    nation_ids AS (
+      SELECT n_nationkey, n_name, n_regionkey,
+             'N' || LPAD(CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS VARCHAR),
+                         3, '0') AS nation_code
+      FROM nation
+    )
+    SELECT n.n_name, n.nation_code, r.r_name, r.region_code
+    FROM nation_ids n JOIN region_ids r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def location_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """J11/A3/W2: hierarchy-level dedup + deterministic surrogate ids +
+    link join — the location dimension's shape over nation/region."""
+    r = load_table(spark, sf, "region").withColumn(
+        "region_code",
+        F.concat(
+            F.lit("R"),
+            F.lpad(
+                F.row_number().over(Window.orderBy("r_name")).cast("string"),
+                2,
+                "0",
+            ),
+        ),
+    )
+    n = load_table(spark, sf, "nation").withColumn(
+        "nation_code",
+        F.concat(
+            F.lit("N"),
+            F.lpad(
+                F.row_number().over(Window.orderBy("n_name")).cast("string"),
+                3,
+                "0",
+            ),
+        ),
+    )
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_name", "nation_code", "r_name", "region_code")
+
+
+@query(
+    "scd2_versions",
+    f"""
+    WITH price_history AS ({_PRICE_HISTORY_SQL}),
+    v AS (
+      SELECT p_partkey, eff_price, eff_date,
+             ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY eff_date) AS ver,
+             COUNT(*) OVER (PARTITION BY p_partkey) AS n_ver
+      FROM price_history
+    )
+    SELECT p_partkey, CAST(eff_price AS DOUBLE) AS eff_price, eff_date,
+           CASE WHEN ver = n_ver THEN 'Y' ELSE 'N' END AS active_status,
+           CASE WHEN ver = 1 THEN 'I' ELSE 'U' END AS action_flag
+    FROM v
+    """,
+)
+def scd2_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 versioning (reference ProductDimension.sql semantics,
+    rationalized per Q4/Q5/Q6) over the synthetic part price history."""
+    ph = _price_history(spark, sf)
+    w_ver = Window.partitionBy("p_partkey").orderBy("eff_date")
+    w_all = Window.partitionBy("p_partkey")
+    return (
+        ph.withColumn("ver", F.row_number().over(w_ver))
+        .withColumn("n_ver", F.count(F.lit(1)).over(w_all))
+        .select(
+            "p_partkey",
+            F.col("eff_price").cast("double").alias("eff_price"),
+            "eff_date",
+            F.when(F.col("ver") == F.col("n_ver"), F.lit("Y"))
+            .otherwise(F.lit("N"))
+            .alias("active_status"),
+            F.when(F.col("ver") == 1, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("action_flag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization + tumbling windows (streaming-equivalent batch)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tumbling_window_agg",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch twin of the
+    Structured Streaming pipeline in ``streaming/`` (same F.window)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): LAG + exact microsecond
+    arithmetic. The batch shape of stateful session windows."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    cur_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_session = F.when(
+        prev_us.isNull() | (cur_us - prev_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT MD5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY MD5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, LEN(shingles) AS n_shingles, UNNEST(shingles) AS shingle
+      FROM sh
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS size_a, b.n_shingles AS size_b,
+             COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter), 6)
+             AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.1
+    )
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: hash functions are engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"))
+
+
+@query("dedup_simhash")  # no SQL oracle: hash functions are engine-specific
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load_table(spark, sf, "documents"))
+
+
+@query(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+               AS BIGINT) AS n_punct,
+             CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                  '\b(the|and|of|to|in|is|for)\b')) AS BIGINT) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           ROUND(CAST(n_chars_calc AS DOUBLE) / n_tokens, 4) AS chars_per_token,
+           n_punct,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars_calc, 6) AS punct_ratio,
+           n_stopwords,
+           ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text.text_quality(load_table(spark, sf, "documents"))
+
+
+@query(
+    "language_id",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                '\b(the|and|of|to|in|is|for)\b')) AS BIGINT) AS en_hits,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                '\b(el|la|de|los|las|una|que)\b')) AS BIGINT) AS es_hits,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                '\b(der|die|das|und|ist|von|mit)\b')) AS BIGINT) AS de_hits,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                '\b(le|la|les|des|est|une|dans)\b')) AS BIGINT) AS fr_hits,
+           CASE
+             WHEN LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  >= LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|de|los|las|una|que)\b'))
+              AND LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  >= LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|die|das|und|ist|von|mit)\b'))
+              AND LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  >= LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|la|les|des|est|une|dans)\b'))
+             THEN 'en'
+             WHEN LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|de|los|las|una|que)\b'))
+                  >= LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|die|das|und|ist|von|mit)\b'))
+              AND LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|de|los|las|una|que)\b'))
+                  >= LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|la|les|des|est|une|dans)\b'))
+             THEN 'es'
+             WHEN LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|die|das|und|ist|von|mit)\b'))
+                  >= LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|la|les|des|est|une|dans)\b'))
+             THEN 'de'
+             ELSE 'fr'
+           END AS lang_guess
+    FROM documents
+    """,
+)
+def language_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf, "documents"))
+
+
+@query(
+    "token_frequencies",
+    r"""
+    SELECT token, COUNT(*) AS n
+    FROM (
+      SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS token
+      FROM documents
+    ) GROUP BY token HAVING COUNT(*) >= 10
+    """,
+)
+def token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token counts (BPE-prep shape): explode + groupBy."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (SQRT(LIST_DOT_PRODUCT(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * SQRT(LIST_DOT_PRODUCT(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS sim
+      FROM q CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors (ANN baseline).
+
+    Dot products in sequential double precision on both engines —
+    verified bit-identical, so ranking (and ties) agree exactly.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query("ann_lsh_topk")  # no SQL oracle: LSH planes are implementation-defined
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "embedding_stats",
+    """
+    WITH norms AS (
+      SELECT SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+      FROM embeddings
+    )
+    SELECT COUNT(*) AS n_vectors,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm,
+           ROUND(AVG(norm), 6) AS avg_norm
+    FROM norms
+    """,
+)
+def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_stats(load_table(spark, sf, "embeddings"))
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           CAST(OCTET_LENGTH(ENCODE(text)) % 640 AS BIGINT) AS width,
+           CAST((OCTET_LENGTH(ENCODE(text)) * 7) % 480 AS BIGINT) AS height,
+           CAST(1 + OCTET_LENGTH(ENCODE(text)) % 3 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas decode (stubbed codec, real Spark pipeline). The oracle
+    recomputes the stub's deterministic geometry arithmetically."""
+    media = attach_binary_payload(load_table(spark, sf, "documents"))
+    return decode_batch(media)
