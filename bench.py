@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <scale factor>}
+
+Results are materialized through the noop sink so timings measure the
+full distributed execution (scan -> shuffle -> agg) without driver
+collect overhead skewing large outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sales_data_warehouse_spark.queries.corpus import QUERIES  # noqa: E402
+from sales_data_warehouse_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per operator family, weighted toward the shapes that
+#: dominate at 100 TB (scan-agg, big joins, windows, dedup, ANN).
+HEADLINE = [
+    "pricing_summary",
+    "filter_projection",
+    "join_multiway",
+    "join_composite_key",
+    "asof_join_pricelist",
+    "dense_cube_crossjoin",
+    "window_top1_per_group",
+    "window_running_total",
+    "rollup_revenue",
+    "cleanse_reject_routing",
+    "tumbling_window_agg",
+    "sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="sdw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM / codegen / parquet-reader paths once so the first
+    # timed query measures the query, not session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(16).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

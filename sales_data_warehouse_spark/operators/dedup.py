@@ -16,10 +16,51 @@ no Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sales_data_warehouse_spark.operators.text import word_shingles
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread CPU-heavy per-row work across all cores.
+
+    Document corpora often arrive as few large files; a single parquet
+    file = a single scan partition, which serializes shingle/hash compute
+    onto one task. Hash-repartitioning by id before the heavy projection
+    costs one small shuffle and buys full parallelism — at cluster scale
+    the same call rebalances skewed file splits.
+    """
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism, id_col)
+
+
+def exploded_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, shingle) rows: word n-grams over lowercase whitespace tokens.
+    NOT deduplicated — callers dedup only when their math needs it.
+
+    Plan shape (all whole-stage-codegen relational ops — an array
+    transform/element_at formulation runs interpreted and measured ~6x
+    slower): posexplode tokens, then shingle = token + next-(n-1) tokens
+    via lead() windows. The window partitions by doc, the same key
+    ``_spread`` just repartitioned on, so no second shuffle.
+    """
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("token")] + [
+        F.lead("token", j).over(w) for j in range(1, n)
+    ]
+    return (
+        toks.withColumn("_last", leads[-1])
+        .withColumn("shingle", F.concat_ws(" ", *leads))
+        .filter(F.col("_last").isNotNull())
+        .select("doc", "shingle")
+    )
 
 
 def exact_duplicates(
@@ -54,13 +95,13 @@ def ngram_jaccard_pairs(
     hazard — AQE skew-join handles moderate cases; drop ultra-frequent
     shingles (document frequency cap) before joining at real scale.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles"))
-    exploded = sh.select(
-        "doc", "n_shingles", F.explode("shingles").alias("shingle")
+    distinct_sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
+        ["doc", "shingle"]
     )
+    sizes = distinct_sh.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    exploded = distinct_sh.join(sizes, "doc")
     a = exploded.select(
         F.col("doc").alias("doc_a"),
         F.col("n_shingles").alias("size_a"),
@@ -95,24 +136,24 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). Arrays stay JVM-side via transform/explode.
+    xxhash64(shingle, seed=i).
+
+    Plan shape: explode shingles once, then ONE groupBy(doc) computing all
+    ``num_hashes`` MIN aggregates — map-side partial aggregation keeps the
+    shuffle at |docs| x num_hashes longs regardless of shingle count, and
+    the flat agg stays inside whole-stage codegen (an array-of-transforms
+    expression tree this wide would fall out of codegen limits).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    # one column per hash seed, computed lazily as an array expression
-    sig = F.array(
+    # No shingle dedup needed: MIN is idempotent over duplicates.
+    exploded = exploded_shingles(docs, text_col, id_col, n)
+    mins = exploded.groupBy("doc").agg(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))
-                )
-            )
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    return sh.select("doc", sig.alias("signature"))
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return mins.select("doc", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -206,7 +247,7 @@ def simhash(
     as: explode tokens -> for each bit, sum(+1/-1) -> sign -> reassemble.
     All integer arithmetic, one groupBy per doc — linear and shuffle-light.
     """
-    toks = docs.select(
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.split(F.lower(F.col(text_col)), r"\s+")

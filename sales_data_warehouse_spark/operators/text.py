@@ -98,13 +98,16 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM-side).
+def shingles_from_tokens(token_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column. Documents with fewer than ``n`` tokens yield an empty array.
 
-    Building block for Jaccard / MinHash dedup. Documents with fewer than
-    ``n`` tokens yield an empty array.
+    PERF: the tokens must be a bound column, not an inline ``split(...)``
+    expression — inside transform lambdas Catalyst does not CSE repeated
+    subtrees, so inlining the split re-tokenizes the text once per
+    element_at (O(tokens^2) per row; measured 20s vs <2s on 5k docs).
     """
-    w = tokens(F.lower(text))
+    w = F.col(token_col)
     idx = F.sequence(F.lit(0), F.size(w) - n)
     grams = F.transform(
         idx,
@@ -115,3 +118,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc, shingles) with the token array materialized in its own
+    projection step (see shingles_from_tokens PERF note)."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(F.lower(F.col(text_col))).alias("_w"),
+    ).select("doc", shingles_from_tokens("_w", n).alias("shingles"))
