@@ -1,0 +1,48 @@
+"""Structured Streaming layer (SURVEY.md §2.9 extension).
+
+The reference is strictly batch (one ``COPY`` then full rebuild,
+``MotherProcedure.sql:2-25``); this package is the streaming-native
+re-expression of the same stages plus the event-analytics operators a
+warehouse at 100 TB/day ingest actually needs:
+
+* ``ingest``   — file-source landing stream + the reject-routing cleanse
+  as a stateless streaming transformation (same semantics as the batch
+  ``operators.cleansing.cleanse``, minus the global steps that require a
+  finite input: max-id assignment and full-corpus distinct).
+* ``events``   — watermarked tumbling / sliding / session windows over an
+  event stream.
+* ``stateful`` — custom per-key state via ``applyInPandasWithState``
+  (running totals with inactivity timeout), for semantics windowed
+  aggregation can't express.
+
+Every transformation here also runs unchanged on a *batch* DataFrame of
+the same schema — the corpus' oracle checks exploit that (Spark's
+unified batch/streaming semantics make the batch run the ground truth
+for the streaming run).
+"""
+
+from sales_data_warehouse_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    session_windows,
+    sliding_event_rate,
+    tumbling_event_agg,
+)
+from sales_data_warehouse_spark.streaming.ingest import (
+    cleanse_stream,
+    read_sales_csv_stream,
+)
+from sales_data_warehouse_spark.streaming.stateful import (
+    running_user_totals,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "tumbling_event_agg",
+    "sliding_event_rate",
+    "session_windows",
+    "read_sales_csv_stream",
+    "cleanse_stream",
+    "running_user_totals",
+]

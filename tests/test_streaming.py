@@ -1,0 +1,140 @@
+"""Structured Streaming tests: each streaming query is checked against a
+*batch* run of the same transformation over the same files (Spark's
+unified semantics make that the ground truth)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.streaming import (
+    EVENTS_SCHEMA,
+    cleanse_stream,
+    read_events_stream,
+    read_sales_csv_stream,
+    running_user_totals,
+    session_windows,
+    tumbling_event_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # The testdata writer used nanosecond timestamps; a streaming producer
+    # feeding this source writes standard micro-precision parquet, so the
+    # fixture downcasts ts (Spark TimestampType is microseconds).
+    d = tmp_path_factory.mktemp("events_stream")
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    fields = [
+        pa.field("ts", pa.timestamp("us")) if f.name == "ts" else f
+        for f in t.schema
+    ]
+    pq.write_table(t.cast(pa.schema(fields), safe=False), d / "part-0.parquet")
+    return str(d)
+
+
+def _run_to_memory(stream_df, name, output_mode, spark):
+    # availableNow processes every pending file then terminates on its own.
+    # (processAllAvailable never settles under ProcessingTimeTimeout state:
+    # timeout checks keep scheduling micro-batches.)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "streaming query did not finish"
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_tumbling_event_agg_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        tumbling_event_agg(stream), "t_tumbling", "complete", spark
+    ).orderBy("window_start", "event_type")
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = tumbling_event_agg(batch).orderBy("window_start", "event_type")
+    assert got.collect() == want.collect()
+
+
+def test_session_windows_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        session_windows(stream), "t_sessions", "complete", spark
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = session_windows(batch)
+    assert got.count() == want.count()
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_running_user_totals_state(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        running_user_totals(stream, idle_timeout_ms=None),
+        "t_totals",
+        "update",
+        spark,
+    )
+    # update mode emits one row per user per micro-batch; the LAST row per
+    # user is the final running total — compare with a batch groupBy.
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
+            "total_value"
+        ),
+    )
+    diff = final.join(want, "user_id").filter(
+        (final["n_events"] != want["n_events"])
+        | (F.abs(final["total_value"] - want["total_value"]) > 0.01)
+    )
+    assert final.count() == want.count()
+    assert diff.count() == 0
+
+
+def test_cleanse_stream_reject_routing(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "batch1.csv").write_text(
+        "Order ID,Product,Quantity Ordered,Price Each,Order Date,"
+        "Purchase Address\n"
+        '1001,Widget,2,9.99,01/22/19 21:25,"1 Main St, Boston, MA 02215"\n'
+        "Order ID,Product,Quantity Ordered,Price Each,Order Date,"
+        "Purchase Address\n"  # repeated header -> cast_failure
+        ",,,,,\n"  # all-blank -> null_required_field
+        '1002,Gadget,notanint,5.00,01/23/19 10:00,"2 Elm St, Austin, TX 73301"\n'
+    )
+    landing = read_sales_csv_stream(spark, str(drop))
+    cleansed, invalid = cleanse_stream(landing)
+    ok = _run_to_memory(cleansed, "t_cleansed", "append", spark)
+    bad = _run_to_memory(invalid, "t_invalid", "append", spark)
+
+    rows = {r["order_id"]: r for r in ok.collect()}
+    assert set(rows) == {1001}
+    assert rows[1001]["city"] == "Boston"
+    assert rows[1001]["postal"] == "02215"
+    assert str(rows[1001]["order_date"]) == "2019-01-22"
+
+    reasons = sorted(r["reject_reason"] for r in bad.collect())
+    assert reasons == [
+        "cast_failure",  # repeated header row
+        "cast_failure",  # notanint quantity
+        "null_required_field",  # blank row
+    ]
