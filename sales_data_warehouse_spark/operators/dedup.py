@@ -16,6 +16,7 @@ no Python in the loop.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,31 +99,43 @@ def ngram_jaccard_pairs(
     distinct_sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
         ["doc", "shingle"]
     )
+    # The shingle table feeds three consumers (both self-join sides +
+    # sizes); without persistence Spark recomputes the whole
+    # tokenize/window pipeline for each (alias renames defeat
+    # ReusedExchange). MEMORY_AND_DISK spills gracefully at scale.
+    distinct_sh = distinct_sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = distinct_sh.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
-    exploded = distinct_sh.join(sizes, "doc")
-    a = exploded.select(
-        F.col("doc").alias("doc_a"),
-        F.col("n_shingles").alias("size_a"),
-        "shingle",
-    )
-    b = exploded.select(
-        F.col("doc").alias("doc_b"),
-        F.col("n_shingles").alias("size_b"),
-        "shingle",
-    )
+    # Self-join carries ONLY (doc, shingle): identical narrow plans on both
+    # sides let Spark reuse one shuffle exchange, and the heavy
+    # shuffle/agg payload stays 2 columns wide. Set sizes are attached
+    # afterwards to the (much smaller) pair table — one row per candidate
+    # pair, not one per co-occurring shingle.
+    a = distinct_sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = distinct_sh.select(F.col("doc").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = inter.join(
+        sizes.select(
+            F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")
+        ),
+        "doc_a",
+    ).join(
+        sizes.select(
+            F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
+        ),
+        "doc_b",
     )
     jac = F.col("n_inter") / (
         F.col("size_a") + F.col("size_b") - F.col("n_inter")
     )
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -200,6 +213,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "signature", "bb.band", "bb.bucket")
+    # Both self-join sides read `banded`; persist so the shingle->minhash
+    # aggregation (the expensive part) runs once.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.select(
         F.col("doc").alias("doc_a"),
@@ -244,8 +260,10 @@ def simhash(
     """64-bit SimHash per document over word tokens.
 
     bit_i(doc) = majority over tokens of bit_i(xxhash64(token)). Computed
-    as: explode tokens -> for each bit, sum(+1/-1) -> sign -> reassemble.
-    All integer arithmetic, one groupBy per doc — linear and shuffle-light.
+    as: explode tokens -> per bit sum(bit) -> majority = 2*sum > count ->
+    reassemble. All integer arithmetic, one groupBy per doc — linear and
+    shuffle-light. (The 65 aggregates need codegen.maxFields > 130,
+    set in session.DEFAULT_CONF, to stay inside whole-stage codegen.)
     """
     toks = _spread(docs, id_col).select(
         F.col(id_col).alias("doc"),
@@ -255,15 +273,19 @@ def simhash(
     ).withColumn("h", F.xxhash64("token"))
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    per_doc = toks.groupBy("doc").agg(*votes)
+    per_doc = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_toks"), *votes
+    )
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        # majority: set bit when ones outnumber zeros (2*ones > total)
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("n_toks"), F.lit(1)
+        ).otherwise(F.lit(0))
         term = F.shiftleft(bit.cast("long"), i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return per_doc.select("doc", fp.alias("simhash"))

@@ -43,6 +43,10 @@ DEFAULT_CONF = {
     # Files: favor large scan partitions; AQE coalesces post-shuffle.
     "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
     "spark.sql.parquet.compression.codec": "snappy",
+    # Wide-aggregate operators (simhash: 64 vote sums) fall out of
+    # whole-stage codegen at the default 100-field cap and run ~2.5x
+    # slower interpreted.
+    "spark.sql.codegen.maxFields": "512",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
