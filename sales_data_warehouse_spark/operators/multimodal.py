@@ -96,3 +96,117 @@ def decode_batch(
     return media.select("doc_id", "payload").mapInPandas(
         decode, schema=DECODED_SCHEMA
     )
+
+
+#: Output schema of the resize stage: payload back as binary (real
+#: pipelines chain decode -> transform -> re-encode without leaving
+#: the executor).
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+    ]
+)
+
+
+def resize_batch(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """STUB resize via ``mapInPandas``: emits a truncated/padded payload
+    standing in for re-encoded pixels (real body: PIL ``img.resize``).
+    The plumbing — binary in, binary out, geometry clamped to the target
+    box preserving aspect — is the real pipeline shape."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                w, h = n % 640, (n * 7) % 480  # stub decode geometry
+                scale = min(
+                    target_w / w if w else 1.0, target_h / h if h else 1.0
+                )
+                ow, oh = int(w * scale), int(h * scale)
+                fake = (b * ((target_w * target_h) // max(n, 1) + 1))[
+                    : max(ow, 1) * max(oh, 1) % 4096
+                ]
+                out.append((doc_id, fake, ow, oh))
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "payload", "out_w", "out_h"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )
+
+
+#: One row per sampled frame.
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """STUB video frame sampling: the stub decoder reports 1-3 frames per
+    payload; emit one row per ``every_n``-th frame (real body: ffmpeg
+    seek+decode). Row-explosion happens executor-side inside the pandas
+    batch — no driver involvement, partitioning preserved."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(payload))
+                n_frames = 1 + n % 3  # stub decode
+                for i in range(0, n_frames, every_n):
+                    out.append((doc_id, i, n // n_frames))
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_bytes"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, schema=FRAMES_SCHEMA
+    )
+
+
+#: Fake feature vectors (double for cross-engine exactness in tests;
+#: a real extractor emits float32).
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """STUB feature extraction: deterministic pseudo-embedding from the
+    payload bytes (real body: a vision/audio encoder forward pass).
+    feature[i] = ((n_bytes * 31 + i) % 97) / 97.0 — arithmetic on both
+    engines, so the oracle can recompute it exactly."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(payload))
+                ids.append(doc_id)
+                vecs.append([((n * 31 + i) % 97) / 97.0 for i in range(dim)])
+            yield _pd.DataFrame({"doc_id": ids, "features": vecs})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, schema=FEATURES_SCHEMA
+    )

@@ -121,6 +121,131 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    ``method="exact"`` compares all pairs (id_a < id_b) — the correctness
+    baseline, quadratic, for modest corpora or per-bucket use.
+    ``method="lsh"`` first buckets vectors by random-hyperplane sign
+    signature and compares only within-bucket pairs — the scale path: at
+    100 TB the candidate set shrinks ~2^num_planes-fold and the bucket
+    join shuffles on the bucket key instead of nested-looping the corpus.
+    Both verify candidates with exact cosine, so LSH trades recall (pairs
+    split across buckets are missed), never precision.
+    """
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    if method == "exact":
+        cand = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    elif method == "lsh":
+        planes = _planes(num_planes, dim)
+
+        def bucket(vec: Column) -> Column:
+            bits = None
+            for i, p in enumerate(planes):
+                plane = F.array(*[F.lit(float(x)) for x in p])
+                bit = (_dot(vec, plane) > 0).cast("long")
+                term = F.shiftleft(bit, i)
+                bits = term if bits is None else bits + term
+            return bits
+
+        cand = (
+            a.withColumn("bucket", bucket(F.col("va")))
+            .join(
+                b.withColumn("bucket", bucket(F.col("vb"))),
+                "bucket",
+            )
+            .filter(F.col("vec_a") < F.col("vec_b"))
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer + probe.
+
+    Build: cluster the corpus once (Spark ML KMeans, seeded) and tag each
+    vector with its cell — at scale this is the index you'd persist,
+    partitioned by cell. Search: each query computes its distance to the
+    (tiny, driver-collected) centroid table, probes its ``nprobe``
+    nearest cells, and exact-reranks only those candidates. Recall is
+    tuned by nprobe/num_centroids without touching the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    feats = c.withColumn(
+        "features", array_to_vector(F.col("cv").cast("array<double>"))
+    )
+    model = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # squared L2 to each centroid; ||q||^2 is constant per query so
+    # comparing -2*q.c + ||c||^2 ranks identically.
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(-2.0)
+                    * _dot(F.col("qv"), F.array(*[F.lit(x) for x in ctr]))
+                    + F.lit(sum(x * x for x in ctr))
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    probed = q.withColumn(
+        "probe", F.explode(F.slice(F.array_sort(dists), 1, nprobe))
+    ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
+
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Corpus-level embedding sanity stats (norm distribution)."""
     norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))

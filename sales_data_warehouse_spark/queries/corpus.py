@@ -32,6 +32,8 @@ from sales_data_warehouse_spark.operators.asof import asof_join
 from sales_data_warehouse_spark.operators.multimodal import (
     attach_binary_payload,
     decode_batch,
+    extract_features,
+    sample_frames,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -991,6 +993,62 @@ def tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_rate",
+    """
+    WITH expanded AS (
+      SELECT TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - i.i * INTERVAL '15 minutes' AS window_start,
+             event_type
+      FROM events, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) i
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def sliding_window_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 1-hour windows sliding every 15 min — each event lands
+    in 4 windows (the batch twin of streaming ``sliding_event_rate``)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction out of a string
+    column, then aggregate — the common telemetry-props shape."""
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@query(
     "sessionize",
     """
     WITH gaps AS (
@@ -1090,6 +1148,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 @query("dedup_simhash")  # no SQL oracle: hash functions are engine-specific
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_pairs(load_table(spark, sf, "documents"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[],
+                                      a.embedding::DOUBLE[]))
+              * SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]))), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[],
+                                   a.embedding::DOUBLE[]))
+           * SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; the LSH-bucketed
+    scale path is ``method="lsh"`` on the same operator)."""
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.4
+    )
 
 
 @query(
@@ -1234,6 +1318,14 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@query("ann_ivf_topk")  # no SQL oracle: k-means cells are engine-specific
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: seeded Spark ML KMeans index + nprobe
+    cell search + exact rerank (the persistable-index scale path)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 @query(
     "embedding_stats",
     """
@@ -1270,3 +1362,44 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     recomputes the stub's deterministic geometry arithmetically."""
     media = attach_binary_payload(load_table(spark, sf, "documents"))
     return decode_batch(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH frames AS (
+      SELECT doc_id,
+             OCTET_LENGTH(ENCODE(text)) AS n,
+             1 + OCTET_LENGTH(ENCODE(text)) % 3 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx,
+           CAST(n // n_frames AS BIGINT) AS frame_bytes
+    FROM frames, (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS i) i
+    WHERE i.i < n_frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Executor-side frame explosion out of a (stubbed) video payload —
+    one row per sampled frame, no driver involvement."""
+    media = attach_binary_payload(load_table(spark, sf, "documents"))
+    return sample_frames(media)
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           LIST_TRANSFORM(
+             GENERATE_SERIES(0, 7),
+             i -> CAST((OCTET_LENGTH(ENCODE(text)) * 31 + i) % 97 AS DOUBLE)
+                  / 97.0
+           ) AS features
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Stubbed feature-extraction pass (vision-encoder shape): payload ->
+    fixed-dim vector via Arrow-batched mapInPandas."""
+    media = attach_binary_payload(load_table(spark, sf, "documents"))
+    return extract_features(media)
