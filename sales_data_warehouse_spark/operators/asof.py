@@ -3,8 +3,9 @@
 Reference: ``FactTable.sql:18-27`` does this with a correlated scalar
 subquery per fact row (``ORDER BY last_update_date DESC LIMIT 1``) —
 O(fact x versions) probes. Spark has no native ASOF JOIN; the idiomatic
-plan is a non-equi join on ``version_ts <= event_ts`` plus a top-1 window
-(SURVEY J8/W3).
+plan is a non-equi join on ``version_ts <= event_ts`` plus a top-1
+reduction per left row — here a ``max_by`` grouped aggregate, which
+partial-aggregates map-side (SURVEY J8/W3).
 
 Scale: when the versioned side is dimension-sized (price lists, configs),
 Catalyst picks a broadcast join and the window partitions by the *left*
@@ -15,7 +16,7 @@ the join shuffle-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -51,19 +52,27 @@ def asof_join(
     for k in on:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
 
-    order = (
-        F.col(f"r.{right_ts}").desc()
-        if direction == "backward"
-        else F.col(f"r.{right_ts}").asc()
-    )
     joined = lft.alias("l").join(rgt.alias("r"), cond, "inner")
-    best = joined.withColumn(
-        "__asof_rn",
-        F.row_number().over(Window.partitionBy(F.col(f"l.{lid}")).orderBy(order)),
-    ).filter(F.col("__asof_rn") == 1)
 
+    # Top-1-per-left-row via max_by/min_by instead of a window: the
+    # grouped aggregate gets map-side partial aggregation (each task
+    # reduces its local candidates to one row per left id before the
+    # shuffle) and needs no sort, where a row_number window must shuffle
+    # ALL join candidates and sort them within each partition. Ties on
+    # right_ts pick an arbitrary version — same contract as the
+    # reference's ORDER BY ... LIMIT 1 (FactTable.sql:25-26).
+    pick = F.max_by if direction == "backward" else F.min_by
     right_cols = [c for c in right.columns if c not in on]
+    best = joined.groupBy(F.col(f"l.{lid}")).agg(
+        F.first(
+            F.struct(*[F.col(f"l.{c}").alias(c) for c in left.columns])
+        ).alias("__l"),
+        pick(
+            F.struct(*[F.col(f"r.{c}").alias(c) for c in right_cols]),
+            F.col(f"r.{right_ts}"),
+        ).alias("__r"),
+    )
     return best.select(
-        *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in right_cols],
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c) for c in right_cols],
     )
