@@ -57,12 +57,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # min over N runs: first executions fold in one-time JVM JIT /
+    # codegen-compile / Python-worker startup costs that vary per run
+    # order; the min is the steady-state per-query cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
