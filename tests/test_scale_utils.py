@@ -1,0 +1,75 @@
+"""Plan-level tests for the scale utilities: salting must preserve join
+results; bucketing must actually remove the shuffle from the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators.skew import salted_join
+from sales_data_warehouse_spark.sources.bucketed import (
+    read_bucketed,
+    write_bucketed,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain_join(spark, how):
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    want = l.join(o, on=["l_orderkey"], how=how)
+    got = salted_join(l, o, on=["l_orderkey"], how=how, salt=8)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _sorted_rows(got.select(*sorted(got.columns))) == _sorted_rows(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_salted_join_rejects_right_join(spark):
+    df = spark.range(4)
+    with pytest.raises(ValueError):
+        salted_join(df, df, on=["id"], how="right")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(
+        l, "t_lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+        path=str(tmp_path / "li"),
+    )
+    write_bucketed(
+        o, "t_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        path=str(tmp_path / "or"),
+    )
+    lb = read_bucketed(spark, "t_lineitem_b")
+    ob = read_bucketed(spark, "t_orders_b")
+    # Force a non-broadcast join so the exchange (or its absence) shows.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result matches the plain (shuffled) join
+        n_plain = l.join(o, l.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
