@@ -693,6 +693,68 @@ def cube_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+    )
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) with
+    GROUPING() markers disambiguating aggregated-away NULLs."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+        """
+    )
+
+
+@query(
+    "percentile_quantity",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           QUANTILE_CONT(l_quantity, 0.25) AS q25,
+           QUANTILE_CONT(l_quantity, 0.50) AS q50,
+           QUANTILE_CONT(l_quantity, 0.75) AS q75,
+           QUANTILE_CONT(l_quantity, 0.95) AS q95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles per group — the distribution-shape
+    aggregate a quality-scoring pipeline leans on. (Spark also ships
+    approx_percentile for the sketch path at 100 TB; the exact form is
+    used here because it is oracle-comparable.)"""
+    l = load_table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("q95"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (SURVEY F1-F11)
 # ---------------------------------------------------------------------------
