@@ -62,10 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _money(c) -> F.Column:
-    """Exact decimal view of a 2-decimal double column."""
-    col = F.col(c) if isinstance(c, str) else c
-    return col.cast("decimal(18,2)")
+from sales_data_warehouse_spark.functions import money as _money  # noqa: E402
 
 
 # SQL fragment mirrors of _money for the oracles.
@@ -725,6 +722,39 @@ def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
           (o_orderstatus, o_orderpriority), (o_orderstatus), ()
         )
         """
+    )
+
+
+@query(
+    "pivot_status_by_year",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_p
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (crosstab): order counts per year spread across status
+    columns. Explicit pivot values keep the plan single-pass (without
+    them Spark runs an extra distinct scan to discover the columns)."""
+    o = load_table(spark, sf, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    return (
+        o.groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_year",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
+        )
     )
 
 

@@ -8,6 +8,13 @@ from __future__ import annotations
 
 import pytest
 
+from sales_data_warehouse_spark.plans import (
+    codegen_stage_count,
+    executed_plan as _lib_executed_plan,
+    has_nested_loop_join,
+    pushed_filters,
+    scan_columns,
+)
 from sales_data_warehouse_spark.queries.corpus import QUERIES
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -25,54 +32,41 @@ CARTESIAN_OK = {
 }
 
 
-def _executed_plan(df) -> str:
-    # collect() finalizes THIS DataFrame's QueryExecution (a write would
-    # plan a separate one, leaving this plan pre-AQE with codegen and
-    # final join strategies not yet decided).
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_filter_reaches_parquet_scan(spark):
-    plan = _executed_plan(QUERIES["filter_projection"](spark, SF_DIR))
-    assert "PushedFilters: [" in plan
-    # at least one real pushed predicate, not just the empty list
-    assert "PushedFilters: []" not in plan.split("PushedFilters:")[1][:4]
+    assert pushed_filters(QUERIES["filter_projection"](spark, SF_DIR))
 
 
 def test_projection_prunes_scan_columns(spark):
-    plan = _executed_plan(QUERIES["filter_projection"](spark, SF_DIR))
-    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    scans = scan_columns(QUERIES["filter_projection"](spark, SF_DIR))
     # lineitem has 11 columns; the query needs a handful
-    assert scan.count(":") <= 8, scan
+    assert scans and all(len(cols) <= 8 for cols in scans), scans
 
 
 def test_dimension_joins_broadcast(spark):
-    plan = _executed_plan(QUERIES["join_multiway"](spark, SF_DIR))
+    df = QUERIES["join_multiway"](spark, SF_DIR)
+    plan = _lib_executed_plan(df)
     assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert not has_nested_loop_join(df, finalized=False)
 
 
 def test_aggregates_are_partial(spark):
     # map-side partial aggregation: two HashAggregate levels around the
     # exchange, so the shuffle carries one row per group per task.
-    plan = _executed_plan(QUERIES["pricing_summary"](spark, SF_DIR))
+    plan = _lib_executed_plan(QUERIES["pricing_summary"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2
 
 
 def test_whole_stage_codegen_active(spark):
-    plan = _executed_plan(QUERIES["pricing_summary"](spark, SF_DIR))
-    # codegen stages render as "*(n) Operator" in the plan string
-    assert "*(1)" in plan and "*(2)" in plan
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    assert codegen_stage_count(df) >= 2
 
 
 @pytest.mark.parametrize(
     "name", sorted(n for n in QUERIES if n not in CARTESIAN_OK)
 )
 def test_no_accidental_cartesian(spark, name):
+    # static plan only (not finalized): executing all ~50 would be slow
     df = QUERIES[name](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian join"
-    assert "BroadcastNestedLoopJoin" not in plan, (
-        f"{name} plans a nested-loop join"
+    assert not has_nested_loop_join(df, finalized=False), (
+        f"{name} plans a cartesian/nested-loop join"
     )
