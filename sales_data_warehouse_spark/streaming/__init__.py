@@ -30,7 +30,9 @@ from sales_data_warehouse_spark.streaming.events import (
 )
 from sales_data_warehouse_spark.streaming.ingest import (
     cleanse_stream,
+    dedupe_within,
     read_sales_csv_stream,
+    start_streaming_etl,
 )
 from sales_data_warehouse_spark.streaming.stateful import (
     running_user_totals,
@@ -44,5 +46,7 @@ __all__ = [
     "session_windows",
     "read_sales_csv_stream",
     "cleanse_stream",
+    "dedupe_within",
+    "start_streaming_etl",
     "running_user_totals",
 ]

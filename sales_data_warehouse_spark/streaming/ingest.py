@@ -105,6 +105,45 @@ def cleanse_stream(landing: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cleansed, invalid
 
 
+def start_streaming_etl(
+    spark: SparkSession,
+    drop_dir: str,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous landing -> cleansed/invalid parquet pipeline.
+
+    One source pass per micro-batch: ``foreachBatch`` applies the
+    (stateless) cleanse to the batch DataFrame and appends both outputs
+    — cleansed partitioned by order_date so downstream dimension/fact
+    rebuilds prune to the affected days. The checkpoint makes restarts
+    exactly-once at the sink-file level (parquet + checkpointed source
+    offsets). ``available_now=True`` drains pending files then stops
+    (backfill mode); default runs forever.
+
+    Returns the StreamingQuery (caller owns stop/awaitTermination).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cleansed, invalid = cleanse_stream(batch_df)
+        (
+            cleansed.write.mode("append")
+            .partitionBy("order_date")
+            .parquet(f"{output_dir}/cleansed")
+        )
+        invalid.write.mode("append").parquet(f"{output_dir}/invalid")
+
+    landing = read_sales_csv_stream(spark, drop_dir)
+    writer = landing.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint_dir or f"{output_dir}/_checkpoint",
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedupe_within(
     cleansed: DataFrame,
     watermark: str = "1 day",

@@ -16,6 +16,7 @@ from sales_data_warehouse_spark.streaming import (
     read_sales_csv_stream,
     running_user_totals,
     session_windows,
+    start_streaming_etl,
     tumbling_event_agg,
 )
 
@@ -138,3 +139,36 @@ def test_cleanse_stream_reject_routing(spark, tmp_path):
         "cast_failure",  # notanint quantity
         "null_required_field",  # blank row
     ]
+
+
+def test_streaming_etl_to_parquet(spark, tmp_path):
+    drop = tmp_path / "drop"
+    out = tmp_path / "warehouse"
+    drop.mkdir()
+    header = (
+        "Order ID,Product,Quantity Ordered,Price Each,Order Date,"
+        "Purchase Address\n"
+    )
+    (drop / "day1.csv").write_text(
+        header
+        + '1,Widget,2,9.99,01/22/19 21:25,"1 Main St, Boston, MA 02215"\n'
+        + ",,,,,\n"
+    )
+    (drop / "day2.csv").write_text(
+        header
+        + '2,Gadget,1,5.00,01/23/19 09:00,"2 Elm St, Austin, TX 73301"\n'
+    )
+    q = start_streaming_etl(
+        spark, str(drop), str(out), available_now=True
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+
+    cleansed = spark.read.parquet(str(out / "cleansed"))
+    invalid = spark.read.parquet(str(out / "invalid"))
+    assert {r["order_id"] for r in cleansed.collect()} == {1, 2}
+    assert invalid.count() == 1
+    # partitioned by order_date -> day directories exist for pruning
+    parts = {p.name for p in (out / "cleansed").iterdir() if p.is_dir()}
+    assert "order_date=2019-01-22" in parts
+    assert "order_date=2019-01-23" in parts
