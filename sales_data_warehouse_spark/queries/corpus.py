@@ -759,6 +759,39 @@ def pivot_status_by_year(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "unpivot_lineitem_metrics",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'disc' AS metric, disc AS total FROM agg
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide -> long): per-flag metric totals melted into
+    (metric, total) rows — pivot's inverse, native ``unpivot`` (no
+    row-explosion before the aggregate; melt the small aggregate)."""
+    l = load_table(spark, sf, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.sum(_money("l_quantity")).cast("double").alias("qty"),
+        F.sum(_money("l_extendedprice")).cast("double").alias("price"),
+        F.sum(_money("l_discount")).cast("double").alias("disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["qty", "price", "disc"], "metric", "total"
+    )
+
+
+@query(
     "percentile_quantity",
     """
     SELECT l_returnflag,
