@@ -12,10 +12,16 @@ load-bearing and replicated: the state level is keyed on (state, postal),
 so multi-zip states produce one row per zip. Quirk Q7 (scan-order ids) is
 rationalized to a deterministic natural-key ordering.
 
-Scale note: the global ``row_number`` windows force a single-partition
-exchange over *dimension-sized* data (distinct locations), which is
-correct here; for fact-scale surrogate keys use
-``sales_data_warehouse_spark.operators.ids`` (hash / two-phase numbering).
+Scale note: unlike time (bounded by the calendar) and product (bounded
+by the catalog), this dimension grows with the *data* — distinct
+addresses are ~1:1 with order volume, so the default reference-parity
+``row_number`` ids (single-partition window) stop scaling exactly when
+the input does. ``id_strategy="hash"`` switches every level id to
+``xxhash64`` of the natural key: fully parallel, stable across runs and
+partitionings, and — because a hash id is a pure function of the row —
+the 3-way hierarchy join disappears entirely (each level id is computed
+in place on the street-grain row). That is the 100 TB path; sequential
+stays the default for reference-format parity (``L000001``-style ids).
 """
 
 from __future__ import annotations
@@ -24,8 +30,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_location_dimension(cleansed: DataFrame) -> DataFrame:
+def _hash_location_dimension(addr: DataFrame) -> DataFrame:
+    """Hash-id variant: one dropDuplicates, zero joins, zero windows."""
+    uniq = addr.dropDuplicates()
+    return uniq.select(
+        F.xxhash64("street", "city", "state", "postal").alias("location_id"),
+        F.xxhash64("street", "city", "state", "postal").alias("street_id"),
+        F.col("street").alias("street_name"),
+        F.xxhash64("city", "state", "postal").alias("city_id"),
+        F.col("city").alias("city_name"),
+        F.xxhash64("state", "postal").alias("state_id"),
+        F.col("state").alias("state_name"),
+        "postal",
+        F.concat_ws(
+            ", ",
+            F.col("street"),
+            F.col("city"),
+            F.concat_ws(" ", "state", "postal"),
+        ).alias("full_address"),
+    )
+
+
+def build_location_dimension(
+    cleansed: DataFrame, id_strategy: str = "sequential"
+) -> DataFrame:
     addr = cleansed.select("street", "city", "state", "postal")
+    if id_strategy == "hash":
+        return _hash_location_dimension(addr)
+    if id_strategy != "sequential":
+        raise ValueError(f"id_strategy must be sequential|hash: {id_strategy}")
 
     # Level ids: deterministic first-seen order = natural-key order (Q7).
     state = (
