@@ -251,6 +251,70 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    node_col: str,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clusters from near-dup pairs: each node labeled with the
+    MIN id reachable in its component (the canonical document).
+
+    Iterative min-label propagation — each round is one join + one
+    groupBy over (edges, labels); rounds needed = graph diameter, which
+    for dedup graphs is tiny (near-dup clusters are dense cliques, not
+    chains). ``localCheckpoint`` truncates lineage per round: without it
+    the plan doubles every iteration and the driver dies re-optimizing
+    it long before the data is a problem. Driver-side looping is the
+    honest shape for an iterative fixpoint — each pass is still a fully
+    distributed job (this is GraphX/GraphFrames CC without the
+    dependency; swap in the large-star/small-star variant if components
+    ever span millions of nodes).
+    """
+    edges = (
+        pairs.select(
+            F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")
+            )
+        )
+        .dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges.src == labels.node, "inner"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

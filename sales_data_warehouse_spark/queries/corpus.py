@@ -1301,6 +1301,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_COSINE_PAIRS_SQL = """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[],
+                                     a.embedding::DOUBLE[]))
+             * SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_COSINE_PAIRS_SQL}),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION
+      SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs -> dedup clusters: connected components over the near-dup
+    graph, each document labeled with its component's minimum id (the
+    canonical survivor a training pipeline keeps). Oracle = recursive
+    CTE transitive closure."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+    return dedup.connected_components(
+        pairs, emb, "vec_id", pair_a="vec_a", pair_b="vec_b"
+    )
+
+
 @query(
     "text_quality",
     r"""
