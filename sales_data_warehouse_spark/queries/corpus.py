@@ -1215,6 +1215,79 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "train_test_split",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM tagged GROUP BY split
+    """,
+)
+def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~80/20 corpus split: membership is a pure function
+    of the document id (first md5 hex byte < 0xcd), so the split is
+    stable across runs, engines, partitionings, and cluster sizes — the
+    property random sampling lacks and a reproducible training pipeline
+    needs. No shuffle: the tag is a projection; only the audit
+    aggregation shuffles."""
+    d = load_table(spark, sf, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "ntile_buckets",
+    """
+    WITH b AS (
+      SELECT o_orderstatus, o_totalprice,
+             NTILE(4) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+             ) AS bucket
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM b GROUP BY 1, 2
+    """,
+)
+def ntile_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile bucketing (feature binning): NTILE quartiles of order
+    value per status, with a deterministic tie-break."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.withColumn("bucket", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
     "dedup_exact",
     """
     SELECT MD5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
