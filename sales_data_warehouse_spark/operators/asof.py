@@ -76,3 +76,80 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__r.{c}").alias(c) for c in right_cols],
     )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join for when NEITHER side broadcasts (billion-row versioned
+    side): cogroup both sides by the ``on`` keys — one shuffle each, the
+    same cost as any co-partitioned join — and run a sorted merge
+    (``pandas.merge_asof``) per key group in Arrow batches. Per-group
+    work is O(n log n) in that key's rows only, so the plan scales with
+    the largest key, not the table. Semantics match ``asof_join``
+    (inner: left rows with no qualifying version are dropped).
+
+    Requires the ``on`` + ts columns to have distinct names across
+    sides, and ``right_ts`` values unique per key-group tie (pandas
+    merge_asof picks the last sorted row on exact ties — same arbitrary-
+    on-ties contract as the reference's LIMIT 1).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    right_cols = [c for c in right.columns if c not in on]
+    out_fields = list(left.schema.fields) + [
+        right.schema[c] for c in right_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    left_names = list(left.columns)
+    l_ts, r_ts, dirn = left_ts, right_ts, direction
+
+    l_is_date = isinstance(left.schema[left_ts].dataType, T.DateType)
+    r_is_date = isinstance(right.schema[right_ts].dataType, T.DateType)
+
+    def merge(l_pdf: "pd.DataFrame", r_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(l_pdf) or not len(r_pdf):
+            return pd.DataFrame(columns=left_names + right_cols)
+        ls = l_pdf.copy()
+        rs = r_pdf[[r_ts] + [c for c in right_cols if c != r_ts]].copy()
+        # DateType arrives as object-dtype datetime.date; merge_asof
+        # needs an ordered numeric/datetime64 key
+        if l_is_date:
+            ls[l_ts] = pd.to_datetime(ls[l_ts])
+        if r_is_date:
+            rs[r_ts] = pd.to_datetime(rs[r_ts])
+        ls = ls.sort_values(l_ts, kind="mergesort")
+        rs = rs.sort_values(r_ts, kind="mergesort")
+        merged = pd.merge_asof(
+            ls,
+            rs,
+            left_on=l_ts,
+            right_on=r_ts,
+            direction=dirn,
+            suffixes=("", "__r"),
+        )
+        # inner semantics: drop left rows with no qualifying version
+        r_ts_out = r_ts if r_ts != l_ts else f"{r_ts}__r"
+        merged = merged[merged[r_ts_out].notna()]
+        if l_is_date:
+            merged[l_ts] = merged[l_ts].dt.date
+        if r_is_date:
+            merged[r_ts_out] = merged[r_ts_out].dt.date
+        return merged[left_names + right_cols]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge, schema=out_schema)
+    )
