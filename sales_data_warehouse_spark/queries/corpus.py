@@ -265,6 +265,45 @@ def join_multiway(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "topk_revenue_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def topk_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: filter + join + group + global top-k. Spark plans
+    the ORDER BY+LIMIT as TakeOrderedAndProject — each task keeps a
+    10-row heap and only those heaps cross the network, never a global
+    sort."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
     "join_composite_key",
     """
     WITH order_part AS (
