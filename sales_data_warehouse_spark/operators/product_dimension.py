@@ -31,7 +31,41 @@ def build_product_dimension(cleansed: DataFrame) -> DataFrame:
         .agg(F.min("order_date").alias("last_update_date"))
         .withColumnRenamed("product", "product_name")
     )
+    return _dim_from_versions(versions)
 
+
+def merge_product_dimension(
+    existing: DataFrame, cleansed_new: DataFrame
+) -> DataFrame:
+    """Incremental SCD2 merge: fold a new batch of order lines into an
+    existing product dimension without rescanning historical facts.
+
+    The expensive input at scale is the fact history; the dimension
+    itself is catalog-sized. So the merge unions the *version table*
+    (one row per (product, price) with its first-seen date) from the
+    existing dimension with versions observed in the increment, keeps
+    the earliest date per version, and re-derives status/flags/ids —
+    dimension-sized work regardless of how much history exists. This is
+    the MERGE INTO pattern emulated with joins + union (no Delta/Iceberg
+    dependency). Equivalent to a full rebuild over (old facts + new
+    facts), which the tests assert.
+    """
+    new_versions = (
+        cleansed_new.groupBy("product", "price_each")
+        .agg(F.min("order_date").alias("last_update_date"))
+        .withColumnRenamed("product", "product_name")
+    )
+    merged = (
+        existing.select("product_name", "price_each", "last_update_date")
+        .unionByName(new_versions)
+        .groupBy("product_name", "price_each")
+        .agg(F.min("last_update_date").alias("last_update_date"))
+    )
+    return _dim_from_versions(merged)
+
+
+def _dim_from_versions(versions: DataFrame) -> DataFrame:
+    """Status/flag/id derivation shared by full build and merge."""
     w_ver = Window.partitionBy("product_name").orderBy(
         "last_update_date", "price_each"
     )
