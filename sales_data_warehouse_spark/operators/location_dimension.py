@@ -51,6 +51,124 @@ def _hash_location_dimension(addr: DataFrame) -> DataFrame:
     )
 
 
+def merge_location_dimension(
+    existing: DataFrame, cleansed_new: DataFrame
+) -> DataFrame:
+    """Incremental merge with append-stable ids (the reference cursor's
+    first-seen semantics, ``LocationDimension.sql:84-132``): existing
+    rows keep their ids verbatim; unseen addresses get fresh ids
+    continuing after each level's current maximum, in natural-key order.
+
+    A full rebuild would renumber everything whenever a new address
+    sorts before an old one — fine for the reference's drop-and-rebuild
+    model, fatal for any consumer that stored location_id. The merge
+    works at dimension scale only (row_number over *new* keys), never
+    rescanning old facts. (With ``id_strategy="hash"`` ids are pure
+    functions of the key, so "merge" degenerates to union+distinct and
+    this function is unnecessary.)
+    """
+    new_addr = cleansed_new.select(
+        "street", "city", "state", "postal"
+    ).dropDuplicates()
+    unseen = new_addr.join(
+        existing.select(
+            F.col("street_name").alias("street"),
+            F.col("city_name").alias("city"),
+            F.col("state_name").alias("state"),
+            "postal",
+        ),
+        on=["street", "city", "state", "postal"],
+        how="left_anti",
+    )
+
+    def _next(prefix: str, id_col: str, width: int, rn: F.Column) -> F.Column:
+        # continue after the existing max numeric suffix for this level
+        base = existing.agg(
+            F.coalesce(
+                F.max(F.substring(F.col(id_col), len(prefix) + 1, 10).cast("int")),
+                F.lit(0),
+            ).alias("m")
+        ).first()["m"]
+        return F.concat(
+            F.lit(prefix), F.lpad((rn + F.lit(base)).cast("string"), width, "0")
+        )
+
+    # level ids for unseen keys: reuse an existing level id when the
+    # level key is already known, else mint the next one
+    state_lvl = existing.select(
+        F.col("state_name").alias("state"), "postal", "state_id"
+    ).dropDuplicates(["state", "postal"])
+    city_lvl = existing.select(
+        F.col("city_name").alias("city"),
+        F.col("state_name").alias("state"),
+        "postal",
+        "city_id",
+    ).dropDuplicates(["city", "state", "postal"])
+
+    w_new = Window.orderBy("street", "city", "state", "postal")
+    appended = (
+        unseen.join(F.broadcast(state_lvl), ["state", "postal"], "left")
+        .join(F.broadcast(city_lvl), ["city", "state", "postal"], "left")
+        .withColumn("__rn", F.row_number().over(w_new))
+        .withColumn(
+            "state_id",
+            F.coalesce(
+                "state_id",
+                _next(
+                    "SA",
+                    "state_id",
+                    3,
+                    F.dense_rank().over(
+                        Window.orderBy(
+                            F.when(F.col("state_id").isNull(), 0).otherwise(1),
+                            "state",
+                            "postal",
+                        )
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "city_id",
+            F.coalesce(
+                "city_id",
+                _next(
+                    "C",
+                    "city_id",
+                    3,
+                    F.dense_rank().over(
+                        Window.orderBy(
+                            F.when(F.col("city_id").isNull(), 0).otherwise(1),
+                            "city",
+                            "state",
+                            "postal",
+                        )
+                    ),
+                ),
+            ),
+        )
+        .withColumn("street_id", _next("S", "street_id", 6, F.col("__rn")))
+        .withColumn("location_id", _next("L", "location_id", 6, F.col("__rn")))
+        .select(
+            "location_id",
+            "street_id",
+            F.col("street").alias("street_name"),
+            "city_id",
+            F.col("city").alias("city_name"),
+            "state_id",
+            F.col("state").alias("state_name"),
+            "postal",
+            F.concat_ws(
+                ", ",
+                F.col("street"),
+                F.col("city"),
+                F.concat_ws(" ", "state", "postal"),
+            ).alias("full_address"),
+        )
+    )
+    return existing.unionByName(appended)
+
+
 def build_location_dimension(
     cleansed: DataFrame, id_strategy: str = "sequential"
 ) -> DataFrame:
