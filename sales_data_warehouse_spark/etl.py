@@ -17,12 +17,15 @@ from sales_data_warehouse_spark.operators.cleansing import cleanse
 from sales_data_warehouse_spark.operators.fact import build_fact, dense_fact
 from sales_data_warehouse_spark.operators.location_dimension import (
     build_location_dimension,
+    merge_location_dimension,
 )
 from sales_data_warehouse_spark.operators.product_dimension import (
     build_product_dimension,
+    merge_product_dimension,
 )
 from sales_data_warehouse_spark.operators.time_dimension import (
     build_time_dimension,
+    merge_time_dimension,
 )
 from sales_data_warehouse_spark.sources.csv_ingest import ingest_csv
 from sales_data_warehouse_spark.sources.parquet_io import write_table
@@ -86,4 +89,68 @@ def run_etl(
         location_dimension=loc_dim,
         product_dimension=prod_dim,
         fact=fact,
+    )
+
+
+def run_etl_increment(
+    spark: SparkSession,
+    csv_path: str,
+    output_dir: str,
+) -> EtlResult:
+    """Fold a new sales CSV into a warehouse previously written by
+    ``run_etl(..., output_dir=output_dir)`` — without rescanning
+    historical facts.
+
+    Incremental strategy per table (work scales with the increment +
+    the dimensions, never with history):
+      * cleansed/invalid — cleanse the new batch only; append.
+        (Full-row DISTINCT applies within the batch, matching the
+        reference's per-run semantics; cross-batch exact duplicates are
+        a stream concern — see ``streaming.dedupe_within``.)
+      * location/product — append-stable merges (existing ids verbatim,
+        new keys numbered past the max).
+      * time — rebuilt over the union range (ids are pure date
+        functions, so existing rows reproduce bit-for-bit).
+      * fact — built for the new order lines against the MERGED
+        dimensions; appended (month-partitioned, so a month's partition
+        only grows while it is active).
+    """
+    landing = ingest_csv(spark, csv_path)
+    cleansed_new, invalid_new = cleanse(landing)
+    cleansed_new = cleansed_new.cache()
+
+    prior_loc = spark.read.parquet(f"{output_dir}/location_dimension")
+    prior_prod = spark.read.parquet(f"{output_dir}/product_dimension")
+    prior_time = spark.read.parquet(f"{output_dir}/time_dimension")
+
+    # localCheckpoint materializes the merged dims and truncates lineage:
+    # their plans read the very parquet paths the writes below overwrite,
+    # which Spark (rightly) refuses while a live plan still references
+    # them.
+    loc_dim = merge_location_dimension(prior_loc, cleansed_new).localCheckpoint()
+    prod_dim = merge_product_dimension(prior_prod, cleansed_new).localCheckpoint()
+    time_dim = merge_time_dimension(prior_time, cleansed_new).localCheckpoint()
+
+    fact_new = build_fact(cleansed_new, prod_dim, loc_dim, time_dim)
+
+    write_table(cleansed_new, f"{output_dir}/cleansed", mode="append")
+    write_table(invalid_new, f"{output_dir}/invalid", mode="append")
+    write_table(time_dim, f"{output_dir}/time_dimension")
+    write_table(loc_dim, f"{output_dir}/location_dimension")
+    write_table(prod_dim, f"{output_dir}/product_dimension")
+    write_table(
+        fact_new,
+        f"{output_dir}/fact",
+        partition_by=["month_id"],
+        mode="append",
+    )
+
+    return EtlResult(
+        landing=landing,
+        invalid=invalid_new,
+        cleansed=spark.read.parquet(f"{output_dir}/cleansed"),
+        time_dimension=time_dim,
+        location_dimension=loc_dim,
+        product_dimension=prod_dim,
+        fact=spark.read.parquet(f"{output_dir}/fact"),
     )

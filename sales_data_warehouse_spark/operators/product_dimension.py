@@ -61,11 +61,44 @@ def merge_product_dimension(
         .groupBy("product_name", "price_each")
         .agg(F.min("last_update_date").alias("last_update_date"))
     )
-    return _dim_from_versions(merged)
+    # Append-stable ids: the full build's dense_rank renumbers everything
+    # when a new product sorts before an old one; consumers (fact rows)
+    # that stored product_id need existing ids kept verbatim and new
+    # products numbered past the current max.
+    existing_ids = existing.select("product_name", "product_id").distinct()
+    n_existing = existing_ids.count()
+    new_names = (
+        merged.select("product_name")
+        .distinct()
+        .join(existing_ids, "product_name", "left_anti")
+    )
+    new_ids = new_names.withColumn(
+        "product_id",
+        F.concat(
+            F.lit("P"),
+            F.lpad(
+                (
+                    F.dense_rank().over(Window.orderBy("product_name"))
+                    + F.lit(n_existing)
+                ).cast("string"),
+                6,
+                "0",
+            ),
+        ),
+    )
+    return _dim_from_versions(
+        merged, id_map=existing_ids.unionByName(new_ids)
+    )
 
 
-def _dim_from_versions(versions: DataFrame) -> DataFrame:
-    """Status/flag/id derivation shared by full build and merge."""
+def _dim_from_versions(
+    versions: DataFrame, id_map: DataFrame | None = None
+) -> DataFrame:
+    """Status/flag/id derivation shared by full build and merge.
+
+    ``id_map`` (product_name -> product_id) overrides the default
+    dense_rank numbering — used by the incremental merge to keep ids
+    append-stable."""
     w_ver = Window.partitionBy("product_name").orderBy(
         "last_update_date", "price_each"
     )
@@ -84,7 +117,9 @@ def _dim_from_versions(versions: DataFrame) -> DataFrame:
             "action_flag",
             F.when(F.col("_ver") == 1, F.lit("I")).otherwise(F.lit("U")),
         )
-        .withColumn(
+    )
+    if id_map is None:
+        dim = dim.withColumn(
             "product_id",
             F.concat(
                 F.lit("P"),
@@ -97,7 +132,8 @@ def _dim_from_versions(versions: DataFrame) -> DataFrame:
                 ),
             ),
         )
-    )
+    else:
+        dim = dim.join(F.broadcast(id_map), "product_name", "inner")
     return dim.select(
         "product_id",
         "product_name",

@@ -64,6 +64,29 @@ def build_time_dimension(cleansed: DataFrame) -> DataFrame:
     return with_time_hierarchy(spine)
 
 
+def merge_time_dimension(
+    existing: DataFrame, cleansed_new: DataFrame
+) -> DataFrame:
+    """Incremental 'merge': rebuild the calendar over the union range.
+
+    Every time id is a pure function of the date (no counters survive
+    from the reference's loop — rationalized Q2/Q3), so a rebuild over
+    [min(old, new), max(old, new)] reproduces existing rows bit-for-bit
+    and is calendar-sized — the one dimension where rebuild IS the
+    cheapest stable merge.
+    """
+    spark = existing.sparkSession
+    old = existing.agg(
+        F.min("time_desc").alias("lo"), F.max("time_desc").alias("hi")
+    ).first()
+    new = cleansed_new.agg(
+        F.min("order_date").alias("lo"), F.max("order_date").alias("hi")
+    ).first()
+    lo = min(d for d in (old["lo"], new["lo"]) if d is not None)
+    hi = max(d for d in (old["hi"], new["hi"]) if d is not None)
+    return with_time_hierarchy(date_spine(spark, lo, hi))
+
+
 def with_time_hierarchy(spine: DataFrame) -> DataFrame:
     """Attach the full denormalized hierarchy to a ``time_desc`` date col."""
     d = F.col("time_desc")
