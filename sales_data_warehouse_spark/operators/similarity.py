@@ -44,17 +44,28 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, sim). Self-matches excluded.
     Ties broken by neighbor id for determinism.
     """
+    # Norms precomputed per row, not per pair: sqrt(dot(v,v)) runs once
+    # for each of |q|+|c| rows instead of twice per |q|x|c| pair — the
+    # float operations (and thus the oracle-exact results) are identical,
+    # only the evaluation count changes.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
