@@ -110,17 +110,24 @@ def lsh_topk(
         return bits
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
     ).withColumn("bucket", bucket(F.col("qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
     ).withColumn("bucket", bucket(F.col("cv")))
 
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
