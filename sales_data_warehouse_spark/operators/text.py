@@ -36,6 +36,28 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+#: GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+#: symbol runs (each optionally space-prefixed), trailing whitespace runs.
+#: Shared verbatim with the DuckDB oracle (lowercased input, so no case
+#: classes).
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count: the GPT-2 pre-tokenization regex over
+    lowercased text. Counts pre-merge pieces — the budget estimate a
+    data pipeline uses before running a real BPE vocabulary, linear and
+    JVM-side where true BPE would need a Python merge loop."""
+    # group 0 = whole match (Spark defaults to group 1 and errors on
+    # patterns without a capture group; DuckDB defaults to 0)
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0)
+    ).cast("bigint")
+
+
 def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: lengths, token stats, punctuation and
     stopword ratios. The canonical pre-training quality filter inputs."""

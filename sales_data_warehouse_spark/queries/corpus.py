@@ -1531,6 +1531,30 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "token_counting",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS BIGINT)
+             AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+'
+           )) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_counting(spark: SparkSession, sf: str) -> DataFrame:
+    """Token budgets per document: whitespace tokens AND GPT-2-style
+    pre-tokenizer pieces (the pre-merge BPE count) — both pure regex
+    projections, no shuffle."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
     "token_frequencies",
     r"""
     SELECT token, COUNT(*) AS n
