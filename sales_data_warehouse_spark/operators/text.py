@@ -120,6 +120,56 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling hash over token k-grams, keep the minimum hash of every
+    ``window`` consecutive k-grams (leftmost on ties), dedup selections.
+
+    The selection guarantee — every run of ``window`` k-grams
+    contributes at least one fingerprint — makes shared substrings of
+    length >= k + window - 1 tokens detectable from the fingerprint
+    sets alone, at ~2/(window+1) of the full shingle volume. All
+    JVM-side: posexplode + lead for the k-grams, xxhash64 as the rolling
+    hash, one bounded-frame window min for selection. Output: (doc,
+    pos, fp) — pos is the k-gram offset the fingerprint was taken at.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w_lead = W.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w_lead) for j in range(1, k)
+    ]
+    grams = (
+        toks.withColumn("_last", parts[-1])
+        .withColumn("gram", F.concat_ws(" ", *parts))
+        .filter(F.col("_last").isNotNull())
+        .select("doc", "pos", F.xxhash64("gram").alias("h"))
+    )
+    # min (hash, then leftmost pos) over each window of `window` k-grams
+    w_sel = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    sel = grams.withColumn(
+        "_pick", F.min(F.struct("h", "pos")).over(w_sel)
+    )
+    return (
+        sel.select(
+            "doc",
+            F.col("_pick.pos").alias("pos"),
+            F.col("_pick.h").alias("fp"),
+        )
+        .dropDuplicates()
+    )
+
+
 def shingles_from_tokens(token_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a *materialized* token-array
     column. Documents with fewer than ``n`` tokens yield an empty array.

@@ -1554,6 +1554,15 @@ def token_counting(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("doc_winnowing")  # no SQL oracle: xxhash64 rolling hash is engine-specific
+def doc_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash selection): min-hash of every
+    4 consecutive token 5-grams — substring-sharing detection at a
+    fraction of full shingle volume. Coverage property pinned in
+    tests/test_winnowing.py."""
+    return text.winnowing_fingerprints(load_table(spark, sf, "documents"))
+
+
 @query(
     "token_frequencies",
     r"""
