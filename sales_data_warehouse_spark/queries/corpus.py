@@ -1554,6 +1554,69 @@ def token_counting(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_filter_pipeline",
+    r"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS n_tok,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                 '\b(the|and|of|to|in|is|for)\b')) AS n_stop,
+             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    canon AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+           CASE
+             WHEN doc_id != canonical_id THEN 'duplicate'
+             WHEN n_tok < 20 THEN 'too_short'
+             WHEN CAST(n_stop AS DOUBLE) / n_tok < 0.02 THEN 'low_quality'
+             ELSE 'keep'
+           END AS verdict
+    FROM canon
+    """,
+)
+def corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data filter: token budget + stopword-based
+    quality + normalization-fingerprint dedup (keep the lowest doc_id
+    per duplicate group), one verdict per document in a single pass —
+    one window over the fingerprint, no joins. The decision order
+    (duplicate > too_short > low_quality > keep) is part of the
+    contract."""
+    d = load_table(spark, sf, "documents")
+    n_tok = text.token_count(F.col("text"))
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(text.LANG_STOPWORDS["en"])
+        )
+    ).cast("bigint")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ratio = n_stop.cast("double") / n_tok
+    canonical = F.min("doc_id").over(Window.partitionBy("fp"))
+    verdict = (
+        F.when(F.col("doc_id") != canonical, F.lit("duplicate"))
+        .when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("stopword_ratio") < 0.02, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            n_tok.alias("n_tokens"),
+            F.round(ratio, 6).alias("stopword_ratio"),
+            fp.alias("fp"),
+        )
+        .withColumn("verdict", verdict)
+        .select("doc_id", "n_tokens", "stopword_ratio", "verdict")
+    )
+
+
 @query("doc_winnowing")  # no SQL oracle: xxhash64 rolling hash is engine-specific
 def doc_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprints (rolling-hash selection): min-hash of every
