@@ -100,6 +100,20 @@ def sliding_event_rate(
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: attach dimension attributes to each event.
+
+    The static side is re-read per micro-batch (picking up dimension
+    updates between batches) and joined stateless — no watermark, no
+    state store. Broadcast keeps it a map-side lookup; for a dimension
+    too big to broadcast, pre-bucket both sides on the key instead
+    (sources.bucketed).
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

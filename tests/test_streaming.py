@@ -9,9 +9,12 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
+from pyspark.sql import functions as F2
+
 from sales_data_warehouse_spark.streaming import (
     EVENTS_SCHEMA,
     cleanse_stream,
+    enrich_stream,
     read_events_stream,
     read_sales_csv_stream,
     running_user_totals,
@@ -139,6 +142,27 @@ def test_cleanse_stream_reject_routing(spark, tmp_path):
         "cast_failure",  # notanint quantity
         "null_required_field",  # blank row
     ]
+
+
+def test_enrich_stream_matches_batch(spark, events_dir):
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    # static per-user profile derived from the same data
+    dim = batch.groupBy("user_id").agg(
+        F2.count(F2.lit(1)).alias("user_events")
+    )
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        enrich_stream(stream, dim).select("event_id", "user_id", "user_events"),
+        "t_enrich",
+        "append",
+        spark,
+    )
+    want = enrich_stream(batch, dim).select(
+        "event_id", "user_id", "user_events"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_streaming_etl_to_parquet(spark, tmp_path):
