@@ -17,7 +17,11 @@ Python (multimodal decode stubs).
 """
 
 from sales_data_warehouse_spark.session import get_spark
-from sales_data_warehouse_spark.etl import run_etl, run_etl_increment
+from sales_data_warehouse_spark.etl import (
+    register_views,
+    run_etl,
+    run_etl_increment,
+)
 
-__all__ = ["get_spark", "run_etl", "run_etl_increment"]
+__all__ = ["get_spark", "register_views", "run_etl", "run_etl_increment"]
 __version__ = "0.1.0"

@@ -92,6 +92,20 @@ def run_etl(
     )
 
 
+def register_views(spark: SparkSession, result: EtlResult) -> None:
+    """Expose the warehouse as SQL views — the reference's third entry
+    point (SURVEY E3: ad-hoc analytical SQL over the star schema).
+    After this, ``spark.sql("SELECT ... FROM fact_table ...")`` works
+    with the reference's table names.
+    """
+    result.cleansed.createOrReplaceTempView("cleansed")
+    result.invalid.createOrReplaceTempView("invalid")
+    result.time_dimension.createOrReplaceTempView("time_dimension")
+    result.location_dimension.createOrReplaceTempView("location_dimension")
+    result.product_dimension.createOrReplaceTempView("product_dimension")
+    result.fact.createOrReplaceTempView("fact_table")
+
+
 def run_etl_increment(
     spark: SparkSession,
     csv_path: str,

@@ -115,6 +115,25 @@ def test_dense_fact_cardinality(etl):
     assert dense.agg(F.sum("quantity_ordered")).first()[0] == 10858
 
 
+def test_adhoc_sql_over_registered_views(etl, spark):
+    from sales_data_warehouse_spark.etl import register_views
+
+    register_views(spark, etl)
+    row = spark.sql(
+        """
+        SELECT t.month_id, SUM(f.quantity_ordered * f.price_each) AS revenue
+        FROM fact_table f JOIN time_dimension t ON f.time_id = t.time_id
+        WHERE t.month_id = (SELECT MIN(month_id) FROM time_dimension)
+        GROUP BY t.month_id
+        """
+    ).collect()
+    assert len(row) == 1
+    total = spark.sql(
+        "SELECT SUM(quantity_ordered * price_each) AS r FROM fact_table"
+    ).first()["r"]
+    assert float(total) == pytest.approx(1814491.55, abs=0.01)
+
+
 def test_flagship_query_revenue_by_city(etl):
     # SURVEY §7 step 2: the first business question the warehouse answers.
     rev = (
