@@ -1,0 +1,78 @@
+"""Property-based as-of join checks: for random event/version sets, the
+joined version must be the latest one at-or-before the event (backward)
+— verified against a brute-force python oracle — and both
+implementations (broadcast max_by, cogroup merge_asof) must agree."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sales_data_warehouse_spark.operators.asof import (
+    asof_join,
+    asof_join_grouped,
+)
+
+BASE = dt.date(2020, 1, 1)
+
+events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 60)),  # (key, day offset)
+    min_size=1,
+    max_size=25,
+)
+versions = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 60), st.integers(1, 999)),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # one version per (key, day)
+)
+
+
+def _oracle(evts, vers):
+    out = []
+    for i, (k, d) in enumerate(evts):
+        cands = [(vd, price) for vk, vd, price in vers if vk == k and vd <= d]
+        if cands:
+            vd, price = max(cands)
+            out.append((i, k, d, vd, price))
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evts=events, vers=versions)
+def test_asof_matches_bruteforce_oracle(spark, evts, vers):
+    left = spark.createDataFrame(
+        [
+            (i, k, BASE + dt.timedelta(days=d))
+            for i, (k, d) in enumerate(evts)
+        ],
+        "event_id int, key int, ts date",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, BASE + dt.timedelta(days=d), p)
+            for k, d, p in vers
+        ],
+        "key int, vts date, price int",
+    )
+    want = _oracle(evts, vers)
+
+    for impl in (asof_join, asof_join_grouped):
+        got = impl(left, right, on=["key"], left_ts="ts", right_ts="vts")
+        rows = sorted(
+            (
+                r["event_id"],
+                r["key"],
+                (r["ts"] - BASE).days,
+                (r["vts"] - BASE).days,
+                r["price"],
+            )
+            for r in got.collect()
+        )
+        assert rows == want, impl.__name__
