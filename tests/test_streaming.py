@@ -14,11 +14,13 @@ from pyspark.sql import functions as F2
 from sales_data_warehouse_spark.streaming import (
     EVENTS_SCHEMA,
     cleanse_stream,
+    dedupe_within,
     enrich_stream,
     read_events_stream,
     read_sales_csv_stream,
     running_user_totals,
     session_windows,
+    sliding_event_rate,
     start_streaming_etl,
     tumbling_event_agg,
 )
@@ -79,6 +81,38 @@ def test_session_windows_matches_batch(spark, events_dir):
     want = session_windows(batch)
     assert got.count() == want.count()
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_sliding_event_rate_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        sliding_event_rate(stream), "t_sliding", "complete", spark
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = sliding_event_rate(batch)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_dedupe_within_watermark(spark, tmp_path):
+    drop = tmp_path / "dedup_drop"
+    drop.mkdir()
+    header = (
+        "Order ID,Product,Quantity Ordered,Price Each,Order Date,"
+        "Purchase Address\n"
+    )
+    dup = '7,Widget,2,9.99,01/22/19 21:25,"1 Main St, Boston, MA 02215"\n'
+    other = '8,Gadget,1,5.00,01/22/19 22:00,"2 Elm St, Austin, TX 73301"\n'
+    # the duplicate appears twice in one batch AND again in a second file
+    (drop / "a.csv").write_text(header + dup + dup + other)
+    (drop / "b.csv").write_text(header + dup)
+    landing = read_sales_csv_stream(spark, str(drop))
+    cleansed, _ = cleanse_stream(landing)
+    deduped = dedupe_within(cleansed, watermark="1 day")
+    got = _run_to_memory(deduped, "t_dedup_within", "append", spark)
+    products = sorted(r["product"] for r in got.collect())
+    assert products == ["Gadget", "Widget"]
 
 
 def test_running_user_totals_state(spark, events_dir):
