@@ -1,0 +1,55 @@
+"""Surrogate-key strategy invariants (operators/ids): sequential ids are
+dense and ordered; hash ids are stable under repartitioning and
+collision-free on real keys; two-phase ids are dense without a global
+sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators.ids import (
+    hash_id,
+    sequential_id,
+    zip_index_id,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_sequential_ids_dense_and_ordered(spark):
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    out = sequential_id(nat, ["n_name"], out="nid", prefix="N", width=3)
+    rows = sorted((r["n_name"], r["nid"]) for r in out.collect())
+    # natural-key order == id order, ids dense from N001
+    assert [r[1] for r in rows] == [
+        f"N{i + 1:03d}" for i in range(len(rows))
+    ]
+
+
+def test_hash_ids_stable_and_unique(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    a = hash_id(cust, ["c_custkey"], out="hid")
+    b = hash_id(cust.repartition(23), ["c_custkey"], out="hid")
+    assert a.select("hid").distinct().count() == cust.count()
+    assert sorted(r["hid"] for r in a.collect()) == sorted(
+        r["hid"] for r in b.collect()
+    )
+
+
+def test_zip_index_ids_dense_without_global_sort(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(8)
+    out = zip_index_id(li, out="row_id")
+    n = li.count()
+    ids = out.agg(
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+        F.countDistinct("row_id").alias("d"),
+    ).first()
+    # dense cover of [1, n] with no duplicates
+    assert (ids["lo"], ids["hi"], ids["d"]) == (1, n, n)
+    # the only window is partitioned by __pid (per-partition local
+    # numbering) — never an unpartitioned global-sort window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "__pid" in line, line
