@@ -47,9 +47,16 @@ def test_zip_index_ids_dense_without_global_sort(spark):
     ).first()
     # dense cover of [1, n] with no duplicates
     assert (ids["lo"], ids["hi"], ids["d"]) == (1, n, n)
-    # the only window is partitioned by __pid (per-partition local
-    # numbering) — never an unpartitioned global-sort window
+    # two windows by design: the data-sized one is partitioned by __pid
+    # (local numbering); the only unpartitioned window runs over the
+    # per-partition counts (== numPartitions rows of metadata, never
+    # data). Every window mentioning the data ordering must be
+    # partitioned.
+    # (Window lines render as `Window [exprs], [partSpec], [orderSpec]`,
+    # with the partition group absent for unpartitioned windows.)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Window" in line:
-            assert "__pid" in line, line
+    data_windows = [
+        l for l in plan.splitlines() if "Window [" in l and "__local" in l
+    ]
+    assert data_windows, plan
+    assert all(l.count("], [") >= 2 for l in data_windows), data_windows
