@@ -797,6 +797,21 @@ def pivot_status_by_year(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("approx_sketches")  # no SQL oracle: HLL/KLL sketches are engine-specific
+def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch path for 100 TB aggregates: HyperLogLog distinct
+    counts and KLL-style quantiles in fixed memory per group, where the
+    exact forms (`percentile_quantity`, COUNT(DISTINCT)) buffer
+    per-group values. Exactness is checked on the exact twins; this
+    entry pins that the approximate surface runs (rows-only check)."""
+    l = load_table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 @query(
     "unpivot_lineitem_metrics",
     """
