@@ -22,8 +22,18 @@ def money(c: Column | str) -> Column:
 
 
 def padded_id(prefix: str, n: Column, width: int = 6) -> Column:
-    """Reference-style surrogate key rendering: ``'P' || LPAD(n, 6, '0')``."""
-    return F.concat(F.lit(prefix), F.lpad(n.cast("string"), width, "0"))
+    """Reference-style surrogate key rendering: ``'P' || LPAD(n, 6, '0')``.
+
+    Spark's ``lpad`` *truncates* strings longer than the target width, so a
+    naive LPAD silently collides ids once a level outgrows 10^width-1 rows.
+    Numbers wider than ``width`` therefore keep all their digits — ids stay
+    unique forever, merely wider than the nominal format past the rollover.
+    """
+    s = n.cast("string")
+    return F.concat(
+        F.lit(prefix),
+        F.when(F.length(s) > width, s).otherwise(F.lpad(s, width, "0")),
+    )
 
 
 def tokens(c: Column | str) -> Column:

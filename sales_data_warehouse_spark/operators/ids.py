@@ -29,9 +29,18 @@ def sequential_id(
     width: int = 6,
 ) -> DataFrame:
     """Dense 1-based ids in natural-key order. Dimension-scale only:
-    the windowless ORDER BY forces all rows through one partition."""
+    the windowless ORDER BY forces all rows through one partition.
+
+    ``lpad`` truncates strings longer than the target width, which would
+    silently collide ids past 10^width-1 rows — so the pad applies only
+    while the number fits and wider numbers keep every digit (ids stay
+    unique, merely wider than the nominal format).
+    """
     rn = F.row_number().over(Window.orderBy(*order_by)).cast("string")
-    col = F.concat(F.lit(prefix), F.lpad(rn, width, "0")) if prefix else rn
+    padded = F.when(
+        F.length(rn) > width, rn
+    ).otherwise(F.lpad(rn, width, "0"))
+    col = F.concat(F.lit(prefix), padded) if prefix else rn
     return df.withColumn(out, col)
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sales_data_warehouse_spark.functions.expressions import padded_id
+
 
 def _hash_location_dimension(addr: DataFrame) -> DataFrame:
     """Hash-id variant: one dropDuplicates, zero joins, zero windows."""
@@ -89,9 +91,7 @@ def merge_location_dimension(
                 F.lit(0),
             ).alias("m")
         ).first()["m"]
-        return F.concat(
-            F.lit(prefix), F.lpad((rn + F.lit(base)).cast("string"), width, "0")
-        )
+        return padded_id(prefix, rn + F.lit(base), width)
 
     # level ids for unseen keys: reuse an existing level id when the
     # level key is already known, else mint the next one
@@ -184,15 +184,8 @@ def build_location_dimension(
         .dropDuplicates()
         .withColumn(
             "state_id",
-            F.concat(
-                F.lit("SA"),
-                F.lpad(
-                    F.row_number()
-                    .over(Window.orderBy("state", "postal"))
-                    .cast("string"),
-                    3,
-                    "0",
-                ),
+            padded_id(
+                "SA", F.row_number().over(Window.orderBy("state", "postal")), 3
             ),
         )
     )
@@ -201,15 +194,10 @@ def build_location_dimension(
         .dropDuplicates()
         .withColumn(
             "city_id",
-            F.concat(
-                F.lit("C"),
-                F.lpad(
-                    F.row_number()
-                    .over(Window.orderBy("city", "state", "postal"))
-                    .cast("string"),
-                    3,
-                    "0",
-                ),
+            padded_id(
+                "C",
+                F.row_number().over(Window.orderBy("city", "state", "postal")),
+                3,
             ),
         )
     )
@@ -217,15 +205,12 @@ def build_location_dimension(
         addr.dropDuplicates()
         .withColumn(
             "street_id",
-            F.concat(
-                F.lit("S"),
-                F.lpad(
-                    F.row_number()
-                    .over(Window.orderBy("street", "city", "state", "postal"))
-                    .cast("string"),
-                    6,
-                    "0",
+            padded_id(
+                "S",
+                F.row_number().over(
+                    Window.orderBy("street", "city", "state", "postal")
                 ),
+                6,
             ),
         )
     )
@@ -237,15 +222,12 @@ def build_location_dimension(
     )
 
     return joined.select(
-        F.concat(
-            F.lit("L"),
-            F.lpad(
-                F.row_number()
-                .over(Window.orderBy("street_id", "city_id", "state_id"))
-                .cast("string"),
-                6,
-                "0",
+        padded_id(
+            "L",
+            F.row_number().over(
+                Window.orderBy("street_id", "city_id", "state_id")
             ),
+            6,
         ).alias("location_id"),
         "street_id",
         F.col("street").alias("street_name"),

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sales_data_warehouse_spark.functions.expressions import padded_id
+
 
 def build_product_dimension(cleansed: DataFrame) -> DataFrame:
     # all_products, rationalized per Q4: first sale date per price version.
@@ -74,16 +76,11 @@ def merge_product_dimension(
     )
     new_ids = new_names.withColumn(
         "product_id",
-        F.concat(
-            F.lit("P"),
-            F.lpad(
-                (
-                    F.dense_rank().over(Window.orderBy("product_name"))
-                    + F.lit(n_existing)
-                ).cast("string"),
-                6,
-                "0",
-            ),
+        padded_id(
+            "P",
+            F.dense_rank().over(Window.orderBy("product_name"))
+            + F.lit(n_existing),
+            6,
         ),
     )
     return _dim_from_versions(
@@ -121,15 +118,8 @@ def _dim_from_versions(
     if id_map is None:
         dim = dim.withColumn(
             "product_id",
-            F.concat(
-                F.lit("P"),
-                F.lpad(
-                    F.dense_rank()
-                    .over(Window.orderBy("product_name"))
-                    .cast("string"),
-                    6,
-                    "0",
-                ),
+            padded_id(
+                "P", F.dense_rank().over(Window.orderBy("product_name")), 6
             ),
         )
     else:

@@ -60,3 +60,25 @@ def test_zip_index_ids_dense_without_global_sort(spark):
     ]
     assert data_windows, plan
     assert all(l.count("], [") >= 2 for l in data_windows), data_windows
+
+
+def test_padded_id_widens_instead_of_truncating(spark):
+    # lpad truncates past the target width; padded_id must widen instead
+    # so ids stay unique after the 10^width rollover.
+    from sales_data_warehouse_spark.functions.expressions import padded_id
+
+    df = spark.createDataFrame(
+        [(1,), (999,), (1000,), (1234567,)], ["n"]
+    ).withColumn("id", padded_id("P", F.col("n"), 3))
+    got = {r["n"]: r["id"] for r in df.collect()}
+    assert got == {1: "P001", 999: "P999", 1000: "P1000", 1234567: "P1234567"}
+
+
+def test_sequential_id_widens_instead_of_truncating(spark):
+    from sales_data_warehouse_spark.operators.ids import sequential_id
+
+    df = spark.range(1, 1002).select(F.col("id").alias("k"))
+    out = sequential_id(df, ["k"], out="sid", prefix="X", width=3)
+    ids = [r["sid"] for r in out.collect()]
+    assert len(ids) == len(set(ids))
+    assert "X001" in ids and "X1001" in ids
