@@ -1,26 +1,43 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths:
+Paths:
   * ``brute_force_topk`` — exact cosine top-k; the correctness baseline.
-    Query side broadcast, corpus streamed: one pass, no shuffle of the
-    corpus. Exact math in double so results are engine-reproducible.
-  * ``lsh_topk`` — random-hyperplane LSH bucketing: corpus hashed once to
-    sign-bit buckets, queries probe only their bucket (plus optional
-    multi-probe neighbors). Sub-linear candidates at 100 TB; recall tuned
-    by ``num_planes``/``num_tables``.
+    Distributed block GEMM: queries and corpus are hash-split into row
+    blocks, every (query-block, corpus-block) task scores its tile with
+    one vectorized float64 kernel inside ``applyInPandas``, emits per-
+    query partial top-k, and a final window keeps the global top-k.
+    Nothing is ever collected to the driver; wall-clock scales with
+    |q|x|c| / cluster-cores and shuffle volume with |q|*Bc + |c|*Bq.
+  * ``lsh_topk`` — random-hyperplane bucketing: corpus hashed once to
+    sign-bit buckets, queries probe only their bucket. Sub-linear
+    candidates at 100 TB; recall tuned by ``num_planes``.
+  * ``build_ivf_index`` / ``ivf_search`` — IVF coarse quantizer with a
+    real build/search split: the index (cell assignments + centroid
+    table) is built once and persisted; searches probe ``nprobe`` cells
+    without retraining.
 
-Dot products run as built-in higher-order functions (zip_with/aggregate):
-JVM-side, no Python, no UDF serialization of vectors.
+Numeric discipline: dot products accumulate in *sequential* element
+order (``acc += x_d * y_d`` for d = 0..dim-1) in float64 — bit-identical
+to both the JVM higher-order-function formulation and DuckDB's
+LIST_DOT_PRODUCT, so rankings and ties agree exactly with the SQL
+oracle. The interpreted HOF dot (~100 ns/element) survives only on O(n)
+norm/bucket computations, never on candidate-pair paths.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential double-precision dot product (deterministic order)."""
+    """Sequential double-precision dot product (deterministic order).
+
+    Interpreted per element — fine on O(n) paths (norms, bucket
+    signatures), never to be used per candidate pair."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -32,49 +49,154 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-def brute_force_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact cosine top-k neighbors for each query vector.
+def _rowwise_cosine(qv: Column, cv: Column) -> Column:
+    """Arrow-batched exact cosine for already-materialized candidate
+    pairs — the rerank kernel for LSH/IVF. Sequential-order float64
+    accumulation: bit-identical to the HOF/SQL formulation, ~100x
+    faster (one vectorized pass per Arrow batch instead of an
+    interpreted expression tree per element)."""
 
-    Returns (query_id, neighbor_id, rank, sim). Self-matches excluded.
-    Ties broken by neighbor id for determinism.
-    """
-    # Norms precomputed per row, not per pair: sqrt(dot(v,v)) runs once
-    # for each of |q|+|c| rows instead of twice per |q|x|c| pair — the
-    # float operations (and thus the oracle-exact results) are identical,
-    # only the evaluation count changes.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "sim",
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-        )
-    )
+    @F.pandas_udf("double")
+    def _cos(q, c):
+        import numpy as np
+        import pandas as pd
+
+        if not len(q):
+            return pd.Series([], dtype="float64")
+        qm = np.stack(q.to_numpy()).astype("float64")
+        cm = np.stack(c.to_numpy()).astype("float64")
+        n, dim = qm.shape
+        dot = np.zeros(n)
+        qq = np.zeros(n)
+        cc = np.zeros(n)
+        for d in range(dim):
+            dot += qm[:, d] * cm[:, d]
+            qq += qm[:, d] * qm[:, d]
+            cc += cm[:, d] * cm[:, d]
+        return pd.Series(dot / (np.sqrt(qq) * np.sqrt(cc)))
+
+    return _cos(qv, cv)
+
+
+def _global_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared final stage: exact top-k per query over (partial) scored
+    candidates, deterministic tie-break by neighbor id."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+        )
     )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_block_rows: int = 8192,
+    query_block_rows: int = 2048,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, sim). Self-matches excluded.
+    Ties broken by neighbor id for determinism.
+
+    Distributed block GEMM: both sides get a hash block id; each side is
+    replicated across the other side's blocks (|q|*Bc + |c|*Bq shuffled
+    rows), every (qblk, cblk) group scores its tile in one vectorized
+    float64 pass and emits per-query top-k *within the tile*; a window
+    then keeps the global top-k (any global winner is a tile winner, so
+    partial top-k loses nothing). No driver materialization on either
+    side, no |q|x|c| pair rows ever hit the shuffle.
+    """
+    q_id_t = queries.schema[id_col].dataType
+    c_id_t = corpus.schema[id_col].dataType
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    n_q = q.count()
+    n_c = c.count()
+    bq = max(1, -(-n_q // query_block_rows))
+    bc = max(1, -(-n_c // corpus_block_rows))
+
+    qx = q.select(
+        F.lit("q").alias("side"),
+        F.col("qid"),
+        F.lit(None).cast(c_id_t).alias("cid"),
+        F.col("qv").alias("v"),
+        F.pmod(F.xxhash64("qid"), F.lit(bq)).cast("int").alias("qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(bc - 1))).alias("cblk"),
+    )
+    cx = c.select(
+        F.lit("c").alias("side"),
+        F.lit(None).cast(q_id_t).alias("qid"),
+        F.col("cid"),
+        F.col("cv").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(bq - 1))).alias("qblk"),
+        F.pmod(F.xxhash64("cid"), F.lit(bc)).cast("int").alias("cblk"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_t),
+            T.StructField("neighbor_id", c_id_t),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score_tile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        qs = pdf[pdf["side"] == "q"]
+        cs = pdf[pdf["side"] == "c"]
+        if not len(qs) or not len(cs):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []}
+            )
+        q_ids = qs["qid"].to_numpy()
+        c_ids = cs["cid"].to_numpy()
+        qm = np.stack(qs["v"].to_numpy()).astype("float64")
+        cm = np.stack(cs["v"].to_numpy()).astype("float64")
+        dim = qm.shape[1]
+        # sequential-order accumulation: bit-identical to the HOF/SQL
+        # dot, so full-precision ranking (and ties) match the oracle
+        dots = np.zeros((len(qs), len(cs)))
+        qn2 = np.zeros(len(qs))
+        cn2 = np.zeros(len(cs))
+        for d in range(dim):
+            dots += np.multiply.outer(qm[:, d], cm[:, d])
+            qn2 += qm[:, d] * qm[:, d]
+            cn2 += cm[:, d] * cm[:, d]
+        sims = dots / np.multiply.outer(np.sqrt(qn2), np.sqrt(cn2))
+        # stable per-row top-k: pre-order columns by neighbor id, then a
+        # stable sort on -sim keeps id-ascending order among exact ties
+        c_order = np.argsort(c_ids, kind="stable")
+        c_ids_sorted = c_ids[c_order]
+        out_q, out_c, out_s = [], [], []
+        for i in range(len(qs)):
+            row = sims[i][c_order]
+            mask = c_ids_sorted != q_ids[i]
+            idx = np.flatnonzero(mask)
+            order = idx[np.argsort(-row[idx], kind="stable")][:k]
+            out_q.extend([q_ids[i]] * len(order))
+            out_c.extend(c_ids_sorted[order])
+            out_s.extend(row[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_c, "sim": out_s}
+        )
+
+    partials = (
+        qx.unionByName(cx)
+        .groupBy("qblk", "cblk")
+        .applyInPandas(score_tile, schema=out_schema)
+    )
+    return _global_topk(partials, k)
 
 
 def _planes(num_planes: int, dim: int) -> list[list[float]]:
@@ -84,6 +206,17 @@ def _planes(num_planes: int, dim: int) -> list[list[float]]:
 
     rng = np.random.default_rng(42)
     return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket signature (one HOF dot per plane — O(n) total)."""
+    bits = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(vec, plane) > 0).cast("long")
+        term = F.shiftleft(bit, i)
+        bits = term if bits is None else bits + term
+    return bits
 
 
 def lsh_topk(
@@ -97,110 +230,116 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets + exact rerank
     within bucket. A query only meets corpus vectors sharing its sign
-    signature, so the candidate set shrinks ~2^num_planes-fold."""
+    signature, so the candidate set shrinks ~2^num_planes-fold; the
+    rerank runs as one Arrow-batched vectorized pass over candidates."""
     planes = _planes(num_planes, dim)
 
-    def bucket(vec: Column) -> Column:
-        bits = None
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            bit = (_dot(vec, plane) > 0).cast("long")
-            term = F.shiftleft(bit, i)
-            bits = term if bits is None else bits + term
-        return bits
-
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
-    ).withColumn("bucket", bucket(F.col("qv")))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bucket", _bucket_expr(F.col("qv"), planes))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cn"),
-    ).withColumn("bucket", bucket(F.col("cv")))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))
 
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "sim",
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-        )
+        .withColumn("sim", _rowwise_cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _global_topk(scored, k)
 
 
 def _exact_cosine_pairs_gemm(
-    corpus: DataFrame, threshold: float, id_col: str, vec_col: str
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold via block matrix multiply.
+    """All-pairs cosine >= threshold via tiled block matrix multiply.
 
-    The relational formulation (nested-loop join + per-pair dot) evaluates
-    interpreted higher-order functions O(n^2 * dim) times — measured 80 s
-    for 2 k x 64-dim vectors. The linear-algebra formulation broadcasts
-    the (small) corpus matrix to every executor and runs one float64 GEMM
-    per Arrow batch: each task scores |batch| x n pairs in native BLAS,
-    then keeps (id_a < id_b, sim >= threshold). Same math as the oracle —
+    The relational formulation (nested-loop join + per-pair dot)
+    evaluates interpreted higher-order functions O(n^2 * dim) times —
+    measured 80 s for 2 k x 64-dim vectors. Here the corpus is hash-
+    split into row blocks of ~``block_rows``; each row is replicated to
+    every block *pair* containing its block (n * n_blocks shuffled
+    rows), and each (pa, pb) task runs one float64 GEMM over its two
+    tiles in native BLAS, keeping (id_a < id_b, sim >= threshold).
+    Nothing is collected to the driver; per-task memory is two tiles
+    (~block_rows * dim * 8 bytes each). Same math as the oracle —
     dot / (norm * norm) in double.
-
-    At 100 TB the broadcast side becomes tiled: partition the corpus into
-    row blocks, cross-join block pairs, GEMM per block pair — the same
-    kernel, driven by the block-id join instead of one broadcast.
     """
-    import numpy as np
-    import pandas as pd  # noqa: F401 (worker-side)
+    import numpy as np  # noqa: F401 (worker-side closures)
+    import pandas as pd  # noqa: F401
 
-    from pyspark.sql import types as T
-
+    id_t = corpus.schema[id_col].dataType
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    pdf_all = base.toPandas()
-    ids_all = pdf_all["id"].to_numpy()
-    m_all = np.stack(pdf_all["v"].to_numpy()).astype("float64")
-    norms_all = np.sqrt((m_all * m_all).sum(axis=1))
-    bc = corpus.sparkSession.sparkContext.broadcast(
-        (ids_all, m_all, norms_all)
+    n = base.count()
+    n_blocks = max(1, -(-n // block_rows))
+
+    blocked = base.withColumn(
+        "blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    )
+    # a row in block b participates in every unordered block pair
+    # containing b: (i, b) for i < b and (b, j) for j >= b — exactly one
+    # task per (row, partner-block), so no pair is scored twice
+    tasks = (
+        blocked.withColumn(
+            "other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("pa", F.least("blk", "other"))
+        .withColumn("pb", F.greatest("blk", "other"))
     )
 
     out_schema = T.StructType(
         [
-            T.StructField("vec_a", T.LongType()),
-            T.StructField("vec_b", T.LongType()),
+            T.StructField("vec_a", id_t),
+            T.StructField("vec_b", id_t),
             T.StructField("sim", T.DoubleType()),
         ]
     )
 
-    def score(batches):
+    def score_block_pair(key, pdf):
         import numpy as _np
         import pandas as _pd
 
-        c_ids, c_m, c_norms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            b_ids = pdf["id"].to_numpy()
-            b_m = _np.stack(pdf["v"].to_numpy()).astype("float64")
-            b_norms = _np.sqrt((b_m * b_m).sum(axis=1))
-            sims = (b_m @ c_m.T) / _np.outer(b_norms, c_norms)
-            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+        pa, pb = key
+        if pa == pb:
+            ids = pdf["id"].to_numpy()
+            m = _np.stack(pdf["v"].to_numpy()).astype("float64")
+            norms = _np.sqrt((m * m).sum(axis=1))
+            sims = (m @ m.T) / _np.outer(norms, norms)
+            keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
             ii, jj = _np.nonzero(keep)
-            yield _pd.DataFrame(
+            return _pd.DataFrame(
                 {
-                    "vec_a": b_ids[ii],
-                    "vec_b": c_ids[jj],
+                    "vec_a": ids[ii],
+                    "vec_b": ids[jj],
                     "sim": _np.round(sims[ii, jj], 6),
                 }
             )
+        a = pdf[pdf["blk"] == pa]
+        b = pdf[pdf["blk"] == pb]
+        if not len(a) or not len(b):
+            return _pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        a_ids = a["id"].to_numpy()
+        b_ids = b["id"].to_numpy()
+        am = _np.stack(a["v"].to_numpy()).astype("float64")
+        bm = _np.stack(b["v"].to_numpy()).astype("float64")
+        a_norms = _np.sqrt((am * am).sum(axis=1))
+        b_norms = _np.sqrt((bm * bm).sum(axis=1))
+        sims = (am @ bm.T) / _np.outer(a_norms, b_norms)
+        ii, jj = _np.nonzero(sims >= threshold)
+        lo = _np.where(a_ids[ii] < b_ids[jj], a_ids[ii], b_ids[jj])
+        hi = _np.where(a_ids[ii] < b_ids[jj], b_ids[jj], a_ids[ii])
+        return _pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "sim": _np.round(sims[ii, jj], 6)}
+        )
 
-    return base.mapInPandas(score, schema=out_schema)
+    return tasks.groupBy("pa", "pb").applyInPandas(
+        score_block_pair, schema=out_schema
+    )
 
 
 def embedding_near_dup_pairs(
@@ -214,35 +353,30 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
-    ``method="exact"`` compares all pairs (id_a < id_b) — the correctness
-    baseline, quadratic, for modest corpora or per-bucket use.
+    ``method="exact"`` compares all pairs (id_a < id_b) via the tiled
+    block GEMM — the correctness baseline; quadratic compute spread
+    across block-pair tasks, linear-in-(n * n_blocks) shuffle.
     ``method="lsh"`` first buckets vectors by random-hyperplane sign
     signature and compares only within-bucket pairs — the scale path: at
     100 TB the candidate set shrinks ~2^num_planes-fold and the bucket
-    join shuffles on the bucket key instead of nested-looping the corpus.
+    join shuffles on the bucket key instead of replicating blocks.
     Both verify candidates with exact cosine, so LSH trades recall (pairs
     split across buckets are missed), never precision.
     """
-    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     if method == "exact":
         return _exact_cosine_pairs_gemm(corpus, threshold, id_col, vec_col)
     elif method == "lsh":
         planes = _planes(num_planes, dim)
-
-        def bucket(vec: Column) -> Column:
-            bits = None
-            for i, p in enumerate(planes):
-                plane = F.array(*[F.lit(float(x)) for x in p])
-                bit = (_dot(vec, plane) > 0).cast("long")
-                term = F.shiftleft(bit, i)
-                bits = term if bits is None else bits + term
-            return bits
-
+        a = corpus.select(
+            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+        )
+        b = corpus.select(
+            F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+        )
         cand = (
-            a.withColumn("bucket", bucket(F.col("va")))
+            a.withColumn("bucket", _bucket_expr(F.col("va"), planes))
             .join(
-                b.withColumn("bucket", bucket(F.col("vb"))),
+                b.withColumn("bucket", _bucket_expr(F.col("vb"), planes)),
                 "bucket",
             )
             .filter(F.col("vec_a") < F.col("vec_b"))
@@ -250,31 +384,36 @@ def embedding_near_dup_pairs(
     else:  # pragma: no cover - guard
         raise ValueError(f"unknown method {method!r}")
     return (
-        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        cand.withColumn("sim", _rowwise_cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
     )
 
 
-def ivf_topk(
+class IvfIndex(NamedTuple):
+    """A built IVF index: cell-tagged corpus + the centroid table.
+
+    ``assigned`` is (neighbor_id, cv, cell) — at scale you persist it
+    partitioned by cell (``write.partitionBy("cell")``) so a search
+    reads only its probed cells; ``centers`` is the tiny coarse-
+    quantizer codebook every search broadcasts.
+    """
+
+    assigned: DataFrame
+    centers: list[list[float]]
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+    num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
-    nprobe: int = 4,
     seed: int = 42,
-) -> DataFrame:
-    """IVF-style approximate top-k: k-means coarse quantizer + probe.
-
-    Build: cluster the corpus once (Spark ML KMeans, seeded) and tag each
-    vector with its cell — at scale this is the index you'd persist,
-    partitioned by cell. Search: each query computes its distance to the
-    (tiny, driver-collected) centroid table, probes its ``nprobe``
-    nearest cells, and exact-reranks only those candidates. Recall is
-    tuned by nprobe/num_centroids without touching the full corpus.
-    """
+    cache: bool = True,
+) -> IvfIndex:
+    """Train the coarse quantizer ONCE and tag every corpus vector with
+    its cell. This is the build half of the build/search split — repeat
+    searches reuse the index instead of re-fitting KMeans per query."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -288,44 +427,73 @@ def ivf_topk(
     assigned = model.transform(feats).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
     )
-
+    if cache:
+        assigned = assigned.persist()
     centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    return IvfIndex(assigned, centers)
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built IVF index: each query ranks the (tiny) centroid
+    table in one Arrow-batched pass, explodes to its ``nprobe`` nearest
+    cells, and exact-reranks only those cells' vectors. No training, no
+    full-corpus scan."""
+    centers = index.centers
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(qv):
+        import numpy as np
+        import pandas as pd
+
+        if not len(qv):
+            return pd.Series([], dtype="object")
+        qm = np.stack(qv.to_numpy()).astype("float64")
+        cm = np.asarray(centers, dtype="float64")
+        # squared L2 up to the per-query constant ||q||^2
+        d2 = -2.0 * (qm @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    # squared L2 to each centroid; ||q||^2 is constant per query so
-    # comparing -2*q.c + ||c||^2 ranks identically.
-    dists = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(-2.0)
-                    * _dot(F.col("qv"), F.array(*[F.lit(x) for x in ctr]))
-                    + F.lit(sum(x * x for x in ctr))
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, ctr in enumerate(centers)
-        ]
-    )
     probed = q.withColumn(
-        "probe", F.explode(F.slice(F.array_sort(dists), 1, nprobe))
-    ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
+        "cell", F.explode(probe_cells(F.col("qv")))
+    ).select("query_id", "qv", "cell")
 
     scored = (
         F.broadcast(probed)
-        .join(assigned, "cell")
+        .join(index.assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", _rowwise_cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
+    return _global_topk(scored, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot convenience wrapper: build the index, then search it.
+    Interactive / repeated-query use should call ``build_ivf_index``
+    once and ``ivf_search`` per query batch instead."""
+    index = build_ivf_index(
+        corpus, num_centroids, id_col, vec_col, seed, cache=False
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return ivf_search(index, queries, k, nprobe, id_col, vec_col)
 
 
 def embedding_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:

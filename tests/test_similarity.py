@@ -1,0 +1,116 @@
+"""Similarity-search invariants: the tiled block-GEMM paths must be
+block-size-invariant (tiling is an execution detail, not a semantic),
+the IVF index must be reusable without retraining, and the exact path
+must stay distributed (no driver materialization).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_brute_force_block_invariance(spark, emb):
+    """Tiny tiles vs one giant tile must give identical top-k: partial
+    per-tile top-k + global window loses nothing."""
+    q = emb.filter(F.col("vec_id") < 7)
+    tiled = similarity.brute_force_topk(
+        emb, q, k=5, corpus_block_rows=37, query_block_rows=3
+    )
+    single = similarity.brute_force_topk(
+        emb, q, k=5, corpus_block_rows=10**9, query_block_rows=10**9
+    )
+    cols = ["query_id", "neighbor_id", "rank", "sim"]
+    assert _rows(tiled, cols) == _rows(single, cols)
+    assert tiled.count() == 7 * 5
+
+
+def test_exact_pairs_block_invariance(spark, emb):
+    """All-pairs GEMM: block split must not change the pair set, and the
+    diagonal tile must not double-count or self-pair."""
+    sub = emb.filter(F.col("vec_id") < 120)
+    tiled = similarity.embedding_near_dup_pairs(sub, threshold=0.3)
+    # force many blocks including uneven diagonal tiles
+    small = similarity._exact_cosine_pairs_gemm(
+        sub, 0.3, "vec_id", "embedding", block_rows=17
+    )
+    cols = ["vec_a", "vec_b", "sim"]
+    t_rows = _rows(tiled.select(*cols), cols)
+    s_rows = _rows(small.select(*cols), cols)
+    assert t_rows == s_rows
+    assert all(a < b for a, b, _ in t_rows)
+    assert len(set((a, b) for a, b, _ in t_rows)) == len(t_rows)
+
+
+def test_exact_pairs_stay_distributed(spark, emb):
+    """The exact path's plan must keep lineage from the parquet scan
+    through an Arrow grouped-map — a driver-side toPandas/createDataFrame
+    round-trip would surface as a LocalTableScan with no file scan."""
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_lsh_pairs_subset_of_exact(spark, emb):
+    """LSH trades recall, never precision: every LSH pair must appear in
+    the exact pair set with the identical similarity value."""
+    sub = emb.filter(F.col("vec_id") < 200)
+    exact = set(
+        map(tuple, similarity.embedding_near_dup_pairs(sub, 0.3).collect())
+    )
+    lsh = similarity.embedding_near_dup_pairs(sub, 0.3, method="lsh")
+    lsh_rows = [tuple(r) for r in lsh.collect()]
+    assert lsh_rows, "LSH should find at least some within-bucket pairs"
+    assert set(lsh_rows) <= exact
+
+
+def test_ivf_build_search_split(spark, emb):
+    """One built index must serve repeated searches identically — no
+    per-query retraining — and probing more cells converges to exact."""
+    q = emb.filter(F.col("vec_id") < 5)
+    index = similarity.build_ivf_index(emb, num_centroids=8)
+    cols = ["query_id", "neighbor_id", "rank", "sim"]
+    first = _rows(similarity.ivf_search(index, q, k=3, nprobe=2), cols)
+    second = _rows(similarity.ivf_search(index, q, k=3, nprobe=2), cols)
+    assert first == second
+    # nprobe = num_centroids probes every cell -> exact brute-force result
+    all_cells = _rows(similarity.ivf_search(index, q, k=3, nprobe=8), cols)
+    exact = _rows(similarity.brute_force_topk(emb, q, k=3), cols)
+    assert all_cells == exact
+    index.assigned.unpersist()
+
+
+def test_ivf_recall_floor(spark, emb):
+    """Coarse-quantized search with a few probes should still recover
+    most true neighbors at this scale."""
+    q = emb.filter(F.col("vec_id") < 20)
+    index = similarity.build_ivf_index(emb, num_centroids=8)
+    got = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_search(index, q, k=5, nprobe=4).collect()
+    )
+    truth = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    )
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+    index.assigned.unpersist()
