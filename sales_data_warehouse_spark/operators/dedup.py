@@ -87,18 +87,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingles.
 
     Inverted-index plan: explode distinct shingles, self-join on shingle
     (only co-occurring docs ever meet), count intersections, then
     |A ∩ B| / (|A| + |B| - |A ∩ B|). Common-shingle skew is the scale
-    hazard — AQE skew-join handles moderate cases; drop ultra-frequent
-    shingles (document frequency cap) before joining at real scale.
+    hazard: a stop-phrase shingle present in k documents contributes k^2
+    rows to the self-join output regardless of AQE. ``max_df`` is the
+    fix — shingles whose document frequency exceeds it are dropped
+    before the join, capping any single shingle's contribution at
+    max_df^2 rows. Jaccard is then computed over the *capped* shingle
+    universe (set sizes recounted post-cap), the standard
+    stop-shingle-removal semantics, so the score stays a true Jaccard
+    of the compared sets. At 100 TB run with a cap always; high-df
+    shingles carry no near-dup signal (they match everything) and are
+    exactly the ones that melt the shuffle.
     """
     distinct_sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
         ["doc", "shingle"]
     )
+    if max_df is not None:
+        # df per shingle is one groupBy on the same key the self-join
+        # shuffles on; map-side partial agg keeps it cheap. The semi-join
+        # keeps only low-df shingles — sizes below are post-cap.
+        keep = (
+            distinct_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        distinct_sh = distinct_sh.join(keep, "shingle", "left_semi")
     # The shingle table feeds three consumers (both self-join sides +
     # sizes); without persistence Spark recomputes the whole
     # tokenize/window pipeline for each (alias renames defeat

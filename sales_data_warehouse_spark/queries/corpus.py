@@ -1392,6 +1392,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    exploded0 AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ),
+    kept AS (
+      SELECT shingle FROM exploded0 GROUP BY shingle HAVING COUNT(*) <= 5
+    ),
+    exploded AS (
+      SELECT doc_id, shingle FROM exploded0 JOIN kept USING (shingle)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB-safe variant: shingles in more than ``max_df``
+    documents are dropped before the inverted-index self-join, so no
+    stop-phrase shingle can contribute a quadratic pair blowup; Jaccard
+    is over the capped universe (sizes recounted post-cap). max_df=5
+    provably bites at sf0.01 (max shingle df there is 7)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.1, max_df=5
+    )
+
+
 @query("dedup_minhash_lsh")  # no SQL oracle: hash functions are engine-specific
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"))
