@@ -379,26 +379,79 @@ def simhash_near_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
+    max_hamming: int = 3,
+    blocks: int = 6,
 ) -> DataFrame:
-    """Near-dup candidates: equal ``prefix_bits`` simhash prefix (bucket
-    join), verified by full Hamming distance <= ``max_hamming``."""
+    """ALL pairs at Hamming distance <= ``max_hamming`` — complete, not
+    best-effort — via pigeonhole block tables (Manku/Jain/Sarma's
+    near-duplicate scheme).
+
+    The 64-bit fingerprint is cut into ``blocks`` contiguous blocks and
+    every combination of ``blocks - max_hamming`` blocks becomes one
+    bucket table (key = that combination's concatenated bits). A pair
+    differing in h <= max_hamming bits dirties at most h blocks, leaving
+    >= blocks - h clean ones, so some combination matches — the bucket
+    join provably sees every qualifying pair; the exact bit_count
+    verification then makes the output precise too. A single fixed
+    prefix (the naive bucketing) silently loses any pair whose
+    differing bit lands in the prefix.
+
+    Scale trade-off: C(blocks, blocks - max_hamming) tables each
+    replicate (doc, hash) once — defaults give C(6,3) = 20 tables keyed
+    on ~32 bits (uniform fingerprints -> ~n^2/2^32 accidental
+    collisions per table). Raising ``blocks`` widens the Hamming
+    guarantee reachable at the same key width; verification cost stays
+    one bit_count per candidate.
+    """
+    from itertools import combinations
+
+    if not 0 < blocks <= 64 or max_hamming >= blocks:
+        raise ValueError("need 0 < blocks <= 64 and max_hamming < blocks")
+    bounds = [(64 * i // blocks, 64 * (i + 1) // blocks) for i in range(blocks)]
+
+    def block_val(i: int) -> Column:
+        lo, hi = bounds[i]
+        # bits [lo, hi) of the signed-64 fingerprint, as an unsigned value
+        return F.shiftrightunsigned(
+            F.shiftleft(F.col("simhash"), 64 - hi), 64 - (hi - lo)
+        )
+
+    combos = list(combinations(range(blocks), blocks - max_hamming))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[block_val(i).cast("string") for i in combo]
+                    )
+                ).alias("key"),
+            )
+            for t, combo in enumerate(combos)
+        ]
+    )
     sh = simhash(docs, text_col, id_col)
-    bucketed = sh.withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 64 - prefix_bits)
+    # Both self-join sides read the bucketed table; persist so the
+    # 65-aggregate simhash groupBy runs once (alias renames defeat
+    # exchange reuse, as elsewhere in this module).
+    bucketed = (
+        sh.select("doc", "simhash", F.explode(tables).alias("bk"))
+        .select("doc", "simhash", "bk.tbl", "bk.key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = bucketed.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "bucket"
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"),
+        "tbl", "key",
     )
     b = bucketed.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "bucket"
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"),
+        "tbl", "key",
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -227,16 +227,43 @@ def lsh_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     dim: int = 64,
+    probe_hamming: int = 2,
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane buckets + exact rerank
-    within bucket. A query only meets corpus vectors sharing its sign
-    signature, so the candidate set shrinks ~2^num_planes-fold; the
-    rerank runs as one Arrow-batched vectorized pass over candidates."""
-    planes = _planes(num_planes, dim)
+    """Approximate cosine top-k: random-hyperplane buckets with
+    multi-probe + exact rerank within the probed buckets.
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket", _bucket_expr(F.col("qv"), planes))
+    The corpus is hashed ONCE to its sign-signature bucket (never
+    replicated — the 100 TB invariant); each query probes every bucket
+    within Hamming distance ``probe_hamming`` of its own signature
+    (sum of C(num_planes, 0..m) buckets), because a true neighbor at
+    angle theta flips each sign bit independently with probability
+    theta/pi — single-bucket probing's recall collapses as
+    (1 - theta/pi)^num_planes. Probe replication happens on the tiny
+    query side only; the rerank is one Arrow-batched vectorized pass
+    over candidates. Recall/cost dial: probe_hamming up = more of the
+    corpus scanned per query."""
+    from itertools import combinations
+
+    planes = _planes(num_planes, dim)
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for m in range(1, probe_hamming + 1)
+        for bits in combinations(range(num_planes), m)
+    ]
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("sig", _bucket_expr(F.col("qv"), planes))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+        .drop("sig")
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))

@@ -21,12 +21,16 @@ SF_DIR = "/root/testdata/sf0.01"
 
 #: Queries whose plans legitimately contain a cartesian/nested-loop join:
 #: explicit dense-cube cross joins, the as-of non-equi join, and the
-#: exact all-pairs similarity baselines.
+#: property-oracle entries that crossJoin single-row stat aggregates
+#: (1 x 1 — constant cost at any scale).
 CARTESIAN_OK = {
     "dense_cube_crossjoin",
     "asof_join_pricelist",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "date_spine",
     "time_hierarchy",
 }
