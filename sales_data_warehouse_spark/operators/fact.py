@@ -129,23 +129,37 @@ def dense_fact(
     sales = sparse.groupBy(
         "time_id", "product_id", "price_each", "location_id"
     ).agg(F.sum("quantity_ordered").cast("int").alias("quantity_ordered"))
-    cube = (
+    # The (time x product-version) spine is a few hundred rows in ONE
+    # partition; fan it out BEFORE the location explosion so the
+    # millions of cube rows are generated (and joined, and written) on
+    # every core instead of serially. Same trick as the row-generation
+    # half of any dense-spine build: parallelize the small side first.
+    spark = sparse.sparkSession
+    spine = (
         time_dim.select("time_id", "time_desc", "week_id", "month_id",
                         "quarter_id", "half_year_id", "year_id")
         .crossJoin(
             product_dim.select("product_id", "product_name", "price_each")
         )
-        .crossJoin(
-            F.broadcast(
-                location_dim.select(
-                    "location_id", "street_id", "street_name", "city_id",
-                    "city_name", "state_id", "state_name", "postal",
-                )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cube = spine.crossJoin(
+        F.broadcast(
+            location_dim.select(
+                "location_id", "street_id", "street_name", "city_id",
+                "city_name", "state_id", "state_name", "postal",
             )
         )
     )
+    # Broadcast the aggregated sales: |sales| <= |sparse fact lines| and
+    # the dense cube is vastly bigger by construction — shuffling the
+    # cube into a sort-merge join (what the optimizer picks from cold
+    # stats) costs more than shipping the sparse aggregate ever can.
+    # The zero-filled cube is a derive-on-demand view at scale (see
+    # above); if sales ever outgrew broadcast, the cube would be
+    # unmaterializable long before the hint broke.
     return cube.join(
-        sales,
+        F.broadcast(sales),
         on=["time_id", "product_id", "price_each", "location_id"],
         how="left",
     ).withColumn(

@@ -102,7 +102,10 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     disc = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
     charge = disc * (F.lit(1) + _money("l_tax"))
     return (
-        l.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        # strict < next-midnight on the raw timestamp == cast-to-date <=
+        # 1998-09-02, but the uncast comparison reaches the parquet scan
+        # as a pushed filter (a CAST on the column blocks pushdown).
+        l.filter(F.col("l_shipdate") < F.to_timestamp(F.lit("1998-09-03")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),

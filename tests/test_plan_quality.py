@@ -40,6 +40,14 @@ def test_filter_reaches_parquet_scan(spark):
     assert pushed_filters(QUERIES["filter_projection"](spark, SF_DIR))
 
 
+def test_timestamp_bound_filter_pushes_down(spark):
+    # pricing_summary's shipdate bound is written as an uncast timestamp
+    # comparison precisely so it reaches the scan; a cast-to-date form
+    # would silently drop the filter from PushedFilters.
+    pushed = pushed_filters(QUERIES["pricing_summary"](spark, SF_DIR))
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
 def test_projection_prunes_scan_columns(spark):
     scans = scan_columns(QUERIES["filter_projection"](spark, SF_DIR))
     # lineitem has 11 columns; the query needs a handful
