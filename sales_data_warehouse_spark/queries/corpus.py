@@ -27,7 +27,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sales_data_warehouse_spark.operators import dedup, similarity, text
+from sales_data_warehouse_spark.operators import (
+    chunking,
+    dedup,
+    similarity,
+    text,
+)
 from sales_data_warehouse_spark.operators.asof import asof_join
 from sales_data_warehouse_spark.operators.multimodal import (
     attach_binary_payload,
@@ -2083,3 +2088,111 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     fixed-dim vector via Arrow-batched mapInPandas."""
     media = attach_binary_payload(load_table(spark, sf, "documents"))
     return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Context-window preparation (chunking / packing / PII scrub)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_chunking",
+    r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             UNNEST(GENERATE_SERIES(0, GREATEST(LEN(toks) - 1, 0), 48))
+               AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEN(toks[start_tok + 1 : start_tok + 64]) AS BIGINT)
+             AS n_tokens,
+           ARRAY_TO_STRING(toks[start_tok + 1 : start_tok + 64], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap):
+    the retrieval/packing precursor. Chunks are generated inside the
+    scan stage (sequence + posexplode + slice) — no shuffle, no UDF."""
+    return chunking.chunk_documents(
+        load_table(spark, sf, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@query(
+    "doc_sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 AS BIGINT) AS shard,
+             CAST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_offset
+      FROM t
+    )
+    SELECT shard, doc_id, n_tokens, start_offset,
+           CAST(start_offset // 512 AS BIGINT) AS first_seq,
+           CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+    FROM packed
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-and-chop packing into 512-token sequences over
+    16 shards: one per-shard window cumsum — embarrassingly parallel
+    across shards (the 100 TB layout: one shard per training stream)."""
+    return chunking.pack_sequences(
+        load_table(spark, sf, "documents"), budget=512, shards=16
+    )
+
+
+def _scrub_oracle() -> str:
+    email, phone, ssn = (
+        chunking.PII_PATTERNS["email"],
+        chunking.PII_PATTERNS["phone"],
+        chunking.PII_PATTERNS["ssn"],
+    )
+    return f"""
+    WITH s1 AS (
+      SELECT doc_id,
+             LEN(REGEXP_EXTRACT_ALL(text, '{email}')) AS n_emails,
+             REGEXP_REPLACE(text, '{email}', '[EMAIL]', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             LEN(REGEXP_EXTRACT_ALL(t1, '{phone}')) AS n_phones,
+             REGEXP_REPLACE(t1, '{phone}', '[PHONE]', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(t2, '{ssn}', '[SSN]', 'g') AS clean_text,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t2, '{ssn}')) AS BIGINT) AS n_ssns,
+           CAST(n_emails + n_phones
+                + LEN(REGEXP_EXTRACT_ALL(t2, '{ssn}')) AS BIGINT)
+             AS n_redactions
+    FROM s2
+    """
+
+
+@query("doc_pii_scrub", _scrub_oracle())
+def doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (emails, phones, SSN-shaped ids) with per-kind
+    counts — RE2-safe patterns shared verbatim with the oracle, applied
+    in a fixed order on both engines. Pure codegen string expressions."""
+    return chunking.scrub_pii(load_table(spark, sf, "documents"))
