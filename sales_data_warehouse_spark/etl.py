@@ -69,15 +69,24 @@ def run_etl(
     time_dim = build_time_dimension(cleansed)
     loc_dim = build_location_dimension(cleansed)
     prod_dim = build_product_dimension(cleansed)
+
+    if output_dir:
+        # Write each dimension BEFORE the fact build and re-read it from
+        # parquet: the fact (and dense cube) otherwise re-executes every
+        # dimension's window pipeline once per downstream action.
+        write_table(invalid, f"{output_dir}/invalid")
+        write_table(time_dim, f"{output_dir}/time_dimension")
+        write_table(loc_dim, f"{output_dir}/location_dimension")
+        write_table(prod_dim, f"{output_dir}/product_dimension")
+        time_dim = spark.read.parquet(f"{output_dir}/time_dimension")
+        loc_dim = spark.read.parquet(f"{output_dir}/location_dimension")
+        prod_dim = spark.read.parquet(f"{output_dir}/product_dimension")
+
     fact = build_fact(cleansed, prod_dim, loc_dim, time_dim)
     if dense:
         fact = dense_fact(fact, prod_dim, loc_dim, time_dim)
 
     if output_dir:
-        write_table(invalid, f"{output_dir}/invalid")
-        write_table(time_dim, f"{output_dir}/time_dimension")
-        write_table(loc_dim, f"{output_dir}/location_dimension")
-        write_table(prod_dim, f"{output_dir}/product_dimension")
         write_table(fact, f"{output_dir}/fact", partition_by=["month_id"])
         fact = spark.read.parquet(f"{output_dir}/fact")
 
