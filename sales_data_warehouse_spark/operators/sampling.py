@@ -1,0 +1,88 @@
+"""Deterministic corpus sampling and dataset mixing.
+
+Training pipelines need samples that are (a) reproducible across runs
+and engines, (b) cheap at 100 TB — no global shuffle, no RNG state.
+Both operators here use pure-arithmetic decisions per row, so they are
+flat maps (plus, for mixing, one per-source window) and every decision
+can be replayed exactly by the SQL oracle:
+
+  * ``stratified_sample`` — per-stratum rates with a Knuth
+    multiplicative hash over the id: ``((id % P) * A) % 2^32 % 1000``
+    compares against the stratum's permille rate. No randomness, no
+    sampleBy RNG, identical output on any engine with 64-bit integer
+    math.
+  * ``mixture_interleave`` — weighted round-robin over sources (the
+    data-mixing loader's schedule): doc i of source s lands at slot
+    ``rank_in_source / weight_s``; reading slots in order yields each
+    source at its weight's cadence. One window per source partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth's 32-bit multiplicative-hash constant.
+HASH_A = 2654435761
+#: Ids are first reduced mod this prime so ``(id % P) * A`` stays far
+#: below 2^63 — no overflow divergence between engines.
+HASH_P = 1000003
+
+
+def permille_hash(id_col: Column) -> Column:
+    """Deterministic pseudo-uniform value in [0, 1000) from an integer
+    id — pure BIGINT arithmetic, reproducible in ANSI SQL verbatim."""
+    return (
+        (id_col.cast("bigint") % HASH_P) * HASH_A % 4294967296 % 1000
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum: Column,
+    rates_permille: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with its stratum's permille rate, decided by the
+    deterministic id hash. Output: input columns + ``stratum``.
+
+    A stratum absent from ``rates_permille`` defaults to 0 (dropped) —
+    the conservative reading for an unknown class."""
+    rate = F.lit(0)
+    for name, pm in rates_permille.items():
+        rate = F.when(stratum == name, F.lit(pm)).otherwise(rate)
+    return (
+        docs.withColumn("stratum", stratum)
+        .filter(permille_hash(F.col(id_col)) < rate)
+    )
+
+
+def mixture_interleave(
+    docs: DataFrame,
+    source: Column,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted interleave schedule: (source, doc_id, slot) where
+    ``slot = rank_in_source / weight``; consuming rows by ascending slot
+    reads each source at a cadence proportional to its weight (the
+    standard mixture-sampling schedule, determinized).
+
+    Sources with no listed weight are excluded. The window partitions
+    by source, so each source's ranking is an independent task."""
+    w_expr = F.lit(None).cast("double")
+    for name, w in weights.items():
+        w_expr = F.when(source == name, F.lit(float(w))).otherwise(w_expr)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        source.alias("source"),
+        w_expr.alias("_w"),
+    ).filter(F.col("_w").isNotNull())
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")
+    )
+    return base.select(
+        "source",
+        "doc_id",
+        F.round(rn / F.col("_w"), 6).alias("slot"),
+    )

@@ -2196,3 +2196,91 @@ def doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     counts — RE2-safe patterns shared verbatim with the oracle, applied
     in a fixed order on both engines. Pure codegen string expressions."""
     return chunking.scrub_pii(load_table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset mixing
+# ---------------------------------------------------------------------------
+
+from sales_data_warehouse_spark.operators import sampling  # noqa: E402
+
+
+@query(
+    "stratified_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN n_tok < 120 THEN 'short'
+                  WHEN n_tok < 250 THEN 'medium'
+                  ELSE 'long' END AS stratum
+      FROM t
+    )
+    SELECT doc_id, stratum
+    FROM s
+    WHERE (doc_id % 1000003) * 2654435761 % 4294967296 % 1000 <
+          CASE stratum WHEN 'short' THEN 100
+                       WHEN 'medium' THEN 500
+                       ELSE 1000 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling by length bucket (short 10%,
+    medium 50%, long 100%): the Knuth multiplicative id hash replaces
+    RNG, so the sample is reproducible across runs, engines, and
+    cluster layouts — the oracle replays the identical arithmetic. A
+    flat map at any scale (no shuffle, no state)."""
+    d = load_table(spark, sf, "documents")
+    n_tok = F.size(text.tokens(F.lower(F.col("text"))))
+    stratum = (
+        F.when(n_tok < 120, F.lit("short"))
+        .when(n_tok < 250, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    return sampling.stratified_sample(
+        d, stratum, {"short": 100, "medium": 500, "long": 1000}
+    ).select("doc_id", "stratum")
+
+
+@query(
+    "mixture_interleave",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'web'
+                             WHEN 1 THEN 'books'
+                             ELSE 'code' END AS source
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM t
+      WHERE source IN ('web', 'books', 'code')
+    )
+    SELECT source, doc_id,
+           ROUND(rn / CASE source WHEN 'web' THEN 0.6
+                                  WHEN 'books' THEN 0.3
+                                  ELSE 0.1 END, 6) AS slot
+    FROM r
+    """,
+)
+def mixture_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted dataset-mixing schedule (web .6 / books .3 / code .1,
+    sources derived from doc_id % 3 as a stand-in source tag): doc i of
+    source s lands at slot i/w_s, so reading by ascending slot yields
+    each source at its weight's cadence. One row_number window per
+    source partition — independent tasks at scale."""
+    d = load_table(spark, sf, "documents")
+    source = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    return sampling.mixture_interleave(
+        d, source, {"web": 0.6, "books": 0.3, "code": 0.1}
+    )

@@ -1,0 +1,65 @@
+"""Deterministic-sampling invariants: subset-of-population, rate
+adherence, repeatability, and the interleave cadence actually honoring
+the weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators import sampling
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_sample_rates_and_determinism(spark):
+    docs = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    stratum = F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    s1 = sampling.stratified_sample(
+        docs, stratum, {"even": 250, "odd": 750}
+    )
+    rows = s1.groupBy("stratum").count().collect()
+    by = {r.stratum: r["count"] for r in rows}
+    # permille hash is uniform-ish; 10k rows per stratum -> tight bands
+    assert 0.2 < by["even"] / 10000 < 0.3
+    assert 0.7 < by["odd"] / 10000 < 0.8
+    s2 = sampling.stratified_sample(
+        docs, stratum, {"even": 250, "odd": 750}
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(
+        map(tuple, s2.collect())
+    )
+
+
+def test_sample_unknown_stratum_dropped(spark):
+    docs = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    out = sampling.stratified_sample(
+        docs, F.lit("mystery"), {"known": 1000}
+    )
+    assert out.count() == 0
+
+
+def test_interleave_cadence(spark):
+    docs = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    source = F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    mix = sampling.mixture_interleave(
+        docs, source, {"a": 0.75, "b": 0.25}
+    )
+    # In any slot prefix, source shares approach their weights: check
+    # the first 400 scheduled docs contain ~300 of a / ~100 of b.
+    head = mix.orderBy("slot", "source", "doc_id").limit(400).collect()
+    n_a = sum(1 for r in head if r.source == "a")
+    assert 280 <= n_a <= 320, n_a
+    # every source's own slots are strictly increasing by construction
+    by_src = {}
+    for r in sorted(head, key=lambda r: (r.source, r.doc_id)):
+        assert by_src.get(r.source, -1) < r.slot
+        by_src[r.source] = r.slot
+
+
+def test_interleave_unlisted_source_excluded(spark):
+    docs = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    source = F.when(F.col("doc_id") < 50, "keep").otherwise("drop")
+    mix = sampling.mixture_interleave(docs, source, {"keep": 1.0})
+    assert mix.count() == 50
+    assert mix.filter(F.col("source") != "keep").count() == 0
