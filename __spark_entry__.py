@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted for hash-dependent
-    operators: minhash/simhash/LSH, whose outputs are engine-specific)."""
+    """DuckDB-runnable ANSI SQL per query — every corpus entry has one.
+    Hash-dependent operators (minhash/simhash/LSH/IVF/sketches/
+    winnowing) are expressed as property oracles: the Spark side emits
+    SQL-checkable invariants (recall/precision vs an exact truth set,
+    error bounds, coverage guarantees) and the oracle claims them."""
     return dict(ORACLE)
