@@ -504,6 +504,36 @@ def ivf_search(
     return _global_topk(scored, k)
 
 
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist a built IVF index: cell assignments as parquet
+    PARTITIONED BY cell (so a search's probed cells map to directory
+    pruning — the scan never touches unprobed cells), plus the tiny
+    centroid codebook as its own parquet table."""
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assigned"
+    )
+    spark = index.assigned.sparkSession
+    rows = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(index.centers)
+    ]
+    spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centers")
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    """Reopen a saved index. ``assigned`` stays a lazy partitioned scan:
+    when ``ivf_search`` joins it against the probed (broadcast) cells,
+    dynamic partition pruning / broadcast-hash-join filtering restricts
+    the read to the probed cell directories."""
+    assigned = spark.read.parquet(f"{path}/assigned")
+    centers_rows = (
+        spark.read.parquet(f"{path}/centers").orderBy("cell").collect()
+    )
+    centers = [list(r.center) for r in centers_rows]
+    return IvfIndex(assigned, centers)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

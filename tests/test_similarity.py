@@ -114,3 +114,51 @@ def test_ivf_recall_floor(spark, emb):
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
     index.assigned.unpersist()
+
+
+def test_ivf_index_save_load_roundtrip(spark, emb, tmp_path):
+    """A saved+reloaded index must answer searches identically to the
+    in-memory one, and its on-disk layout must be cell-partitioned so
+    probed searches can prune directories."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    q = emb.filter(F.col("vec_id") < 5)
+    index = similarity.build_ivf_index(emb, num_centroids=8, cache=False)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(index, path)
+    reloaded = similarity.load_ivf_index(spark, path)
+    assert reloaded.centers == index.centers
+    cols = ["query_id", "neighbor_id", "rank", "sim"]
+    mem = _rows(similarity.ivf_search(index, q, k=3, nprobe=2), cols)
+    disk = _rows(similarity.ivf_search(reloaded, q, k=3, nprobe=2), cols)
+    assert mem == disk
+    # physical layout: one directory per cell
+    cells = [d for d in os.listdir(f"{path}/assigned") if d.startswith("cell=")]
+    assert len(cells) == 8
+
+
+def test_ivf_search_prunes_unprobed_cells(spark, emb, tmp_path):
+    """With the probed side broadcast, the scan over the cell-partitioned
+    index must read only the probed cells' partitions (runtime partition
+    pruning via the broadcast join), not the whole index."""
+    q = emb.filter(F.col("vec_id") < 3)
+    index = similarity.build_ivf_index(emb, num_centroids=8, cache=False)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(index, path)
+    reloaded = similarity.load_ivf_index(spark, path)
+    res = similarity.ivf_search(reloaded, q, k=3, nprobe=1)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the assigned-table scan must carry a dynamic-pruning partition
+    # filter on cell (verified: PartitionFilters: [..., dynamicpruning...])
+    assigned_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "neighbor_id" in ln and "cell" in ln
+    ]
+    assert assigned_scans, plan
+    assert any("dynamicpruning" in ln for ln in assigned_scans), (
+        assigned_scans[0]
+    )
