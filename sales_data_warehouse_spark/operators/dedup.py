@@ -417,15 +417,14 @@ def simhash_near_pairs(
         )
 
     combos = list(combinations(range(blocks), blocks - max_hamming))
+    # key = xxhash64 over the combo's block values as raw longs — no
+    # string building; a hash collision can only ADD candidates, and
+    # every candidate is hamming-verified, so precision is unaffected.
     tables = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[block_val(i).cast("string") for i in combo]
-                    )
-                ).alias("key"),
+                F.xxhash64(*[block_val(i) for i in combo]).alias("key"),
             )
             for t, combo in enumerate(combos)
         ]
