@@ -553,6 +553,27 @@ def ivf_topk(
     return ivf_search(index, queries, k, nprobe, id_col, vec_col)
 
 
+def normalize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """L2-normalize embeddings (the standard pre-ANN step: unit vectors
+    make cosine == dot). Output: (id, unit ARRAY<DOUBLE>, norm). Pure
+    higher-order-function arithmetic, O(n*dim) with no shuffle; values
+    rounded so results are engine-hash-stable."""
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    unit = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") / norm, round_to)
+    )
+    return corpus.select(
+        F.col(id_col),
+        unit.alias("unit"),
+        F.round(norm, round_to).alias("norm"),
+    )
+
+
 def embedding_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Corpus-level embedding sanity stats (norm distribution)."""
     norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))

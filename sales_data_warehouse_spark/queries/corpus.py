@@ -2284,3 +2284,23 @@ def mixture_interleave(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.mixture_interleave(
         d, source, {"web": 0.6, "books": 0.3, "code": 0.1}
     )
+
+
+@query(
+    "embedding_normalize",
+    """
+    SELECT vec_id,
+           LIST_TRANSFORM(
+             embedding::DOUBLE[],
+             x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])), 6)
+           ) AS unit,
+           ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6) AS norm
+    FROM embeddings
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 normalization (unit vectors make cosine == dot): exact oracle,
+    flat map, no shuffle."""
+    return similarity.normalize_embeddings(load_table(spark, sf, "embeddings"))
