@@ -42,6 +42,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "text_quality",
+    "doc_chunking",
+    "doc_sequence_packing",
+    "doc_pii_scrub",
+    "stratified_sample",
 ]
 
 
