@@ -335,6 +335,109 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    node_col: str,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the variant for graphs whose components are huge or chain-shaped.
+
+    ``connected_components`` (min-label propagation) needs diameter
+    rounds and keeps every node's full neighborhood live; the
+    star operations instead rewire the graph toward a forest of
+    depth-1 stars in O(log^2 n) rounds regardless of shape:
+
+      * large-star: every node attaches its LARGER neighbors to the
+        smallest node of its closed neighborhood;
+      * small-star: every node attaches its not-larger neighbors
+        (itself included) to that minimum.
+
+    Each round is two groupBy/join passes over the edge list — no
+    per-node state beyond the edges themselves, so skew is bounded by
+    the star roots (AQE splits those), and the edge count never grows
+    above the input. Fixpoint = the edge set stops changing; the final
+    edges ARE the (node -> component-min) mapping. Isolated nodes are
+    added back with their own id as the label, matching
+    ``connected_components`` output exactly.
+    """
+    # Undirected edge list, deduped, self-loops dropped.
+    edges = (
+        pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v"))
+        .union(
+            pairs.select(F.col(pair_b).alias("u"), F.col(pair_a).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        # star steps are defined on the UNDIRECTED neighborhood; the
+        # rewired output is directed, so re-symmetrize each round.
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).dropDuplicates()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # m(u) = min of closed neighborhood; attach strictly-larger
+        # neighbors to it.
+        adj = _sym(e)
+        m = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        return (
+            adj.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # attach each node's not-larger neighbors (and itself) to the
+        # minimum of that down-neighborhood.
+        down = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).dropDuplicates()
+        m = down.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            down.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = large_star(edges).localCheckpoint()
+        edges = small_star(edges).localCheckpoint()
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
