@@ -1658,6 +1658,19 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("dedup_clusters_star", ORACLE["dedup_clusters"])
+def dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same clusters via the alternating large-star/small-star algorithm
+    (O(log^2 n) rounds regardless of component diameter — the variant
+    for huge or chain-shaped components); must reproduce the recursive
+    CTE transitive closure exactly, like the propagation variant."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+    return dedup.connected_components_star(
+        pairs, emb, "vec_id", pair_a="vec_a", pair_b="vec_b"
+    )
+
+
 @query(
     "text_quality",
     r"""
