@@ -1,0 +1,49 @@
+"""Table profiling: per-column completeness / cardinality / range in
+ONE pass over the table.
+
+The data-quality primitive every warehouse load wants before trusting a
+batch. Plan shape: a single aggregate computes count / nulls / distinct
+/ min / max for every requested column simultaneously (map-side partial
+aggregation, one tiny shuffle), and the 1-row wide result is melted to
+one row per column with ``stack`` — the unpivot happens on the
+aggregate, never on the data. At 100 TB this is exactly one scan.
+
+Values are reported as strings (min/max cast) so heterogeneous columns
+share one output schema — the standard profile-table shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df``.
+
+    Output: (column, n_rows, n_null, n_distinct, min_value, max_value)
+    — one row per column; n_distinct counts non-null distincts;
+    min/max are string-rendered.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("bigint")).alias(f"{c}__null"),
+            F.count_distinct(col).alias(f"{c}__dist"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__null`, `{c}__dist`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_null, n_distinct, min_value, max_value)"
+        )
+    )

@@ -201,3 +201,43 @@ def doc_shingles(
         F.col(id_col).alias("doc"),
         tokens(F.lower(F.col(text_col))).alias("_w"),
     ).select("doc", shingles_from_tokens("_w", n).alias("shingles"))
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over BPE pre-tokens — the inner
+    statistic of one BPE-training iteration (symbols = characters here,
+    i.e. the first merge round; the full vocabulary loop reruns this on
+    progressively merged symbols).
+
+    Plan: regexp pre-tokenize (the shared GPT-2-style pattern), explode
+    pre-tokens, explode each token's adjacent character pairs via a
+    sequence over its length, then ONE groupBy(pair) count with
+    map-side partial aggregation — at 100 TB the shuffle carries only
+    the distinct-pair partial counts, never the corpus.
+
+    Output: (pair, n) for pairs seen at least ``min_count`` times.
+    """
+    pretoks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_RE), 0
+            )
+        ).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = pretoks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

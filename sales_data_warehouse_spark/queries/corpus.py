@@ -2317,3 +2317,70 @@ def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """L2 normalization (unit vectors make cosine == dot): exact oracle,
     flat map, no shuffle."""
     return similarity.normalize_embeddings(load_table(spark, sf, "embeddings"))
+
+
+from sales_data_warehouse_spark.operators.profile import profile_table  # noqa: E402
+
+
+@query(
+    "table_profile",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS cust_null,
+             COUNT(DISTINCT o_custkey) AS cust_dist,
+             CAST(MIN(o_custkey) AS VARCHAR) AS cust_min,
+             CAST(MAX(o_custkey) AS VARCHAR) AS cust_max,
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_null,
+             COUNT(DISTINCT o_orderstatus) AS st_dist,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS st_min,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS st_max,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_null,
+             COUNT(DISTINCT o_totalprice) AS tp_dist,
+             CAST(MIN(o_totalprice) AS VARCHAR) AS tp_min,
+             CAST(MAX(o_totalprice) AS VARCHAR) AS tp_max
+      FROM orders
+    )
+    SELECT 'o_custkey' AS "column", n AS n_rows, cust_null AS n_null,
+           cust_dist AS n_distinct, cust_min AS min_value,
+           cust_max AS max_value FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n, st_null, st_dist, st_min, st_max FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n, tp_null, tp_dist, tp_min, tp_max FROM a
+    """,
+)
+def table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass per-column profile (completeness / cardinality /
+    range) of three orders columns: one aggregate computes every
+    statistic simultaneously, then the 1-row result is melted with
+    stack — the unpivot touches the aggregate, never the data."""
+    o = load_table(spark, sf, "orders")
+    return profile_table(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(REGEXP_EXTRACT_ALL(
+               LOWER(text),
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+'
+             )) AS tok
+      FROM documents
+    ),
+    p AS (
+      SELECT SUBSTR(tok, CAST(i AS INT), 2) AS pair
+      FROM (
+        SELECT tok, UNNEST(GENERATE_SERIES(1, LEN(tok) - 1)) AS i
+        FROM toks WHERE LEN(tok) >= 2
+      )
+    )
+    SELECT pair, COUNT(*) AS n FROM p GROUP BY pair HAVING COUNT(*) >= 2
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-character pair frequencies over BPE pre-tokens — the
+    statistic one BPE-training merge round maximizes. Explode + one
+    groupBy: the shuffle carries only distinct-pair partial counts."""
+    return text.bpe_pair_counts(load_table(spark, sf, "documents"))
