@@ -2384,3 +2384,60 @@ def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     statistic one BPE-training merge round maximizes. Explode + one
     groupBy: the shuffle carries only distinct-pair partial counts."""
     return text.bpe_pair_counts(load_table(spark, sf, "documents"))
+
+
+from sales_data_warehouse_spark.operators.range_join import (  # noqa: E402
+    range_join_dates,
+)
+
+
+@query(
+    "range_join_weeks",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    weeks AS (
+      SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 7 DAY))::DATE AS wk_start
+      FROM bounds
+    ),
+    iv AS (
+      SELECT wk_start, wk_start + 6 AS wk_end FROM weeks
+    )
+    SELECT iv.wk_start, iv.wk_end, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    JOIN iv ON CAST(o_orderdate AS DATE) BETWEEN iv.wk_start AND iv.wk_end
+    GROUP BY iv.wk_start, iv.wk_end
+    """,
+)
+def range_join_weeks(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join (no equi key): every order lands in its 7-day
+    window from a generated week-interval table, via grid-bucketed
+    equi-join + exact BETWEEN filter instead of the nested-loop plan
+    Catalyst would otherwise pick (plan-asserted in test_plan_quality).
+    Oracle = the naive BETWEEN join."""
+    o = load_table(spark, sf, "orders").withColumn(
+        "o_date", F.col("o_orderdate").cast("date")
+    )
+    bounds = o.agg(
+        F.min("o_date").alias("lo"), F.max("o_date").alias("hi")
+    )
+    iv = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 7 DAY"))
+        ).alias("wk_start")
+    ).select("wk_start", F.date_add("wk_start", 6).alias("wk_end"))
+    joined = range_join_dates(
+        o, iv, "o_date", "wk_start", "wk_end", grid_days=7
+    )
+    return (
+        joined.groupBy("wk_start", "wk_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
