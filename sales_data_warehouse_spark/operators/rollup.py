@@ -1,0 +1,70 @@
+"""Cascading time-bucket rollups (hypertable-style continuous
+aggregates).
+
+The time-series warehouse pattern: raw events are bucketed to the
+finest grain once, and every coarser grain aggregates THE PREVIOUS
+LEVEL, never the raw data — each level's input shrinks by the bucket
+ratio, so the day rollup over 100 TB of events reads the hour rollup's
+few GB. That only works for mergeable aggregates; here each level
+carries (n_events, sum_value, min_value, max_value), all of which
+re-aggregate losslessly (sum of counts, sum of sums, min of mins, max
+of maxes). avg is derived at read time as sum/n — storing avg would
+break mergeability.
+
+``time_bucket`` is epoch-second floor arithmetic (codegen, no UDF),
+the same semantics as date_trunc for whole-unit widths but usable for
+any width (5 min, 6 h, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column, width_seconds: int) -> Column:
+    """Floor a timestamp to its ``width_seconds`` bucket start."""
+    secs = F.unix_timestamp(ts)
+    return F.timestamp_seconds(
+        (F.floor(secs / width_seconds) * width_seconds).cast("long")
+    )
+
+
+def rollup_level(
+    df: DataFrame,
+    ts_col: str,
+    width_seconds: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """First rollup level over raw rows: bucket + mergeable aggregates.
+
+    Output: (bucket, n_events, sum_value, min_value, max_value).
+    """
+    v = F.col(value_col) if value_col else F.lit(0.0)
+    return (
+        df.groupBy(
+            time_bucket(F.col(ts_col), width_seconds).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        )
+    )
+
+
+def merge_rollup(finer: DataFrame, width_seconds: int) -> DataFrame:
+    """Aggregate an existing rollup level into a coarser one — the
+    cascade step. Reads only the finer rollup's partials."""
+    return (
+        finer.groupBy(
+            time_bucket(F.col("bucket"), width_seconds).alias("bucket")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

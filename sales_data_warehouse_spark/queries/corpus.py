@@ -2441,3 +2441,41 @@ def range_join_weeks(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_money("o_totalprice")).cast("double").alias("total_price"),
         )
     )
+
+
+from sales_data_warehouse_spark.operators import rollup as rollup_ops  # noqa: E402
+
+
+@query(
+    "hypertable_rollup",
+    """
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 86400) * 86400)
+                AS TIMESTAMP) AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style cascading continuous aggregate: events roll up
+    to HOURLY buckets once, and the DAILY level aggregates the hourly
+    partials (sum of sums / min of mins / ...), never the raw table —
+    at 100 TB the day rollup reads the hour rollup's few GB. The oracle
+    computes the daily answer straight from raw events, so the hash
+    match proves the cascade is lossless (mergeable aggregates only;
+    avg is derived as sum/n at read time)."""
+    e = load_table(spark, sf, "events").withColumn(
+        "value", _money("value")
+    )
+    hourly = rollup_ops.rollup_level(e, "ts", 3600, "value")
+    daily = rollup_ops.merge_rollup(hourly, 86400)
+    return daily.select(
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
