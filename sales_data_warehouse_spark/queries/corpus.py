@@ -2479,3 +2479,57 @@ def hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+@query(
+    "sketch_union_rollup",
+    """
+    SELECT n.n_regionkey AS region_key,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+           TRUE AS union_within_bounds
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+)
+def sketch_union_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-nation HLL sketches of customer ids
+    (hll_sketch_agg) are UNIONED to region level (hll_union_agg) — the
+    two-level cascade approx_count_distinct cannot express, and the
+    reason binary sketches exist: partial sketches persist and merge
+    without re-reading raw data (same cascade shape as
+    hypertable_rollup, for distinct counts).
+
+    Property oracle: the unioned estimate must land within 10% of the
+    exact region-level distinct (default lgConfigK=12 -> ~1.6% rsd);
+    exact counts ride along, so both the truth and the bound go red on
+    drift."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"))
+    )
+    region = per_nation.groupBy("n_regionkey").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+    exact = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.count_distinct("c_custkey").alias("exact_customers"))
+    )
+    return (
+        region.join(exact, "n_regionkey")
+        .select(
+            F.col("n_regionkey").alias("region_key"),
+            F.col("exact_customers").cast("bigint").alias("exact_customers"),
+            F.col("n_nations").cast("bigint").alias("n_nations"),
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.10
+            ).alias("union_within_bounds"),
+        )
+    )
