@@ -24,6 +24,7 @@ for the streaming run).
 from sales_data_warehouse_spark.streaming.events import (
     EVENTS_SCHEMA,
     enrich_stream,
+    interval_join_streams,
     read_events_stream,
     session_windows,
     sliding_event_rate,
@@ -42,6 +43,7 @@ from sales_data_warehouse_spark.streaming.stateful import (
 __all__ = [
     "EVENTS_SCHEMA",
     "enrich_stream",
+    "interval_join_streams",
     "read_events_stream",
     "tumbling_event_agg",
     "sliding_event_rate",

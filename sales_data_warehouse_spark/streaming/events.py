@@ -144,3 +144,49 @@ def session_windows(
             "session_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    the same key's right events that happened in the window
+    ``[left.ts, left.ts + max_lag]`` (the click -> purchase attribution
+    shape).
+
+    The time-bound conjunct is what makes this scale: with watermarks
+    on BOTH inputs and a range condition on both event times, Spark
+    derives state-eviction bounds — a buffered left row can be dropped
+    once the right watermark passes ``left.ts + max_lag``, so the state
+    store holds a sliding band of each stream instead of all history.
+    An unbounded equi-only stream-stream join would buffer forever.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", left_watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", right_watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select(
+        F.col("l_key").alias("user_id"),
+        "l_event_id", "l_type", "l_ts",
+        "r_event_id", "r_type", "r_ts", "r_value",
+    )

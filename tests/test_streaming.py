@@ -230,3 +230,30 @@ def test_streaming_etl_to_parquet(spark, tmp_path):
     parts = {p.name for p in (out / "cleansed").iterdir() if p.is_dir()}
     assert "order_date=2019-01-22" in parts
     assert "order_date=2019-01-23" in parts
+
+
+def test_interval_join_streams_matches_batch(spark, events_dir):
+    """Stream-stream interval join == the identical join on the static
+    files (unified semantics), using click->view attribution shape:
+    left = 'click' events, right = 'view' events within 30 minutes."""
+    from sales_data_warehouse_spark.streaming import interval_join_streams
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    sl, sr = split(read_events_stream(spark, events_dir))
+    got = _run_to_memory(
+        interval_join_streams(sl, sr, max_lag="30 minutes"),
+        "t_ssjoin",
+        "append",
+        spark,
+    )
+    bl, br = split(spark.read.schema(EVENTS_SCHEMA).parquet(events_dir))
+    want = interval_join_streams(bl, br, max_lag="30 minutes")
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
