@@ -68,3 +68,53 @@ def merge_rollup(finer: DataFrame, width_seconds: int) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def merge_partials(partials: DataFrame) -> DataFrame:
+    """Collapse appended partial rows (same schema as a rollup level)
+    into one row per bucket — the read-side merge for incrementally
+    refreshed rollups."""
+    return (
+        partials.groupBy("bucket")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def start_rollup_refresh(
+    events_stream: DataFrame,
+    output_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_seconds: int = 3600,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous-aggregate refresh: every micro-batch rolls ITSELF up
+    to the bucket grain and APPENDS its partial rows to the rollup
+    table; because the aggregates are mergeable, readers collapse
+    partials with ``merge_partials`` (and cascade coarser levels with
+    ``merge_rollup``). Append-only partials avoid rewriting closed
+    buckets entirely — the Timescale continuous-aggregate contract, in
+    plain parquet. Compact by occasionally rewriting
+    ``merge_partials`` output; correctness never depends on it.
+
+    Returns the StreamingQuery (caller owns stop/awaitTermination).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_level(batch_df, ts_col, width_seconds, value_col).write.mode(
+            "append"
+        ).parquet(f"{output_dir}/partials")
+
+    writer = events_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint_dir or f"{output_dir}/_checkpoint",
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -257,3 +257,32 @@ def test_interval_join_streams_matches_batch(spark, events_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_streaming_rollup_refresh_matches_batch(spark, events_dir, tmp_path):
+    """Appended per-batch hourly partials, merged at read time, must
+    equal the one-shot batch rollup; the daily cascade over the merged
+    hourly level must equal the daily rollup over raw events."""
+    from sales_data_warehouse_spark.operators import rollup as R
+
+    out = str(tmp_path / "agg")
+    stream = read_events_stream(spark, events_dir)
+    q = R.start_rollup_refresh(stream, out, available_now=True)
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    merged = R.merge_partials(spark.read.parquet(f"{out}/partials"))
+    batch_events = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want_hourly = R.rollup_level(batch_events, "ts", 3600, "value")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, want_hourly.collect())
+    )
+    daily_from_hourly = R.merge_rollup(merged, 86400)
+    want_daily = R.rollup_level(batch_events, "ts", 86400, "value")
+    got = {r.bucket: (r.n_events, r.min_value, r.max_value)
+           for r in daily_from_hourly.collect()}
+    want = {r.bucket: (r.n_events, r.min_value, r.max_value)
+            for r in want_daily.collect()}
+    assert got == want
