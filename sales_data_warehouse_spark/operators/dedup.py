@@ -88,8 +88,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingles.
+
+    ``shingles`` (an ``exploded_shingles``-shaped (doc, shingle) table,
+    ideally persisted) lets callers running several shingle consumers —
+    e.g. exact Jaccard truth plus MinHash candidates in one property
+    query — tokenize the corpus once.
 
     Inverted-index plan: explode distinct shingles, self-join on shingle
     (only co-occurring docs ever meet), count intersections, then
@@ -105,9 +111,9 @@ def ngram_jaccard_pairs(
     shingles carry no near-dup signal (they match everything) and are
     exactly the ones that melt the shuffle.
     """
-    distinct_sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
-        ["doc", "shingle"]
-    )
+    if shingles is None:
+        shingles = exploded_shingles(docs, text_col, id_col, n)
+    distinct_sh = shingles.dropDuplicates(["doc", "shingle"])
     if max_df is not None:
         # df per shingle is one groupBy on the same key the self-join
         # shuffles on; map-side partial agg keeps it cheap. The semi-join
@@ -167,9 +173,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).
+    xxhash64(shingle, seed=i). Pass ``shingles`` to reuse a shared
+    (doc, shingle) table across consumers.
 
     Plan shape: explode shingles once, then ONE groupBy(doc) computing all
     ``num_hashes`` MIN aggregates — map-side partial aggregation keeps the
@@ -178,7 +186,11 @@ def minhash_signatures(
     expression tree this wide would fall out of codegen limits).
     """
     # No shingle dedup needed: MIN is idempotent over duplicates.
-    exploded = exploded_shingles(docs, text_col, id_col, n)
+    exploded = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(docs, text_col, id_col, n)
+    )
     mins = exploded.groupBy("doc").agg(
         *[
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
@@ -197,6 +209,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over MinHash signatures.
 
@@ -207,7 +220,9 @@ def minhash_lsh_pairs(
     squared, tunable via bands/rows to target a similarity threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(
+        docs, text_col, id_col, n, num_hashes, shingles=shingles
+    )
     banded = sigs.select(
         "doc",
         "signature",

@@ -1559,6 +1559,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     the oracle computes in SQL (measured: both 1.0 at sf0.01). The
     exact-pair count rides along so the truth side is pinned too."""
     docs = load_table(spark, sf, "documents")
+    # measured: passing one persisted shared shingle table to both sides
+    # is ~20% SLOWER here than recomputing (the raw shingle cache is
+    # bigger than the deduped one, and reading it back beats neither
+    # side's pipelined codegen) — so each side shingles independently.
     truth = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
     cand = dedup.minhash_lsh_pairs(docs)
     return _pair_recall_stats(
