@@ -2537,3 +2537,109 @@ def sketch_union_rollup(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("union_within_bounds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery family: scalar, EXISTS, IN (Catalyst decorrelation surface)
+# ---------------------------------------------------------------------------
+
+def _register(spark: SparkSession, sf: str, *names: str) -> None:
+    for t in names:
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+
+
+@query(
+    "scalar_subquery_share",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS part_rev
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_rev
+    FROM per_part
+    WHERE part_rev > (SELECT 3 * AVG(part_rev) FROM per_part)
+    """,
+)
+def scalar_subquery_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: keep groups whose revenue exceeds a multiple of
+    the global average — a scalar subquery against the same aggregate.
+    Catalyst plans the scalar as a one-row broadcast (Subquery +
+    ReusedExchange for the shared aggregate), not a per-row rerun."""
+    _register(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS part_rev
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_rev
+        FROM per_part
+        WHERE part_rev > (SELECT 3 * AVG(part_rev) FROM per_part)
+        """
+    )
+
+
+@query(
+    "exists_subquery_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_discount > 0.08
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_subquery_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates it to a
+    left-semi hash join on the correlation key; no per-row subquery
+    execution survives in the plan."""
+    _register(spark, sf, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_discount > 0.08
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "in_subquery_big_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 150
+    )
+    """,
+)
+def in_subquery_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery — planned as
+    a semi join against the aggregated subquery, the decorrelated form
+    of the membership test."""
+    _register(spark, sf, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 150
+        )
+        """
+    )

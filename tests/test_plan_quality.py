@@ -82,3 +82,21 @@ def test_no_accidental_cartesian(spark, name):
     assert not has_nested_loop_join(df, finalized=False), (
         f"{name} plans a cartesian/nested-loop join"
     )
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    # correlated EXISTS must become a left-semi hash join, not a per-row
+    # subquery or a nested loop
+    plan = _lib_executed_plan(QUERIES["exists_subquery_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_in_subquery_decorrelates_to_semi_join(spark):
+    plan = _lib_executed_plan(QUERIES["in_subquery_big_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_scalar_subquery_is_single_subquery_not_join(spark):
+    # the global-average threshold runs once as a scalar subquery
+    plan = _lib_executed_plan(QUERIES["scalar_subquery_share"](spark, SF_DIR))
+    assert "Subquery" in plan or "subquery" in plan, plan
