@@ -2643,3 +2643,34 @@ def in_subquery_big_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "not_exists_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer c
+    WHERE c.c_acctbal > 0 AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def not_exists_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers with no orders —
+    correlated NOT EXISTS, decorrelated by Catalyst to a left-anti hash
+    join on the correlation key."""
+    _register(spark, sf, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_bal
+        FROM customer c
+        WHERE c.c_acctbal > 0 AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+        GROUP BY c_mktsegment
+        """
+    )

@@ -100,3 +100,8 @@ def test_scalar_subquery_is_single_subquery_not_join(spark):
     # the global-average threshold runs once as a scalar subquery
     plan = _lib_executed_plan(QUERIES["scalar_subquery_share"](spark, SF_DIR))
     assert "Subquery" in plan or "subquery" in plan, plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    plan = _lib_executed_plan(QUERIES["not_exists_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
