@@ -18,21 +18,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
     """Profile ``columns`` (default: all) of ``df``.
 
     Output: (column, n_rows, n_null, n_distinct, min_value, max_value)
     — one row per column; n_distinct counts non-null distincts;
     min/max are string-rendered.
+
+    Scale note: multiple EXACT count-distincts in one aggregate plan
+    through Expand — the scan's rows are duplicated once per distinct
+    aggregate, so profiling k columns exactly costs a k-times row
+    blowup before the partial agg. ``approx_distinct=True`` swaps in
+    HLL sketches (`approx_count_distinct`), which aggregate flat with
+    no Expand — the right default when profiling many columns of a
+    100 TB table; exact is kept as the default because the oracle
+    checks exact values.
     """
     cols = columns or df.columns
+    distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
     aggs = []
     for c in cols:
         col = F.col(c)
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(col.isNull().cast("bigint")).alias(f"{c}__null"),
-            F.count_distinct(col).alias(f"{c}__dist"),
+            distinct(col).alias(f"{c}__dist"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
         ]

@@ -105,3 +105,16 @@ def test_scalar_subquery_is_single_subquery_not_join(spark):
 def test_not_exists_decorrelates_to_anti_join(spark):
     plan = _lib_executed_plan(QUERIES["not_exists_customers"](spark, SF_DIR))
     assert "LeftAnti" in plan, plan
+
+
+def test_profile_approx_mode_avoids_expand(spark):
+    # multi-column exact count-distinct plans through Expand (k-times
+    # row blowup); the approx mode must aggregate flat
+    from sales_data_warehouse_spark.operators.profile import profile_table
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    exact = _lib_executed_plan(profile_table(o, cols))
+    approx = _lib_executed_plan(profile_table(o, cols, approx_distinct=True))
+    assert "Expand" in exact
+    assert "Expand" not in approx
