@@ -7,8 +7,14 @@ Designed scale-first: every variant avoids the O(n^2) all-pairs comparison.
   * MinHash-LSH:  shingle -> k minhashes -> band buckets -> bucket join;
                    candidate pairs per band bucket, verified by signature
                    similarity. Sub-quadratic at 100 TB.
-  * SimHash:      64-bit weighted-majority hash; near-dups = small Hamming
-                   distance within identical high-bit prefixes.
+  * SimHash:      64-bit majority hash; candidate pairs from pigeonhole
+                   block-combination tables — provably complete for
+                   Hamming distance <= max_hamming, verified by bit_count.
+
+Connected components over the resulting near-dup pairs come in two
+shapes: min-label propagation (diameter rounds; dense dedup cliques)
+and alternating large-star/small-star (O(log^2 n) rounds; huge or
+chain-shaped components).
 
 Everything is built-in Spark SQL expressions (xxhash64, explode, groupBy) —
 no Python in the loop.
