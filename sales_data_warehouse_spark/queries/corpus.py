@@ -2559,7 +2559,7 @@ def _register(spark: SparkSession, sf: str, *names: str) -> None:
     )
     SELECT l_partkey, part_rev
     FROM per_part
-    WHERE part_rev > (SELECT 3 * AVG(part_rev) FROM per_part)
+    WHERE part_rev > (SELECT 1.5 * AVG(part_rev) FROM per_part)
     """,
 )
 def scalar_subquery_share(spark: SparkSession, sf: str) -> DataFrame:
@@ -2578,7 +2578,7 @@ def scalar_subquery_share(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT l_partkey, part_rev
         FROM per_part
-        WHERE part_rev > (SELECT 3 * AVG(part_rev) FROM per_part)
+        WHERE part_rev > (SELECT 1.5 * AVG(part_rev) FROM per_part)
         """
     )
 
@@ -2652,15 +2652,19 @@ def in_subquery_big_orders(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM customer c
     WHERE c.c_acctbal > 0 AND NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
     )
     GROUP BY c_mktsegment
     """,
 )
 def not_exists_customers(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q22 shape: positive-balance customers with no orders —
-    correlated NOT EXISTS, decorrelated by Catalyst to a left-anti hash
-    join on the correlation key."""
+    """TPC-H Q22 shape: positive-balance customers who never placed a
+    big-ticket order — correlated NOT EXISTS with an extra predicate,
+    decorrelated by Catalyst to a left-anti hash join on the
+    correlation key. (Plain no-orders-at-all is empty in this synthetic
+    data — every customer has orders — so the threshold keeps the
+    result non-trivial: 29 rows at sf0.01.)"""
     _register(spark, sf, "customer", "orders")
     return spark.sql(
         """
@@ -2669,7 +2673,8 @@ def not_exists_customers(spark: SparkSession, sf: str) -> DataFrame:
                  AS sum_bal
         FROM customer c
         WHERE c.c_acctbal > 0 AND NOT EXISTS (
-          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
         )
         GROUP BY c_mktsegment
         """
