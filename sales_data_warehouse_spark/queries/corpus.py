@@ -403,13 +403,21 @@ def left_join_coalesce(spark: SparkSession, sf: str) -> DataFrame:
     "anti_join",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def anti_join(spark: SparkSession, sf: str) -> DataFrame:
-    """J9: NOT EXISTS -> left_anti (reference's all_products guard)."""
+    """J9: NOT EXISTS -> left_anti (reference's all_products guard).
+    Against urgent orders: every customer has SOME order in this
+    synthetic data, so the unfiltered form returns zero rows and the
+    hash check would be vacuous (203 rows at sf0.01 this way)."""
     c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -681,19 +689,19 @@ def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "set_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey FROM orders
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def set_except(spark: SparkSession, sf: str) -> DataFrame:
-    c = load_table(spark, sf, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)  # EXCEPT (set semantics; exceptAll = multiset)
+    """Customers with orders but none urgent. (The previous
+    customer-nations EXCEPT supplier-nations form was empty at every
+    SF — suppliers cover all nations — making the check vacuous.)"""
+    o = load_table(spark, sf, "orders")
+    a = o.select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (set semantics; exceptAll = multiset)
 
 
 # ---------------------------------------------------------------------------
