@@ -286,3 +286,43 @@ def test_streaming_rollup_refresh_matches_batch(spark, events_dir, tmp_path):
     want = {r.bucket: (r.n_events, r.min_value, r.max_value)
             for r in want_daily.collect()}
     assert got == want
+
+
+def test_streaming_etl_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Restarting the drained query with the SAME checkpoint must
+    process only files that arrived since — already-committed batches
+    are not re-ingested, so the sink holds each row exactly once."""
+    drop = tmp_path / "drop"
+    out = tmp_path / "warehouse"
+    drop.mkdir()
+    header = (
+        "Order ID,Product,Quantity Ordered,Price Each,Order Date,"
+        "Purchase Address\n"
+    )
+    (drop / "a.csv").write_text(
+        header
+        + '1,Widget,2,9.99,01/22/19 21:25,"1 Main St, Boston, MA 02215"\n'
+    )
+    q = start_streaming_etl(spark, str(drop), str(out), available_now=True)
+    assert q.awaitTermination(300)
+    q.stop()
+    assert spark.read.parquet(str(out / "cleansed")).count() == 1
+
+    # second file lands; resume from the same checkpoint
+    (drop / "b.csv").write_text(
+        header
+        + '2,Gadget,1,5.00,01/23/19 09:00,"2 Elm St, Austin, TX 73301"\n'
+    )
+    q2 = start_streaming_etl(spark, str(drop), str(out), available_now=True)
+    assert q2.awaitTermination(300)
+    q2.stop()
+
+    cleansed = spark.read.parquet(str(out / "cleansed"))
+    rows = sorted(r["order_id"] for r in cleansed.collect())
+    assert rows == [1, 2], rows  # no duplicate of order 1
+
+    # idle resume (nothing new) must also add nothing
+    q3 = start_streaming_etl(spark, str(drop), str(out), available_now=True)
+    assert q3.awaitTermination(300)
+    q3.stop()
+    assert spark.read.parquet(str(out / "cleansed")).count() == 2
