@@ -210,3 +210,56 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         extract, schema=FEATURES_SCHEMA
     )
+
+
+#: Windowed audio stats: one row per fixed-size sample window.
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def audio_window_stats(
+    media: DataFrame, window_samples: int = 256
+) -> DataFrame:
+    """STUB audio analysis: treat the payload bytes as unsigned 8-bit
+    PCM samples and emit per-window RMS + peak (real body: soundfile/
+    librosa decode then the same windowed reduction). The window
+    explosion and the numeric reduction both run executor-side inside
+    the Arrow batch — the exact shape a real waveform featurizer has;
+    only the decode call is fake."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                for w in range(0, len(samples), window_samples):
+                    chunk = samples[w : w + window_samples].astype("float64")
+                    out.append(
+                        (
+                            doc_id,
+                            w // window_samples,
+                            len(chunk),
+                            round(float(_np.sqrt((chunk**2).mean())), 6),
+                            int(chunk.max()),
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "window_idx", "n_samples", "rms", "peak",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        stats, schema=AUDIO_SCHEMA
+    )

@@ -2687,3 +2687,47 @@ def not_exists_customers(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    """
+    WITH d AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS window_idx,
+           CAST(LEAST(256, n - i * 256) AS BIGINT) AS n_samples,
+           TRUE AS rms_ok,
+           TRUE AS peak_ok
+    FROM (
+      SELECT doc_id, n,
+             UNNEST(GENERATE_SERIES(0, CAST(CEIL(n / 256.0) AS INT) - 1))
+               AS i
+      FROM d WHERE n > 0
+    )
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """STUB audio featurization (payload bytes as 8-bit PCM): windowed
+    RMS/peak via Arrow-batched mapInPandas. The window STRUCTURE
+    (doc, window index, samples per window) is exactly oracle-checked;
+    the waveform stats are property-checked (0 <= rms <= peak <= 255) —
+    byte-level math is not SQL-reachable, but a windowing or reduction
+    bug flips the booleans red."""
+    from sales_data_warehouse_spark.operators.multimodal import (
+        audio_window_stats,
+    )
+
+    media = attach_binary_payload(load_table(spark, sf, "documents"))
+    st = audio_window_stats(media)
+    return st.select(
+        "doc_id",
+        "window_idx",
+        "n_samples",
+        (
+            (F.col("rms") >= 0)
+            & (F.col("rms") <= F.col("peak").cast("double"))
+        ).alias("rms_ok"),
+        ((F.col("peak") >= 0) & (F.col("peak") <= 255)).alias("peak_ok"),
+    )
