@@ -435,6 +435,7 @@ def connected_components_star(
         )
 
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         edges = large_star(edges).localCheckpoint()
         edges = small_star(edges).localCheckpoint()
@@ -445,8 +446,17 @@ def connected_components_star(
             ).alias("h"),
         ).collect()[0]
         if prev_sig == (sig.n, sig.h):
+            converged = True
             break
         prev_sig = (sig.n, sig.h)
+    if not converged:
+        # an unconverged edge set is NOT a star forest: a node could
+        # carry several labels and the join below would fan out —
+        # silently wrong clusters. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
 
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
     all_nodes = nodes.select(F.col(node_col).alias("node"))

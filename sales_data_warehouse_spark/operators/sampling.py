@@ -31,9 +31,15 @@ HASH_P = 1000003
 
 def permille_hash(id_col: Column) -> Column:
     """Deterministic pseudo-uniform value in [0, 1000) from an integer
-    id — pure BIGINT arithmetic, reproducible in ANSI SQL verbatim."""
-    return (
-        (id_col.cast("bigint") % HASH_P) * HASH_A % 4294967296 % 1000
+    id — pure BIGINT arithmetic, reproducible in ANSI SQL verbatim.
+
+    ``pmod`` (not ``%``) everywhere: SQL ``%`` keeps the dividend's
+    sign, so a negative id (xxhash64-style keys span the full signed-64
+    range) would hash negative and pass every ``< rate`` filter —
+    sampling such rows at 100% regardless of their stratum's rate. The
+    SQL mirror is ``((id % P + P) % P) * A % 2^32 % 1000``."""
+    return F.pmod(
+        F.pmod(id_col.cast("bigint"), HASH_P) * HASH_A % 4294967296, 1000
     )
 
 

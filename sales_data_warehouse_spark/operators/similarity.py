@@ -124,18 +124,18 @@ def brute_force_topk(
     bq = max(1, -(-n_q // query_block_rows))
     bc = max(1, -(-n_c // corpus_block_rows))
 
+    # Cogrouped (not unioned) sides: a union would hold NULL in the
+    # other side's id column, and Arrow coerces nullable int64 to
+    # float64 in pandas — silently rounding ids above 2^53 (xxhash64-
+    # style keys). Cogroup keeps each side's columns intact end-to-end.
     qx = q.select(
-        F.lit("q").alias("side"),
-        F.col("qid"),
-        F.lit(None).cast(c_id_t).alias("cid"),
+        "qid",
         F.col("qv").alias("v"),
         F.pmod(F.xxhash64("qid"), F.lit(bq)).cast("int").alias("qblk"),
         F.explode(F.sequence(F.lit(0), F.lit(bc - 1))).alias("cblk"),
     )
     cx = c.select(
-        F.lit("c").alias("side"),
-        F.lit(None).cast(q_id_t).alias("qid"),
-        F.col("cid"),
+        "cid",
         F.col("cv").alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(bq - 1))).alias("qblk"),
         F.pmod(F.xxhash64("cid"), F.lit(bc)).cast("int").alias("cblk"),
@@ -149,12 +149,10 @@ def brute_force_topk(
         ]
     )
 
-    def score_tile(pdf):
+    def score_tile(qs, cs):
         import numpy as np
         import pandas as pd
 
-        qs = pdf[pdf["side"] == "q"]
-        cs = pdf[pdf["side"] == "c"]
         if not len(qs) or not len(cs):
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "sim": []}
@@ -192,8 +190,8 @@ def brute_force_topk(
         )
 
     partials = (
-        qx.unionByName(cx)
-        .groupBy("qblk", "cblk")
+        qx.groupBy("qblk", "cblk")
+        .cogroup(cx.groupBy("qblk", "cblk"))
         .applyInPandas(score_tile, schema=out_schema)
     )
     return _global_topk(partials, k)

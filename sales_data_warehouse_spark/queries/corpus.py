@@ -1431,7 +1431,10 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter), 6)
              AS jaccard
     FROM inter
-    WHERE CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter) >= 0.1
+    -- threshold on the ROUNDED value, mirroring the Spark side exactly
+    -- (a pair at 0.0999996 rounds to 0.1 and must be kept by BOTH)
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (size_a + size_b - n_inter), 6) >= 0.1
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -1479,8 +1482,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE)
-          / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.1
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.1
     """,
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
@@ -1516,8 +1519,8 @@ _EXACT_JACCARD_03_SQL = r"""
       FROM exploded a JOIN exploded b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
-      HAVING CAST(COUNT(*) AS DOUBLE)
-             / (a.n_shingles + b.n_shingles - COUNT(*)) >= 0.3
+      HAVING ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / (a.n_shingles + b.n_shingles - COUNT(*)), 6) >= 0.3
     )
 """
 
@@ -1530,20 +1533,25 @@ def _pair_recall_stats(
     t = truth.select("doc_a", "doc_b")
     c = cand.select("doc_a", "doc_b").withColumn("_c", F.lit(1))
     hit = t.join(c, ["doc_a", "doc_b"], "left")
+    # avg() over zero rows is NULL; an empty truth/candidate set makes
+    # the floor vacuously satisfied, so coalesce to TRUE — otherwise a
+    # scale factor with no qualifying pairs would flag a fake regression
     stats = hit.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
-        (F.avg(F.coalesce(F.col("_c"), F.lit(0))) >= floors["recall"]).alias(
-            "recall_ok"
-        ),
+        F.coalesce(
+            F.avg(F.coalesce(F.col("_c"), F.lit(0))) >= floors["recall"],
+            F.lit(True),
+        ).alias("recall_ok"),
     )
     if "precision" not in floors:
         return stats
     prec = (
         c.join(t.withColumn("_t", F.lit(1)), ["doc_a", "doc_b"], "left")
         .agg(
-            (
+            F.coalesce(
                 F.avg(F.coalesce(F.col("_t"), F.lit(0)))
-                >= floors["precision"]
+                >= floors["precision"],
+                F.lit(True),
             ).alias("precision_ok")
         )
     )
@@ -1984,15 +1992,18 @@ def _ann_recall_stats(
     t = truth.select("query_id", "neighbor_id")
     c = cand.select("query_id", "neighbor_id").withColumn("_c", F.lit(1))
     hit = t.join(c, ["query_id", "neighbor_id"], "left")
+    # empty truth/candidate sets: aggregates over zero rows are NULL;
+    # the bounds are vacuously satisfied, so coalesce to TRUE
     stats = hit.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true"),
-        (
-            F.avg(F.coalesce(F.col("_c"), F.lit(0))) >= recall_floor
+        F.coalesce(
+            F.avg(F.coalesce(F.col("_c"), F.lit(0))) >= recall_floor,
+            F.lit(True),
         ).alias("recall_ok"),
     )
     within = cand.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("_n")
-    ).agg((F.max("_n") <= k).alias("within_k_ok"))
+    ).agg(F.coalesce(F.max("_n") <= k, F.lit(True)).alias("within_k_ok"))
     return stats.crossJoin(within)
 
 
@@ -2247,7 +2258,8 @@ from sales_data_warehouse_spark.operators import sampling  # noqa: E402
     )
     SELECT doc_id, stratum
     FROM s
-    WHERE (doc_id % 1000003) * 2654435761 % 4294967296 % 1000 <
+    WHERE ((doc_id % 1000003 + 1000003) % 1000003)
+          * 2654435761 % 4294967296 % 1000 <
           CASE stratum WHEN 'short' THEN 100
                        WHEN 'medium' THEN 500
                        ELSE 1000 END

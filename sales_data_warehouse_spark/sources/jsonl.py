@@ -17,21 +17,43 @@ load.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CORRUPT_COL = "_corrupt_record"
 
 
+class JsonlRead(NamedTuple):
+    """The (good, bad) split plus the cached source it derives from.
+
+    Spark refuses to filter on the corrupt-record column of an uncached
+    JSON scan, so the parsed source must be cached; the caller OWNS
+    that cache — call ``unpersist()`` (or ``source.unpersist()``) once
+    the split has been consumed, or a per-shard ingest loop accumulates
+    one cached parse per shard until storage-memory pressure sets in.
+    """
+
+    good: DataFrame
+    bad: DataFrame
+    source: DataFrame
+
+    def unpersist(self) -> None:
+        self.source.unpersist()
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> JsonlRead:
     """Read JSONL with an explicit DDL ``schema`` ("a INT, b STRING").
 
-    Returns ``(good, bad)``: good rows carry the schema's columns; bad
-    rows carry one ``raw`` string column with the offending line.
+    Returns ``JsonlRead(good, bad, source)`` — unpacks as ``good, bad,
+    src = ...``; good rows carry the schema's columns, bad rows one
+    ``raw`` string column with the offending line. See ``JsonlRead``
+    for the cache-lifecycle contract.
     """
     full = f"{schema}, {CORRUPT_COL} STRING"
     df = (
@@ -48,7 +70,7 @@ def read_jsonl(
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")
     )
-    return good, bad
+    return JsonlRead(good, bad, df)
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None):

@@ -21,18 +21,27 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: bits per dimension (16 -> 65536 buckets; z key fits a long for 2-4 dims)
+#: max bits per dimension (16 -> up to 65536 buckets per dimension)
 BITS = 16
 
 
-def _bucket(col: Column, lo: Column, hi: Column) -> Column:
-    """Linear bucket of ``col`` into [0, 2^BITS) as a long."""
-    n = F.lit(1 << BITS)
+def _dim_bits(ndims: int) -> int:
+    """Bits per dimension, capped so the interleaved key stays inside a
+    long's 63 value bits — bit 63 is the SIGN bit, and letting any
+    dimension's high bit land there would make half that dimension's
+    domain sort negative (before everything else), destroying the
+    curve's locality for every file at that boundary."""
+    return min(BITS, 63 // ndims)
+
+
+def _bucket(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Linear bucket of ``col`` into [0, 2^bits) as a long."""
+    n = F.lit(1 << bits)
     b = F.width_bucket(col.cast("double"), lo, hi, n) - 1
     return F.greatest(F.lit(0), F.least(b, n - 1)).cast("long")
 
 
-def _interleave(buckets: list[Column]) -> Column:
+def _interleave(buckets: list[Column], bits: int) -> Column:
     """Morton key: bit i of dimension d lands at position i*ndims + d."""
     ndims = len(buckets)
     terms = [
@@ -41,7 +50,7 @@ def _interleave(buckets: list[Column]) -> Column:
             i * ndims + d,
         )
         for d, b in enumerate(buckets)
-        for i in range(BITS)
+        for i in range(bits)
     ]
     return reduce(lambda a, c: a.bitwiseOR(c), terms)
 
@@ -51,6 +60,7 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
 
     Domain bounds come from one tiny min/max aggregate (a driver-side
     scalar per column — O(1) rows moved)."""
+    bits = _dim_bits(len(cols))
     bounds = df.agg(
         *[
             f
@@ -67,10 +77,11 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
             F.lit(float(bounds[f"{c}__lo"])),
             # widen hi epsilon so max values stay inside the last bucket
             F.lit(float(bounds[f"{c}__hi"]) + 1e-9),
+            bits,
         )
         for c in cols
     ]
-    return _interleave(buckets)
+    return _interleave(buckets, bits)
 
 
 def write_zordered(

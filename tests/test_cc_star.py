@@ -73,3 +73,13 @@ def test_star_on_star_graph_hub_not_min(spark):
     out = {r.doc_id: r.cluster_id for r in
            dedup.connected_components_star(pairs, nodes, "doc_id").collect()}
     assert set(out.values()) == {0}
+
+
+def test_star_raises_on_iteration_exhaustion(spark):
+    import pytest as _pytest
+
+    pairs = _pairs_df(spark, [(i, i + 1) for i in range(50)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_star(
+            pairs, _nodes_df(spark, 51), "doc_id", max_iter=1
+        )

@@ -18,7 +18,7 @@ def test_corrupt_records_route_to_bad(spark, tmp_path):
         '{"doc_id": 2, "text": "world"}\n'
         '{"doc_id": "not-an-int", "text": "bad type"}\n'
     )
-    good, bad = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
+    good, bad, src = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
     assert sorted(map(tuple, good.collect())) == [
         (1, "hello"),
         (2, "world"),
@@ -26,6 +26,7 @@ def test_corrupt_records_route_to_bad(spark, tmp_path):
     bad_rows = [r.raw for r in bad.collect()]
     assert len(bad_rows) == 2
     assert "this is not json" in bad_rows
+    src.unpersist()
 
 
 def test_roundtrip_documents(spark, tmp_path):
@@ -33,7 +34,7 @@ def test_roundtrip_documents(spark, tmp_path):
     out = str(tmp_path / "docs_jsonl")
     write_jsonl(docs.select("doc_id", "text"), out)
     assert any(f.endswith(".json") for f in os.listdir(out))
-    good, bad = read_jsonl(spark, out, "doc_id BIGINT, text STRING")
+    good, bad, src = read_jsonl(spark, out, "doc_id BIGINT, text STRING")
     assert bad.count() == 0
     orig = docs.select("doc_id", "text")
     assert good.count() == orig.count()
@@ -41,6 +42,7 @@ def test_roundtrip_documents(spark, tmp_path):
         good.exceptAll(orig).count() == 0
         and orig.exceptAll(good).count() == 0
     )
+    src.unpersist()
 
 
 def test_empty_and_null_fields(spark, tmp_path):
@@ -50,7 +52,9 @@ def test_empty_and_null_fields(spark, tmp_path):
         '{"doc_id": 2, "text": null}\n'
         '{"doc_id": 3, "text": ""}\n'
     )
-    good, bad = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
+    reader = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
+    good, bad = reader.good, reader.bad
     assert bad.count() == 0
     vals = {r.doc_id: r.text for r in good.collect()}
     assert vals == {1: None, 2: None, 3: ""}
+    reader.unpersist()

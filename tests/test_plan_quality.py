@@ -26,7 +26,8 @@ SF_DIR = "/root/testdata/sf0.01"
 CARTESIAN_OK = {
     "dense_cube_crossjoin",
     "asof_join_pricelist",
-    "ann_bruteforce_topk",
+    # NOT ann_bruteforce_topk: the tiled block-GEMM rewrite removed its
+    # cross join — the gate now protects that rewrite from regressing.
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_minhash_lsh",

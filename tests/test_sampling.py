@@ -63,3 +63,19 @@ def test_interleave_unlisted_source_excluded(spark):
     mix = sampling.mixture_interleave(docs, source, {"keep": 1.0})
     assert mix.count() == 50
     assert mix.filter(F.col("source") != "keep").count() == 0
+
+
+def test_negative_ids_hash_nonnegative(spark):
+    """xxhash64-style ids span the full signed-64 range; a sign-keeping
+    % would hash them negative and defeat every rate filter."""
+    docs = spark.range(0, 2000).select(
+        (F.col("id") - 1000).alias("doc_id")  # half the ids negative
+    )
+    out = sampling.stratified_sample(docs, F.lit("s"), {"s": 250})
+    n = out.count()
+    assert 0.18 < n / 2000 < 0.33, n  # ~25%, NOT >50% (negative leak)
+    # unknown stratum must drop negative ids too
+    assert (
+        sampling.stratified_sample(docs, F.lit("x"), {"s": 1000}).count()
+        == 0
+    )

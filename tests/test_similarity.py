@@ -162,3 +162,24 @@ def test_ivf_search_prunes_unprobed_cells(spark, emb, tmp_path):
     assert any("dynamicpruning" in ln for ln in assigned_scans), (
         assigned_scans[0]
     )
+
+
+def test_brute_force_preserves_ids_beyond_float53(spark, emb):
+    """xxhash64-style ids exceed 2^53; any float64 round-trip of the id
+    columns (e.g. nullable-int64 Arrow coercion) would corrupt them."""
+    offset = (1 << 60) + 1
+    big = emb.select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    q = big.filter(F.col("vec_id") < offset + 7)
+    got = sorted(
+        (r.query_id - offset, r.neighbor_id - offset, r.rank)
+        for r in similarity.brute_force_topk(big, q, k=3).collect()
+    )
+    base = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 7), k=3
+        ).collect()
+    )
+    assert got == base

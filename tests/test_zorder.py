@@ -70,3 +70,20 @@ def test_zorder_preserves_rows(spark, tmp_path):
     b = back.groupBy(*COLS).count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert "_z" not in back.columns
+
+def test_four_dimension_key_never_negative(spark):
+    """16 bits x 4 dims would put the 4th dimension's high bit on the
+    long's SIGN bit — half that dimension would sort before everything.
+    The per-dimension width must shrink so the key stays non-negative."""
+    from sales_data_warehouse_spark.sources.zorder import zorder_key
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    )
+    z = li.select(
+        zorder_key(
+            li, ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+        ).alias("z")
+    )
+    assert z.filter(F.col("z") < 0).count() == 0
