@@ -74,8 +74,19 @@ def mixture_interleave(
     reads each source at a cadence proportional to its weight (the
     standard mixture-sampling schedule, determinized).
 
-    Sources with no listed weight are excluded. The window partitions
-    by source, so each source's ranking is an independent task."""
+    Sources with no listed weight are excluded.
+
+    Scale shape: a plain ``row_number over (partition by source)`` caps
+    parallelism at the NUMBER OF SOURCES — a mixture of 3 corpora would
+    rank 100 TB on 3 tasks. Instead the rank is computed two-phase
+    (the ``ids.zip_index_id`` trick, per source): range-partition by
+    (source, doc_id) so each source's rows are doc_id-ordered across
+    partitions, take a per-(partition, source) local row_number (window
+    parallelism = partition count), and add the source's exclusive
+    running offset of per-partition counts (a broadcast-sized table).
+    The resulting rank depends only on the (source, doc_id) ordering —
+    NOT on where the range boundaries land — so the output is identical
+    to the naive window form at any partitioning."""
     w_expr = F.lit(None).cast("double")
     for name, w in weights.items():
         w_expr = F.when(source == name, F.lit(float(w))).otherwise(w_expr)
@@ -84,11 +95,52 @@ def mixture_interleave(
         source.alias("source"),
         w_expr.alias("_w"),
     ).filter(F.col("_w").isNotNull())
-    rn = F.row_number().over(
-        Window.partitionBy("source").orderBy("doc_id")
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(n_parts, "source", "doc_id")
+    # Two subtleties, both load-bearing:
+    #  * the window partitions by the MATERIALIZED _pid column — the raw
+    #    spark_partition_id() expression would re-evaluate after the
+    #    window's own exchange and number the wrong partitions;
+    #  * `local` feeds two consumers (the offsets aggregate and the
+    #    join), and repartitionByRange SAMPLES its boundaries per
+    #    execution — without persisting, each branch could see a
+    #    different partition assignment and the offsets would not match
+    #    the local ranks. The persist pins one assignment for both.
+    from pyspark import StorageLevel
+
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.row_number().over(
+                Window.partitionBy("_pid", "source").orderBy("doc_id")
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return base.select(
-        "source",
-        "doc_id",
-        F.round(rn / F.col("_w"), 6).alias("slot"),
+    offsets = (
+        local.groupBy("_pid", "source")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.partitionBy("source")
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_cnt")
+    )
+    rn = F.col("_off") + F.col("_lrn")
+    return (
+        local.join(F.broadcast(offsets), ["_pid", "source"])
+        .select(
+            "source",
+            "doc_id",
+            F.round(rn / F.col("_w"), 6).alias("slot"),
+        )
     )

@@ -79,3 +79,38 @@ def test_negative_ids_hash_nonnegative(spark):
         sampling.stratified_sample(docs, F.lit("x"), {"s": 1000}).count()
         == 0
     )
+
+
+def test_interleave_two_phase_matches_naive_window(spark):
+    """The distributed two-phase rank must equal the textbook
+    row_number-over-source form exactly (rank is partitioning-
+    invariant by construction)."""
+    from pyspark.sql import Window
+
+    docs = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    source = F.when(F.col("doc_id") % 3 == 0, "a").otherwise(
+        F.when(F.col("doc_id") % 3 == 1, "b").otherwise("c")
+    )
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    got = sampling.mixture_interleave(docs, source, weights)
+
+    w_expr = (
+        F.when(source == "a", 0.5)
+        .when(source == "b", 0.3)
+        .otherwise(0.2)
+    )
+    naive = docs.select(
+        source.alias("source"), "doc_id", w_expr.alias("_w")
+    ).withColumn(
+        "slot",
+        F.round(
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            )
+            / F.col("_w"),
+            6,
+        ),
+    ).select("source", "doc_id", "slot")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
