@@ -14,10 +14,12 @@ both engines verified to agree under them):
 * Derived integer columns cast to BIGINT (DuckDB's natural width).
 * Timestamp outputs as TIMESTAMP_NTZ under a UTC session (DuckDB
   timestamps are naive).
-* ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's reader
-  rejects; loaded via ``spark.sql.legacy.parquet.nanosAsLong`` + integer
-  ``DIV 1000`` to microseconds (exact — double division would lose
-  precision at 1e18 nanos).
+* ``events.ts`` layout varies across testdata generations:
+  TIMESTAMP(NANOS) (which Spark's reader rejects — loaded via
+  ``spark.sql.legacy.parquet.nanosAsLong`` + integer ``DIV 1000`` to
+  microseconds, exact where double division would lose precision at
+  1e18 nanos) or plain TIMESTAMP(MICROS). ``load_table`` branches on
+  the type it actually read and normalizes both to TIMESTAMP_NTZ.
 """
 
 from __future__ import annotations
@@ -56,14 +58,25 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; normalizes the events NANOS timestamp."""
+    """Read one testdata table; normalizes ``events.ts`` to TIMESTAMP_NTZ.
+
+    The driver's testdata has shipped ``events.ts`` both as
+    TIMESTAMP(NANOS) (readable only as int64 via ``nanosAsLong``) and as
+    plain TIMESTAMP(MICROS); branch on the type actually read so both
+    layouts produce the same naive-UTC timestamp column.
+    """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":  # nanos-as-long layout
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
+                ),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
