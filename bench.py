@@ -38,7 +38,6 @@ HEADLINE = [
     "sessionize",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "text_quality",
@@ -46,7 +45,18 @@ HEADLINE = [
     "doc_sequence_packing",
     "doc_pii_scrub",
     "stratified_sample",
+    "funnel_conversion",
+    "retention_cohorts",
+    "gap_fill_locf",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "decontaminate_ngrams",
 ]
+# NOTE: dedup_minhash_lsh / dedup_simhash corpus entries are PROPERTY-GATE
+# queries — they compute the exact-Jaccard truth set alongside the
+# candidates to score recall/precision, so their corpus-entry runtime
+# measures verification work, not the operator. The operators themselves
+# are timed below as op_minhash_lsh_pairs / op_simhash_pairs.
 
 
 def main() -> None:
@@ -153,7 +163,15 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                # value = the query-engine signal: sum over HEADLINE
+                # corpus queries only. op_* rows time raw dedup/ANN
+                # operators (their corpus twins are property-gate queries
+                # that also compute oracle truth sets), and run_etl /
+                # dense_fact / streaming_etl are end-to-end pipeline
+                # timings — all reported in "queries" but not summed.
+                "value": round(
+                    sum(timings[q] for q in HEADLINE if q in timings), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,

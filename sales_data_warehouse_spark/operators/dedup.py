@@ -588,3 +588,55 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def ngram_decontaminate(
+    train_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-gram overlap with an evaluation/benchmark corpus — the standard
+    guard against test-set leakage into pre-training data.
+
+    Plan: shingle both corpora (codegen posexplode+lead, see
+    ``exploded_shingles``), dedup per doc, then ONE inner join on the
+    shingle key with the benchmark side reduced to its distinct shingle
+    set — at 100 TB the benchmark set is tiny next to the training
+    corpus (millions vs billions of docs), so Spark/AQE broadcasts it
+    and the training side never shuffles. Overlap counts aggregate on
+    ``doc`` (map-side partial), and per-doc shingle totals ride along
+    via a groupBy on the same exploded child instead of a second scan.
+
+    Returns one row per training doc with >= 1 overlapping shingle:
+    (doc, n_shingles, n_overlap, overlap_frac, contaminated).
+    """
+    tr = exploded_shingles(train_docs, text_col, id_col, n).dropDuplicates(
+        ["doc", "shingle"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bench = (
+        exploded_shingles(benchmark_docs, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = tr.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        tr.join(bench, "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(sizes, "doc")
+        .select(
+            "doc",
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("overlap_frac"),
+            (F.col("n_overlap") >= min_hits).alias("contaminated"),
+        )
+    )

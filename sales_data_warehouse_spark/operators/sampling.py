@@ -144,3 +144,40 @@ def mixture_interleave(
             F.round(rn / F.col("_w"), 6).alias("slot"),
         )
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source document selection up to a token budget:
+    walk each source's documents in ``order_col`` order, keep documents
+    while the running token total stays within ``budget`` — the "take N
+    tokens per domain" step of mixture construction.
+
+    One window (running sum per source, the partitioning a mixture build
+    already has) + one filter; token counts are the whitespace
+    tokenizer's, shared with the oracle. A doc that would cross the
+    budget is dropped, as are all later docs of that source (contiguous
+    prefix semantics, not best-fit packing — selection must not reorder
+    the curated sequence).
+    """
+    from sales_data_warehouse_spark.operators.text import token_count
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            source_col,
+            order_col,
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

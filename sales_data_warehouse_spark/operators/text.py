@@ -8,7 +8,7 @@ as any other columnar scan. Each operator has a matching ANSI-SQL oracle in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tokenization: whitespace runs. Matches the oracle's string_split_regex.
@@ -240,4 +240,131 @@ def bpe_pair_counts(
         pairs.groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition quality signals per document: the filters (after the
+    Gopher ruleset) that catch boilerplate and degenerate generations —
+    distinct-token ratio, most-frequent-token share, duplicate 2-gram
+    and 3-gram fractions.
+
+    Plan: the n-gram fractions come from one array projection per doc
+    (tokens materialized in their own select — see the
+    ``shingles_from_tokens`` PERF note); the top-token share needs a
+    within-doc mode, done relationally (explode -> two groupBys on
+    ``doc_id``) and joined back — both sides shuffle on the same key.
+    All arithmetic is integer counts + one rounded double division, so
+    both engines produce bit-identical results.
+    """
+    w = F.col("_w")
+
+    def grams(n: int):
+        idx = F.sequence(F.lit(0), F.size(w) - n)
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+
+    n_tok = F.size(w).cast("bigint")
+    base = (
+        docs.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
+        )
+        .select(
+            id_col,
+            n_tok.alias("n_tokens"),
+            F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+            (n_tok - 1).alias("n_2grams"),
+            F.size(F.array_distinct(grams(2))).cast("bigint").alias("d2"),
+            (n_tok - 2).alias("n_3grams"),
+            F.size(F.array_distinct(grams(3))).cast("bigint").alias("d3"),
+        )
+    )
+    top = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_cnt"))
+    )
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den, 6)
+        ).otherwise(F.lit(0.0))
+
+    return base.join(top, id_col).select(
+        id_col,
+        "n_tokens",
+        frac(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_ratio"),
+        frac(F.col("top_cnt"), F.col("n_tokens")).alias("top_token_frac"),
+        F.when(
+            F.col("n_2grams") > 0,
+            F.round(
+                1 - F.col("d2").cast("double") / F.col("n_2grams"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+        F.when(
+            F.col("n_3grams") > 0,
+            F.round(
+                1 - F.col("d3").cast("double") / F.col("n_3grams"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf rank.
+
+    Scoring uses reciprocal document frequency in exact integer space —
+    ``score_ppm = (tf * 1_000_000) div df`` — instead of the float
+    ``tf·log(N/df)``: within one document the idf factor is any
+    monotonically decreasing function of df, and integer arithmetic
+    makes the *ranking* bit-identical across engines (a log-based score
+    can flip near-ties in the last ulp). Ties broken by term ascending.
+
+    Plan: explode tokens once; tf = groupBy(doc, term), df = groupBy
+    (term) over the distinct (doc, term) pairs of the SAME exploded
+    child (exchange-reusable); df joins back on term; one window
+    row_number per doc picks the top k.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score_ppm",
+        F.floor(F.col("tf") * F.lit(1_000_000) / F.col("df")).cast("bigint"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score_ppm")
     )

@@ -1,0 +1,222 @@
+"""Event-series analytics: funnels, retention cohorts, gap-filling.
+
+The reference warehouse is batch sales data only; these are the standard
+event-analytics shapes its `events`-style telemetry would need (the same
+query family TimescaleDB/Druid/ClickHouse users run), expressed as pure
+DataFrame plans — every aggregation and join here keys on ``user_id`` or
+on (user, day), so at 100 TB the work is one hash-partitioning of the
+events table reused across stages; nothing collects to the driver.
+
+All outputs carry DuckDB-oracle twins in ``queries/corpus.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_hours: int | None = None,
+) -> DataFrame:
+    """Ordered first-touch funnel: users reaching each step in sequence.
+
+    A user reaches step k when an event of type ``steps[k]`` exists
+    strictly after their first qualifying step-(k-1) event (first-touch
+    semantics: step times are the *earliest* valid occurrence, the common
+    product-analytics definition), optionally within ``within_hours``.
+
+    Built on :func:`funnel_steps` (per-user depth) plus one global
+    aggregate and a ``stack`` unpivot — a single lazy plan, no driver
+    actions. Returns one row per step: (step_idx, step, n_users),
+    n_users monotonically non-increasing.
+    """
+    per_user = funnel_steps(
+        events, steps, user_col, ts_col, type_col, within_hours
+    )
+    agg = per_user.agg(
+        *[
+            F.sum(F.when(F.col("depth") > i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{step}', _n{i}" for i, step in enumerate(steps)
+    )
+    return agg.selectExpr(
+        f"stack({len(steps)}, {stack_args})"
+        " AS (step_idx, step, n_users)"
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_hours: int | None = None,
+) -> DataFrame:
+    """Per-user funnel depth + per-step first-touch timestamps.
+
+    Same semantics as :func:`funnel_conversion` but fully lazy (no
+    driver-side counts): returns one row per user who entered the funnel
+    with (user, depth, t_step0..t_stepK) — the distributed form suitable
+    for joining funnel state onto other tables. ``funnel_conversion`` is
+    the aggregate view of this. ``within_hours`` bounds each conversion
+    window (step k must land within that many hours of step k-1) — the
+    usual product-analytics deadline, and what keeps a months-long event
+    log from counting unrelated later activity as conversion.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    t = F.col(ts_col)
+
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("t_step0"))
+    )
+    prev = "t_step0"
+    for i, step in enumerate(steps[1:], start=1):
+        cond = F.col("_ts") > F.col("_prev")
+        if within_hours is not None:
+            cond = cond & (
+                F.col("_ts")
+                <= F.col("_prev") + F.expr(f"INTERVAL {within_hours} HOURS")
+            )
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, t.alias("_ts"))
+            .join(out.select(user_col, F.col(prev).alias("_prev")), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t_step{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = f"t_step{i}"
+
+    depth = sum(
+        F.when(F.col(f"t_step{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(steps))
+    )
+    return out.withColumn("depth", depth.cast("int"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen ISO week,
+    counted in each subsequent week they were active.
+
+    Two aggregations — first-seen week per user (shuffle on user), then
+    distinct (user, week) activity joined to the cohort and counted per
+    (cohort_week, week_offset). The distinct prunes the join input to at
+    most |users| x |weeks| rows regardless of event volume, so the heavy
+    table is touched exactly once.
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    cohort = (
+        events.groupBy(user_col).agg(F.min(week).alias("cohort_week"))
+    )
+    active = events.select(F.col(user_col), week.alias("active_week")).distinct()
+    return (
+        active.join(cohort, user_col)
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def gap_fill_locf(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Daily per-user gap-filled series with last-observation-carried-
+    forward — the time-series interpolation shape (TimescaleDB's
+    ``locf(time_bucket_gapfill(...))``).
+
+    Per user: take the day's closing value (row with max (ts, tiebreak)
+    via ``max_by`` — a grouped agg, not a window sort), build the dense
+    day spine between that user's first and last active day with
+    ``sequence`` (no driver-side calendar), left-join observations onto
+    the spine, and carry the last non-null value forward with an
+    ``ignorenulls`` window.
+
+    Every stage keys on user (then user+day), so one partitioning serves
+    the whole plan; spine width is bounded by the observed per-user date
+    range. ``filled`` is NULL only for days before a user's first
+    observation (none here, since the spine starts at first activity).
+    """
+    u = F.col(user_col)
+    day = F.col(ts_col).cast("date")
+
+    daily = events.groupBy(u.alias("user_id"), day.alias("day")).agg(
+        F.max_by(
+            F.col(value_col), F.struct(F.col(ts_col), F.col(tiebreak_col))
+        ).alias("day_close")
+    )
+    spine = (
+        events.groupBy(u.alias("user_id"))
+        .agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled", F.last("day_close", ignorenulls=True).over(w))
+        .withColumn("observed", F.col("day_close").isNotNull())
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 10.0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (optionally per group):
+    one codegen groupBy over floor(value / width) — the profiling /
+    drift-monitoring primitive. Bin edges are [lo, lo + width).
+    """
+    b = F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+    keys = [b.alias("bin")] if group_col is None else [
+        F.col(group_col),
+        b.alias("bin"),
+    ]
+    return (
+        events.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col), 6).alias("bin_min"),
+            F.round(F.max(value_col), 6).alias("bin_max"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * bin_width, 6))
+    )

@@ -2756,3 +2756,290 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rms_ok"),
         ((F.col("peak") >= 0) & (F.col("peak") <= 255)).alias("peak_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-series analytics: funnel / retention / gap-fill / histogram
+# (operators/timeseries.py — the telemetry query family the reference's
+# sales events would need at warehouse scale)
+# ---------------------------------------------------------------------------
+
+from sales_data_warehouse_spark.operators import timeseries as _ts  # noqa: E402
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+             AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+             AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT * FROM (VALUES
+      (0, 'view', (SELECT COUNT(*) FROM s0)),
+      (1, 'click', (SELECT COUNT(*) FROM s1)),
+      (2, 'purchase', (SELECT COUNT(*) FROM s2))
+    ) AS t(step_idx, step, n_users)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered first-touch funnel view -> click -> purchase with a 24 h
+    conversion deadline per step (150 -> 60 -> 25 users at sf0.01)."""
+    e = load_table(spark, sf, "events")
+    return _ts.funnel_conversion(
+        e, ("view", "click", "purchase"), within_hours=24
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH cohort AS (
+      SELECT user_id, MIN(CAST(DATE_TRUNC('week', ts) AS DATE))
+               AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE)
+               AS active_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(DATEDIFF('day', cohort_week, active_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention triangle (cohort by first-seen ISO week)."""
+    return _ts.retention_cohorts(load_table(spark, sf, "events"))
+
+
+@query(
+    "gap_fill_locf",
+    """
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, value AS day_close FROM ranked WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+             MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day, d.day_close,
+           LAST_VALUE(d.day_close IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           d.day_close IS NOT NULL AS observed
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily per-user gap-filled series, last-observation-carried-forward
+    (460 of 4,466 spine days are interpolated at sf0.01)."""
+    return _ts.gap_fill_locf(load_table(spark, sf, "events"))
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS bin_min,
+           ROUND(MAX(value), 6) AS bin_max,
+           ROUND(CAST(FLOOR(value / 10.0) AS BIGINT) * 10.0, 6) AS bin_lo
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (profiling / drift
+    monitoring primitive; one codegen groupBy)."""
+    return _ts.value_histogram(
+        load_table(spark, sf, "events"), bin_width=10.0,
+        group_col="event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: repetition quality, tf-idf terms, decontamination,
+# token-budget selection (operators/text.py, dedup.py, sampling.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, LEN(w) AS n_tokens, LEN(LIST_DISTINCT(w)) AS n_distinct,
+             LEN(w) - 1 AS n_2grams,
+             LEN(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(w) - 1),
+               i -> w[i] || ' ' || w[i+1]))) AS d2,
+             LEN(w) - 2 AS n_3grams,
+             LEN(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS d3
+      FROM toks
+    ),
+    tc AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(w) AS tok FROM toks)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6)
+             AS distinct_ratio,
+           ROUND(CAST(t.top_cnt AS DOUBLE) / b.n_tokens, 6)
+             AS top_token_frac,
+           CASE WHEN b.n_2grams > 0
+                THEN ROUND(1 - CAST(b.d2 AS DOUBLE) / b.n_2grams, 6)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN b.n_3grams > 0
+                THEN ROUND(1 - CAST(b.d3 AS DOUBLE) / b.n_3grams, 6)
+                ELSE 0.0 END AS dup_3gram_frac
+    FROM base b JOIN tc t USING (doc_id)
+    """,
+)
+def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals: distinct-token ratio, top-token
+    share, duplicate 2-/3-gram fractions per document."""
+    return text.repetition_stats(load_table(spark, sf, "documents"))
+
+
+@query(
+    "tfidf_top_terms",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(FLOOR(tf.tf * 1000000 / df.df) AS BIGINT) AS score_ppm
+      FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_ppm DESC, term ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, score_ppm
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by integer-exact tf-idf rank
+    (reciprocal-df scoring; see text.tfidf_top_terms for why no log)."""
+    return text.tfidf_top_terms(load_table(spark, sf, "documents"), k=3)
+
+
+@query(
+    "decontaminate_ngrams",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, source, LIST_DISTINCT(LIST_TRANSFORM(
+        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 3),
+        i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+             STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+             STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2] || ' ' ||
+             STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+3])) AS shingles
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+      WHERE source <> 'src0'
+    ),
+    bench AS (
+      SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh
+      WHERE source = 'src0'
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+    ov AS (
+      SELECT tr.doc_id, COUNT(*) AS n_overlap
+      FROM tr JOIN bench USING (shingle) GROUP BY 1
+    )
+    SELECT ov.doc_id AS doc, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6)
+             AS overlap_frac,
+           n_overlap >= 1 AS contaminated
+    FROM ov JOIN sizes USING (doc_id)
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source != src0) sharing
+    any word 4-gram with the benchmark corpus (source = src0); 49 docs
+    flagged at sf0.01."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+    )
+
+
+@query(
+    "token_budget_select",
+    r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT)
+             AS cum_tokens
+    FROM c WHERE cum_tokens <= 1000
+    """,
+)
+def token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budget selection: keep each source's doc_id-ordered
+    prefix while the running whitespace-token total stays within 1,000."""
+    from sales_data_warehouse_spark.operators.sampling import (
+        token_budget_select as _tbs,
+    )
+
+    return _tbs(load_table(spark, sf, "documents"), budget=1000)
