@@ -220,3 +220,89 @@ def value_histogram(
         )
         .withColumn("bin_lo", F.round(F.col("bin") * bin_width, 6))
     )
+
+
+def rolling_range_avg(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event trailing-``days`` aggregate over a RANGE frame (time
+    interval, not row count) — the moving-average shape where event
+    density varies per key, so ROWS frames would be wrong.
+
+    The frame is expressed on ``unix_micros(ts)`` with literal microsecond
+    bounds: Spark's rangeBetween needs a numeric ordering key, and integer
+    microseconds make the window arithmetic exact. The sum aggregates in
+    DECIMAL(18,2) (the testdata's monetary scale) so the rolling mean is
+    partition-order independent; one window sort per user partition.
+    """
+    # unix_micros requires TIMESTAMP; the corpus normalizes event times
+    # to TIMESTAMP_NTZ, and under a UTC session the cast is lossless.
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-days * 86_400_000_000, 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec).over(w)
+    return events.select(
+        "event_id",
+        user_col,
+        ts_col,
+        F.col(value_col),
+        n.cast("bigint").alias(f"n_{days}d"),
+        F.round(s.cast("double") / n, 6).alias(f"avg_{days}d"),
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flags, cross-engine exact.
+
+    Group moments are computed in exact arithmetic — sum in
+    DECIMAL(18,2), sum of squares in DECIMAL(28,4) (closed for
+    2-decimal inputs) — then converted to double once, so mean/variance
+    don't drift with partition/aggregation order the way naive double
+    sums do. (Envelope: the double conversion is exact while the sums
+    stay below 2^53 of their scaled integers — ~9e13 value-units, far
+    past any per-group total here.) Population variance; z rounded to 6.
+
+    Plan: one groupBy for moments + one broadcast join back — the
+    two-pass shape; at 100 TB the moments table is |groups| rows.
+    """
+    v = F.col(value_col)
+    stats = events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v.cast("decimal(18,2)")).alias("_s"),
+        F.sum((v * v).cast("decimal(28,4)")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    z = F.round((v - F.col("_mean")) / F.col("_std"), 6)
+    return (
+        events.join(
+            F.broadcast(
+                stats.select(
+                    group_col,
+                    mean.alias("_mean"),
+                    F.sqrt(var).alias("_std"),
+                )
+            ),
+            group_col,
+        )
+        .select(
+            "event_id",
+            group_col,
+            v,
+            z.alias("z"),
+            (F.abs(z) > threshold).alias("is_outlier"),
+        )
+    )

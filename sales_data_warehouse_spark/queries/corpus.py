@@ -3043,3 +3043,155 @@ def token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return _tbs(load_table(spark, sf, "documents"), budget=1000)
+
+
+# ---------------------------------------------------------------------------
+# Statistical windows, multiset ops, rank-with-ties (engine surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_range_avg",
+    """
+    SELECT event_id, user_id, ts, value,
+           COUNT(*) OVER w AS n_7d,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS avg_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_range_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day per-user moving average over a RANGE (interval)
+    frame — the frame type ROWS-based windows can't express when event
+    density varies."""
+    return _ts.rolling_range_avg(load_table(spark, sf, "events"), days=7)
+
+
+@query(
+    "zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             SUM(CAST(value * value AS DECIMAL(28,4))) AS ss
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, event_type, value,
+           ROUND((value - CAST(s AS DOUBLE) / n)
+                 / SQRT(CAST(ss AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n)
+                          * (CAST(s AS DOUBLE) / n)), 6) AS z,
+           ABS(ROUND((value - CAST(s AS DOUBLE) / n)
+                 / SQRT(CAST(ss AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n)
+                          * (CAST(s AS DOUBLE) / n)), 6)) > 3.0
+             AS is_outlier
+    FROM events JOIN stats USING (event_type)
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type z-score outlier flags with decimal-exact moments (see
+    timeseries.zscore_outliers for the cross-engine determinism
+    argument)."""
+    return _ts.zscore_outliers(load_table(spark, sf, "events"))
+
+
+@query(
+    "window_cume_dist",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr
+    FROM customer
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions (CUME_DIST / PERCENT_RANK) — both
+    are tie-stable, so no artificial tiebreak column is needed."""
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT l_orderkey AS okey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey AS okey FROM orders
+    """,
+)
+def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): keeps multiplicity — each
+    orderkey survives max(count_lineitem - count_orders, 0) times,
+    unlike the distinct-set ``set_except``."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    return li.exceptAll(o)
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT l_orderkey AS okey FROM lineitem
+    INTERSECT ALL
+    SELECT o_orderkey AS okey FROM orders
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): min(count_a, count_b)
+    copies per key."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    return li.intersectAll(o)
+
+
+@query(
+    "topk_rank_ties",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_orderdate,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_orderdate DESC) AS rnk
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_orderdate,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def topk_rank_ties(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group WITH ties (RANK, not ROW_NUMBER): all orders on
+    each priority's three latest dates — the tie-inclusive top-k the
+    dense-rank/row-number entries don't cover."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").desc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_orderdate",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
