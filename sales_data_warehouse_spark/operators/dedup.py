@@ -624,7 +624,7 @@ def ngram_decontaminate(
     )
     sizes = tr.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     overlap = (
-        tr.join(bench, "shingle")
+        tr.join(F.broadcast(bench), "shingle")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -119,3 +119,30 @@ def test_profile_approx_mode_avoids_expand(spark):
     approx = _lib_executed_plan(profile_table(o, cols, approx_distinct=True))
     assert "Expand" in exact
     assert "Expand" not in approx
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # The benchmark shingle set is tiny next to the training corpus by
+    # definition; the overlap join must broadcast it so the training
+    # side never shuffles.
+    plan = _lib_executed_plan(QUERIES["decontaminate_ngrams"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_rolling_range_window_single_sort(spark):
+    # One window pass: exactly one exchange (partition by user) and its
+    # sort feed both the COUNT and SUM frames — a second sort would mean
+    # the two window aggregates stopped sharing a frame.
+    plan = _lib_executed_plan(QUERIES["rolling_range_avg"](spark, SF_DIR))
+    # AQE prints the final plan followed by the initial plan; count only
+    # the final section or the assertion double-counts every node.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final[:2000]
+    assert final.count("Window") == 1, final[:2000]
+
+
+def test_zscore_stats_broadcast_back(spark):
+    # Moments table is |groups| rows — must come back as a broadcast
+    # join, not a shuffle of the full event table.
+    plan = _lib_executed_plan(QUERIES["zscore_outliers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
