@@ -3195,3 +3195,114 @@ def topk_rank_ties(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "full_outer_join",
+    """
+    WITH big AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 200000 GROUP BY 1
+    ),
+    neg AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_acctbal < 0
+    )
+    SELECT COALESCE(b.o_custkey, n.c_custkey) AS custkey,
+           COALESCE(b.n_big, 0) AS n_big_orders,
+           n.acctbal,
+           b.o_custkey IS NOT NULL AS has_big_orders,
+           n.c_custkey IS NOT NULL AS has_negative_balance
+    FROM big b FULL OUTER JOIN neg n ON b.o_custkey = n.c_custkey
+    """,
+)
+def full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join — both sides keep unmatched keys (customers with
+    big orders but positive balance, and vice versa). The one outer-join
+    variant the reference never uses; completes the engine's join
+    surface."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    neg = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    j = big.join(neg, big.o_custkey == neg.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        F.coalesce("n_big", F.lit(0)).alias("n_big_orders"),
+        "acctbal",
+        F.col("o_custkey").isNotNull().alias("has_big_orders"),
+        F.col("c_custkey").isNotNull().alias("has_negative_balance"),
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy duplicate detection on names: Levenshtein distance <= 3
+    within a blocking key (brand) — the classic entity-resolution
+    cleansing op. Blocking turns the quadratic all-pairs comparison into
+    per-block pairs (the same hazard/fix as the shingle self-join: at
+    100 TB block on something selective and cap block sizes)."""
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 3)
+        .select(
+            "key_a", "key_b", "name_a", "name_b",
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "union_by_name_missing",
+    """
+    SELECT o_orderkey AS okey, o_totalprice AS price, NULL AS segment
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL BY NAME
+    SELECT c_custkey AS okey, c_mktsegment AS segment
+    FROM customer WHERE c_acctbal > 9900
+    """,
+)
+def union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    NULL-fills columns absent on one side — how an engine appends
+    heterogeneous snapshots of an evolving table."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    left = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    right = c.filter(F.col("c_acctbal") > 9900).select(
+        F.col("c_custkey").alias("okey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)
