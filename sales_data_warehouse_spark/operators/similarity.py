@@ -581,3 +581,70 @@ def embedding_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(F.max("norm"), 6).alias("max_norm"),
         F.round(F.avg("norm"), 6).alias("avg_norm"),
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` — the 4x storage/bandwidth cut an ANN
+    index takes before sharding 100 TB of embeddings.
+
+    The scale is materialized in its own projection before the transform
+    lambda references it (Catalyst doesn't CSE inside lambdas — an
+    inline scale would recompute the array max once per element; see the
+    ``shingles_from_tokens`` PERF note). All arithmetic is double with
+    one terminal round, bit-identical across engines.
+    """
+    v = F.col("_v")
+    base = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(
+        id_col,
+        "_v",
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("_scale"),
+    )
+    return base.select(
+        id_col,
+        F.round(F.col("_scale"), 6).alias("scale"),
+        F.transform(
+            v, lambda x: F.round(x / F.col("_scale"), 0).cast("int")
+        ).alias("qvec"),
+    )
+
+
+def truncate_embeddings(
+    corpus: DataFrame,
+    dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``dims`` components
+    and re-normalize to unit length — the cheap-retrieval representation
+    (coarse search on the prefix, rerank on the full vector).
+    """
+    v = F.col("_v")
+    base = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.slice(F.col(vec_col), 1, dims), lambda x: x.cast("double")
+        ).alias("_v"),
+    ).select(
+        id_col,
+        "_v",
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_norm"),
+    )
+    return base.select(
+        id_col,
+        F.round(F.col("_norm"), 6).alias("prefix_norm"),
+        F.transform(v, lambda x: F.round(x / F.col("_norm"), 6)).alias(
+            "unit_prefix"
+        ),
+    )

@@ -3306,3 +3306,102 @@ def union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return left.unionByName(right, allowMissingColumns=True)
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], x -> ABS(x)))
+               / 127.0 AS sc
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(sc, 6) AS scale,
+           LIST_TRANSFORM(v, x -> CAST(ROUND(x / sc) AS INT)) AS qvec
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (scale = max|x|/127) — the
+    storage representation an ANN shard uses at 100 TB."""
+    return similarity.quantize_embeddings(load_table(spark, sf, "embeddings"))
+
+
+@query(
+    "embedding_truncate",
+    """
+    WITH s AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT(LIST_DOT_PRODUCT(v, v)) AS nrm FROM s
+    )
+    SELECT vec_id, ROUND(nrm, 6) AS prefix_norm,
+           LIST_TRANSFORM(v, x -> ROUND(x / nrm, 6)) AS unit_prefix
+    FROM n
+    """,
+)
+def embedding_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation to 16 dims + re-normalization — coarse
+    retrieval representation; full vectors stay for rerank."""
+    return similarity.truncate_embeddings(
+        load_table(spark, sf, "embeddings"), dims=16
+    )
+
+
+@query(
+    "topk_unshipped_revenue",
+    """
+    SELECT l.l_orderkey AS okey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, okey ASC
+    LIMIT 10
+    """,
+)
+def topk_unshipped_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems for one
+    market segment's pre-cutoff orders, top 10. Exercises the classic
+    dim-filter -> fact-join -> agg -> global top-k pipeline in one
+    query; revenue aggregates in DECIMAL for cross-engine exactness,
+    and the ties break on orderkey so LIMIT is deterministic."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(
+                F.col("l_shipdate")
+                > F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("okey"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("okey").asc())
+        .limit(10)
+    )
