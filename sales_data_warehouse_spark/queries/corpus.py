@@ -3405,3 +3405,136 @@ def topk_unshipped_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("okey").asc())
         .limit(10)
     )
+
+
+@query(
+    "session_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST((EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 1000000
+                AS BIGINT) AS duration_sec,
+           COUNT(*) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-level analytics: the `sessionize` gap logic extended to a
+    session table (start/end/duration/event count per session) — two
+    windows + one groupBy, all partitioned on user so the sort is paid
+    once."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    cur_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = (
+        F.when(
+            prev_us.isNull() | (cur_us - prev_us > 1800 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", sid.cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                (
+                    F.unix_micros(F.max("ts").cast("timestamp"))
+                    - F.unix_micros(F.min("ts").cast("timestamp"))
+                )
+                / 1_000_000
+            )
+            .cast("bigint")
+            .alias("duration_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.purchase_id, p.user_id, p.purchase_ts,
+             c.click_ts, c.click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.click_ts DESC) AS rn
+      FROM purchases p
+      JOIN clicks c ON p.user_id = c.user_id
+                   AND c.click_ts <= p.purchase_ts
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+           CAST((EPOCH_US(purchase_ts) - EPOCH_US(click_ts)) // 1000000
+                AS BIGINT) AS latency_sec
+    FROM j
+    WHERE rn = 1
+      AND EPOCH_US(purchase_ts) - EPOCH_US(click_ts)
+          <= CAST(3600000000 AS BIGINT)
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase matched to the user's most
+    recent click within the hour — the batch twin of the streaming
+    interval join, built on the reusable ``asof_join`` operator (clicks
+    deduped to one per (user, ts) so the as-of pick is deterministic)."""
+    e = load_table(spark, sf, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    lat_us = F.unix_micros(
+        F.col("purchase_ts").cast("timestamp")
+    ) - F.unix_micros(F.col("click_ts").cast("timestamp"))
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            on=["user_id"],
+            left_ts="purchase_ts",
+            right_ts="click_ts",
+        )
+        .filter(lat_us <= 3600 * 1_000_000)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            (lat_us / 1_000_000).cast("bigint").alias("latency_sec"),
+        )
+    )
