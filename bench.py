@@ -51,6 +51,11 @@ HEADLINE = [
     "repetition_quality",
     "tfidf_top_terms",
     "decontaminate_ngrams",
+    "session_stats",
+    "attribution_last_touch",
+    "topk_unshipped_revenue",
+    "rolling_range_avg",
+    "skew_salted_join",
 ]
 # NOTE: dedup_minhash_lsh / dedup_simhash corpus entries are PROPERTY-GATE
 # queries — they compute the exact-Jaccard truth set alongside the

@@ -3538,3 +3538,33 @@ def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
             (lat_us / 1_000_000).cast("bigint").alias("latency_sec"),
         )
     )
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key-resilient join through ``operators.skew.salted_join``:
+    row-level results must equal the plain equi-join (the oracle IS the
+    plain join), proving the salt scatter/replicate transform is
+    semantics-preserving while bounding the worst task at 1/salt of the
+    hottest key."""
+    from sales_data_warehouse_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, p.withColumnRenamed("p_partkey", "l_partkey"),
+        on=["l_partkey"], salt=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+    )
