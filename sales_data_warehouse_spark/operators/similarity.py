@@ -609,11 +609,16 @@ def quantize_embeddings(
             F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
         ).alias("_scale"),
     )
+    # Zero vectors (scale = 0) quantize to NULL rather than dividing by
+    # zero — at corpus scale they exist (empty docs, failed encoders).
     return base.select(
         id_col,
         F.round(F.col("_scale"), 6).alias("scale"),
-        F.transform(
-            v, lambda x: F.round(x / F.col("_scale"), 0).cast("int")
+        F.when(
+            F.col("_scale") > 0,
+            F.transform(
+                v, lambda x: F.round(x / F.col("_scale"), 0).cast("int")
+            ),
         ).alias("qvec"),
     )
 
@@ -641,10 +646,12 @@ def truncate_embeddings(
             F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("_norm"),
     )
+    # Zero-norm prefixes produce NULL rather than dividing by zero.
     return base.select(
         id_col,
         F.round(F.col("_norm"), 6).alias("prefix_norm"),
-        F.transform(v, lambda x: F.round(x / F.col("_norm"), 6)).alias(
-            "unit_prefix"
-        ),
+        F.when(
+            F.col("_norm") > 0,
+            F.transform(v, lambda x: F.round(x / F.col("_norm"), 6)),
+        ).alias("unit_prefix"),
     )

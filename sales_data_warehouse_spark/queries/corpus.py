@@ -3318,7 +3318,9 @@ def union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, ROUND(sc, 6) AS scale,
-           LIST_TRANSFORM(v, x -> CAST(ROUND(x / sc) AS INT)) AS qvec
+           CASE WHEN sc > 0
+                THEN LIST_TRANSFORM(v, x -> CAST(ROUND(x / sc) AS INT))
+                ELSE NULL END AS qvec
     FROM s
     """,
 )
@@ -3339,7 +3341,9 @@ def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id, v, SQRT(LIST_DOT_PRODUCT(v, v)) AS nrm FROM s
     )
     SELECT vec_id, ROUND(nrm, 6) AS prefix_norm,
-           LIST_TRANSFORM(v, x -> ROUND(x / nrm, 6)) AS unit_prefix
+           CASE WHEN nrm > 0
+                THEN LIST_TRANSFORM(v, x -> ROUND(x / nrm, 6))
+                ELSE NULL END AS unit_prefix
     FROM n
     """,
 )

@@ -183,3 +183,22 @@ def test_brute_force_preserves_ids_beyond_float53(spark, emb):
         ).collect()
     )
     assert got == base
+
+
+def test_quantize_zero_vector_yields_null(spark):
+    from sales_data_warehouse_spark.operators.similarity import (
+        quantize_embeddings,
+        truncate_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 32), (2, [1.0] + [0.0] * 31)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert q[1]["qvec"] is None and q[1]["scale"] == 0.0
+    assert q[2]["qvec"][0] == 127  # max component maps to full scale
+
+    t = {r["vec_id"]: r for r in truncate_embeddings(df, dims=16).collect()}
+    assert t[1]["unit_prefix"] is None
+    assert t[2]["unit_prefix"][0] == 1.0  # renormalized prefix
