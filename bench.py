@@ -180,6 +180,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "notes": (
+                    "value sums the HEADLINE corpus queries only "
+                    f"({sum(1 for q in HEADLINE if q in timings)} queries; "
+                    "r1 summed 18). op_* = raw dedup/ANN operators whose "
+                    "corpus twins are property-gate queries (they also "
+                    "compute oracle truth sets); run_etl / dense_fact / "
+                    "streaming_etl = end-to-end pipeline timings. None of "
+                    "those are in value."
+                ),
             }
         )
     )

@@ -3572,3 +3572,64 @@ def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "trend_slope_per_user",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT user_id, n,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(n * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+                 6) AS slope_per_day
+    FROM m
+    """,
+)
+def trend_slope_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user value trend: closed-form least-squares slope over
+    (day, value) points — drift/trend detection as ONE grouped
+    aggregation (no ML fit, no per-group Python). The five moments
+    accumulate in exact integer/decimal arithmetic, so the slope is
+    partition-order independent and cross-engine exact; the single
+    double division happens once per user at the end. NULL slope for
+    users whose events all land on one day (zero x-variance)."""
+    e = load_table(spark, sf, "events")
+    x = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    y = F.col("value").cast("decimal(18,2)")
+    m = (
+        e.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    return m.select(
+        "user_id",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / F.nullif(denom, F.lit(0)), 6
+        ).alias("slope_per_day"),
+    )
