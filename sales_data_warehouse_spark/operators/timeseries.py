@@ -43,7 +43,12 @@ def funnel_conversion(
     )
     agg = per_user.agg(
         *[
-            F.sum(F.when(F.col("depth") > i, 1).otherwise(0))
+            # coalesce: a global sum over an EMPTY per-user table is
+            # NULL, but "zero users entered the funnel" must count 0.
+            F.coalesce(
+                F.sum(F.when(F.col("depth") > i, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias(f"_n{i}")
             for i in range(len(steps))
@@ -286,7 +291,10 @@ def zscore_outliers(
     )
     mean = F.col("_s").cast("double") / F.col("_n")
     var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
-    z = F.round((v - F.col("_mean")) / F.col("_std"), 6)
+    # nullif: a constant group (variance 0) gets NULL z, explicitly —
+    # Spark's double division by zero yields NULL but DuckDB's yields
+    # inf, so the guard keeps the two engines (and the oracle) aligned.
+    z = F.round((v - F.col("_mean")) / F.nullif(F.col("_std"), F.lit(0.0)), 6)
     return (
         events.join(
             F.broadcast(

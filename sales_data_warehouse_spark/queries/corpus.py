@@ -3080,13 +3080,13 @@ def rolling_range_avg(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT event_id, event_type, value,
            ROUND((value - CAST(s AS DOUBLE) / n)
-                 / SQRT(CAST(ss AS DOUBLE) / n
+                 / NULLIF(SQRT(CAST(ss AS DOUBLE) / n
                         - (CAST(s AS DOUBLE) / n)
-                          * (CAST(s AS DOUBLE) / n)), 6) AS z,
+                          * (CAST(s AS DOUBLE) / n)), 0), 6) AS z,
            ABS(ROUND((value - CAST(s AS DOUBLE) / n)
-                 / SQRT(CAST(ss AS DOUBLE) / n
+                 / NULLIF(SQRT(CAST(ss AS DOUBLE) / n
                         - (CAST(s AS DOUBLE) / n)
-                          * (CAST(s AS DOUBLE) / n)), 6)) > 3.0
+                          * (CAST(s AS DOUBLE) / n)), 0), 6)) > 3.0
              AS is_outlier
     FROM events JOIN stats USING (event_type)
     """,

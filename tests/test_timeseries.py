@@ -181,3 +181,24 @@ def test_token_budget_prefix_semantics(spark):
     out = token_budget_select(docs, budget=5)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 4]
+
+
+def test_funnel_empty_input_counts_zero(spark):
+    empty = _events(spark, []).filter("1=0")
+    rows = ts.funnel_conversion(empty).orderBy("step_idx").collect()
+    assert [r["n_users"] for r in rows] == [0, 0, 0]  # not NULL
+
+
+def test_zscore_constant_group_yields_null(spark):
+    rows = [
+        (1, _t(0), 1, "view", 5.0),
+        (2, _t(1), 2, "view", 5.0),  # constant group: variance 0
+        (3, _t(0), 1, "click", 1.0),
+        (4, _t(1), 2, "click", 3.0),
+    ]
+    out = {
+        (r["event_id"]): r["z"]
+        for r in ts.zscore_outliers(_events(spark, rows)).collect()
+    }
+    assert out[1] is None and out[2] is None
+    assert out[3] is not None and out[4] is not None
