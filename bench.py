@@ -164,6 +164,76 @@ def main() -> None:
                 shutil.rmtree(out, ignore_errors=True)
         timings["streaming_etl"] = round(best, 3)
 
+        # 50x-scaled ETL: the reference CSV's data rows replicated with
+        # disjoint order-id ranges (defect rows — blanks, repeated
+        # headers — kept verbatim once per copy). Dimension sizes stay
+        # constant while cleansed/fact scale 50x, so this isolates how
+        # the pipeline's joins/windows grow with FACT volume — the
+        # scale-up axis that matters at 100 TB. Single run: the file is
+        # ~43 MB and the cost is dominated by real work, not warm-up.
+        x50 = os.path.join(tempfile.gettempdir(), "sdw_bench_x50.csv")
+        if not os.path.exists(x50):
+            with open(csv) as f:
+                header, *rows = f.read().splitlines()
+            with open(x50, "w") as f:
+                f.write(header + "\n")
+                for k in range(50):
+                    off = (k + 1) * 1_000_000
+                    for r in rows:
+                        if r[:1].isdigit():
+                            oid, rest = r.split(",", 1)
+                            f.write(f"{int(oid) + off},{rest}\n")
+                        else:
+                            f.write(r + "\n")
+        out = tempfile.mkdtemp(prefix="sdw_bench_x50_")
+        try:
+            t0 = time.perf_counter()
+            run_etl(spark, x50, output_dir=out, dense=False)
+            timings["run_etl_x50"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+        # Stateful streaming drain: the sf events parquet through the
+        # watermarked tumbling-window aggregate (state-store path), one
+        # availableNow pass into a memory sink.
+        from sales_data_warehouse_spark.streaming.events import (
+            read_events_stream,
+            tumbling_event_agg,
+        )
+
+        drop = tempfile.mkdtemp(prefix="sdw_bench_events_")
+        try:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(f"{sf_dir}/events.parquet")
+            import pyarrow as _pa
+
+            fields = [
+                _pa.field("ts", _pa.timestamp("us"))
+                if f.name == "ts"
+                else f
+                for f in t.schema
+            ]
+            _pq.write_table(
+                t.cast(_pa.schema(fields), safe=False),
+                os.path.join(drop, "part-0.parquet"),
+            )
+            t0 = time.perf_counter()
+            q = (
+                tumbling_event_agg(read_events_stream(spark, drop))
+                .writeStream.format("memory")
+                .queryName("bench_window_drain")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            timings["streaming_window_drain"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            shutil.rmtree(drop, ignore_errors=True)
+
     print(
         json.dumps(
             {
