@@ -29,6 +29,8 @@ def asof_join(
     *,
     direction: str = "backward",
     broadcast_right: bool = True,
+    unique_left: bool = False,
+    broadcast_row_limit: int = 10_000_000,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' = least
@@ -36,12 +38,46 @@ def asof_join(
 
     Left rows with no qualifying right row are dropped (inner semantics,
     matching the reference's correlated-subquery inner join).
+
+    ``unique_left=True`` asserts that ``on + [left_ts]`` is unique on the
+    left (e.g. the left is a ``.distinct()`` of those columns): the top-1
+    reduction then groups by the real keys instead of a synthetic row id,
+    so Catalyst/AQE can reuse the left's existing partitioning instead of
+    re-shuffling on a meaningless unique id. With duplicate left keys it
+    would collapse rows — leave it False there.
+
+    ``broadcast_right=True`` guards against silently broadcasting a huge
+    versioned side: if ``right`` exceeds ``broadcast_row_limit`` rows
+    (one cheap count of the dimension side), the call raises with a
+    pointer to :func:`asof_join_grouped`, the both-sides-huge path.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
 
+    if broadcast_right:
+        # bounded probe: CollectLimitExec stops scanning once limit+1
+        # rows exist, so this costs ~one partition on dimension-sized
+        # rights and never scans a huge right side end-to-end.
+        over = (
+            right.select(F.lit(1).alias("__one"))
+            .limit(broadcast_row_limit + 1)
+            .count()
+        )
+        if over > broadcast_row_limit:
+            raise ValueError(
+                f"asof_join: right side exceeds the broadcast guard of "
+                f"{broadcast_row_limit} rows; use asof_join_grouped "
+                "(cogrouped merge_asof) or pass broadcast_right=False "
+                "for a shuffle join"
+            )
+
     lid = "__asof_left_id"
-    lft = left.withColumn(lid, F.monotonically_increasing_id())
+    if unique_left:
+        lft = left
+        group_keys = [F.col(f"l.{k}") for k in on] + [F.col(f"l.{left_ts}")]
+    else:
+        lft = left.withColumn(lid, F.monotonically_increasing_id())
+        group_keys = [F.col(f"l.{lid}")]
     rgt = F.broadcast(right) if broadcast_right else right
 
     cond = (
@@ -63,7 +99,7 @@ def asof_join(
     # reference's ORDER BY ... LIMIT 1 (FactTable.sql:25-26).
     pick = F.max_by if direction == "backward" else F.min_by
     right_cols = [c for c in right.columns if c not in on]
-    best = joined.groupBy(F.col(f"l.{lid}")).agg(
+    best = joined.groupBy(*group_keys).agg(
         F.first(
             F.struct(*[F.col(f"l.{c}").alias(c) for c in left.columns])
         ).alias("__l"),

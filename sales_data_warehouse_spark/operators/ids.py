@@ -40,7 +40,7 @@ def sequential_id(
     padded = F.when(
         F.length(rn) > width, rn
     ).otherwise(F.lpad(rn, width, "0"))
-    col = F.concat(F.lit(prefix), padded) if prefix else rn
+    col = F.concat(F.lit(prefix), padded) if prefix else padded
     return df.withColumn(out, col)
 
 

@@ -262,13 +262,20 @@ def repetition_stats(
     w = F.col("_w")
 
     def grams(n: int):
+        # F.sequence defaults to step -1 when stop < start, so a doc with
+        # fewer than n tokens would yield [0, -1] and element_at(w, 0)
+        # aborts the whole query; DuckDB's GENERATE_SERIES returns empty
+        # there. Guard like shingles_from_tokens to match.
         idx = F.sequence(F.lit(0), F.size(w) - n)
-        return F.transform(
+        made = F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ",
                 *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)],
             ),
+        )
+        return F.when(F.size(w) >= n, made).otherwise(
+            F.array().cast("array<string>")
         )
 
     n_tok = F.size(w).cast("bigint")

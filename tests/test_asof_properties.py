@@ -76,3 +76,46 @@ def test_asof_matches_bruteforce_oracle(spark, evts, vers):
             for r in got.collect()
         )
         assert rows == want, impl.__name__
+
+
+def test_asof_broadcast_guard_rejects_huge_right(spark):
+    # broadcast_right=True must not silently broadcast a giant
+    # versioned side: over the row guard it raises and points at the
+    # cogrouped path instead of OOMing the driver.
+    import pytest
+
+    left = spark.createDataFrame([(1, 1)], "key int, ts int")
+    right = spark.range(0, 500).selectExpr(
+        "CAST(id % 5 AS INT) AS key", "CAST(id AS INT) AS vts"
+    )
+    with pytest.raises(ValueError, match="broadcast guard"):
+        asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="vts",
+            broadcast_row_limit=100,
+        )
+    # under the guard it works as before
+    out = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="vts",
+        broadcast_row_limit=1000,
+    )
+    assert out.count() == 1
+
+
+def test_asof_unique_left_groups_by_real_keys(spark):
+    # unique_left=True: same semantics when (on, left_ts) is unique.
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 15)], "key int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 110), (2, 10, 200)],
+        "key int, vts int, price int",
+    )
+    for flag in (False, True):
+        got = sorted(
+            (r["key"], r["ts"], r["vts"], r["price"])
+            for r in asof_join(
+                left, right, on=["key"], left_ts="ts", right_ts="vts",
+                unique_left=flag,
+            ).collect()
+        )
+        assert got == [(1, 10, 5, 100), (1, 20, 15, 110), (2, 15, 10, 200)]

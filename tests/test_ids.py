@@ -82,3 +82,14 @@ def test_sequential_id_widens_instead_of_truncating(spark):
     ids = [r["sid"] for r in out.collect()]
     assert len(ids) == len(set(ids))
     assert "X001" in ids and "X1001" in ids
+
+def test_sequential_id_pads_without_prefix(spark):
+    # prefix="" used to fall back to the raw row number, silently
+    # ignoring width.
+    from sales_data_warehouse_spark.operators.ids import sequential_id
+
+    df = spark.range(1, 13).select(F.col("id").alias("k"))
+    out = sequential_id(df, ["k"], out="sid", prefix="", width=4)
+    ids = [r["sid"] for r in out.orderBy("k").collect()]
+    assert ids[0] == "0001" and ids[11] == "0012"
+    assert all(len(i) == 4 for i in ids)

@@ -73,3 +73,17 @@ def test_scrub_handles_nasty(spark):
     assert rows[1].clean_text == ""
     assert rows[7].n_redactions == 0
     assert "你好" in rows[7].clean_text
+
+def test_repetition_stats_handles_short_docs(spark):
+    # Docs with fewer than n tokens used to abort the whole query:
+    # F.sequence(0, size-n) steps backwards when the stop is negative and
+    # element_at(w, 0) raises INVALID_INDEX_OF_ZERO. Guarded now.
+    out = {
+        r.doc_id: r for r in text.repetition_stats(_docs(spark)).collect()
+    }
+    assert set(out) == {d for d, _ in NASTY}
+    one, two = out[4], out[5]
+    assert one.n_tokens == 1 and one.dup_2gram_frac == 0.0
+    assert one.dup_3gram_frac == 0.0 and one.distinct_ratio == 1.0
+    assert two.n_tokens == 2 and two.dup_3gram_frac == 0.0
+    assert two.dup_2gram_frac == 0.0  # 1 distinct 2-gram of 1
