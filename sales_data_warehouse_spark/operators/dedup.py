@@ -197,14 +197,17 @@ def minhash_signatures(
         if shingles is not None
         else exploded_shingles(docs, text_col, id_col, n)
     )
+    # SQL-string aggregates: one parser call each instead of py4j
+    # builder chains (see simhash below for the plan-build economics).
+    # The int literal seed keeps the same xxhash64 typing as F.lit(i).
     mins = exploded.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            F.expr(f"min(xxhash64(shingle, {i})) AS h{i}")
             for i in range(num_hashes)
         ]
     )
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-    return mins.select("doc", sig.alias("signature"))
+    sig_sql = "array(" + ", ".join(f"h{i}" for i in range(num_hashes)) + ")"
+    return mins.select("doc", F.expr(f"{sig_sql} AS signature"))
 
 
 def minhash_lsh_pairs(
@@ -229,30 +232,20 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, text_col, id_col, n, num_hashes, shingles=shingles
     )
+    bands_sql = "array(" + ", ".join(
+        f"struct({b} AS band, xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(element_at(signature, {b * rows_per_band + r + 1})"
+            " AS string)"
+            for r in range(rows_per_band)
+        )
+        + ")) AS bucket)"
+        for b in range(bands)
+    ) + ")"
     banded = sigs.select(
         "doc",
         "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        "signature", b * rows_per_band + r + 1
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(bands_sql)).alias("bb"),
     ).select("doc", "signature", "bb.band", "bb.bucket")
     # Both self-join sides read `banded`; persist so the shingle->minhash
     # aggregation (the expensive part) runs once.
@@ -483,6 +476,11 @@ def simhash(
     shuffle-light. (The 65 aggregates need codegen.maxFields > 130,
     set in session.DEFAULT_CONF, to stay inside whole-stage codegen.)
     """
+    # Expressions are SQL strings, not Column-builder chains: the 64
+    # vote aggregates plus the 64-term fingerprint reassembly would cost
+    # hundreds of py4j round trips PER CALL as builder chains (~1 s of
+    # driver-side plan construction — 3x the actual query time at
+    # sf0.1); one parser call per expression keeps plan build ~free.
     toks = _spread(docs, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -490,23 +488,17 @@ def simhash(
         ).alias("token"),
     ).withColumn("h", F.xxhash64("token"))
     votes = [
-        F.sum(
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
-        ).alias(f"b{i}")
-        for i in range(bits)
+        F.expr(f"sum(shiftright(h, {i}) & 1L) AS b{i}") for i in range(bits)
     ]
     per_doc = toks.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_toks"), *votes
     )
-    fp = None
-    for i in range(bits):
-        # majority: set bit when ones outnumber zeros (2*ones > total)
-        bit = F.when(
-            F.col(f"b{i}") * 2 > F.col("n_toks"), F.lit(1)
-        ).otherwise(F.lit(0))
-        term = F.shiftleft(bit.cast("long"), i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return per_doc.select("doc", fp.alias("simhash"))
+    # majority: set bit when ones outnumber zeros (2*ones > total)
+    fp_sql = " ^ ".join(
+        f"shiftleft(cast(b{i} * 2 > n_toks AS LONG), {i})"
+        for i in range(bits)
+    )
+    return per_doc.select("doc", F.expr(f"({fp_sql}) AS simhash"))
 
 
 def simhash_near_pairs(
@@ -543,25 +535,29 @@ def simhash_near_pairs(
         raise ValueError("need 0 < blocks <= 64 and max_hamming < blocks")
     bounds = [(64 * i // blocks, 64 * (i + 1) // blocks) for i in range(blocks)]
 
-    def block_val(i: int) -> Column:
+    def block_val(i: int) -> str:
         lo, hi = bounds[i]
         # bits [lo, hi) of the signed-64 fingerprint, as an unsigned value
-        return F.shiftrightunsigned(
-            F.shiftleft(F.col("simhash"), 64 - hi), 64 - (hi - lo)
+        return (
+            f"shiftrightunsigned(shiftleft(simhash, {64 - hi}),"
+            f" {64 - (hi - lo)})"
         )
 
     combos = list(combinations(range(blocks), blocks - max_hamming))
     # key = xxhash64 over the combo's block values as raw longs — no
     # string building; a hash collision can only ADD candidates, and
     # every candidate is hamming-verified, so precision is unaffected.
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.xxhash64(*[block_val(i) for i in combo]).alias("key"),
-            )
+    # One SQL string instead of C(blocks, .) struct-builder chains: same
+    # py4j plan-build economics as in simhash above.
+    tables = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({t} AS tbl, xxhash64("
+            + ", ".join(block_val(i) for i in combo)
+            + ") AS key)"
             for t, combo in enumerate(combos)
-        ]
+        )
+        + ")"
     )
     sh = simhash(docs, text_col, id_col)
     # Both self-join sides read the bucketed table; persist so the

@@ -207,14 +207,35 @@ def _planes(num_planes: int, dim: int) -> list[list[float]]:
 
 
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket signature (one HOF dot per plane — O(n) total)."""
-    bits = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(vec, plane) > 0).cast("long")
-        term = F.shiftleft(bit, i)
-        bits = term if bits is None else bits + term
-    return bits
+    """Sign-bit bucket signature, all planes in ONE Arrow-batched pass.
+
+    The previous formulation evaluated ``num_planes`` interpreted
+    ``aggregate(zip_with(...))`` dots per row (~planes x dim interpreted
+    ops/row — the dominant cost of ``lsh_topk``). Here the whole batch
+    multiplies against the plane matrix with the same sequential
+    per-dimension accumulation order as the HOF ``_dot`` (d = 0..dim-1),
+    so every sign bit — and therefore every bucket id — is bit-identical
+    to the interpreted version, at vectorized speed."""
+    import numpy as np
+
+    pm = np.asarray(planes, dtype="float64")  # (planes, dim)
+
+    @F.pandas_udf("long")
+    def _sig(v):
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        vm = np.stack(v.to_numpy()).astype("float64")  # (n, dim)
+        dots = np.zeros((vm.shape[0], pm.shape[0]))
+        for d in range(pm.shape[1]):
+            dots += np.multiply.outer(vm[:, d], pm[:, d])
+        bits = (dots > 0).astype("int64") << np.arange(
+            pm.shape[0], dtype="int64"
+        )
+        return pd.Series(bits.sum(axis=1))
+
+    return _sig(vec)
 
 
 def lsh_topk(
