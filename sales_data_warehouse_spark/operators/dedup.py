@@ -610,9 +610,15 @@ def ngram_decontaminate(
     Returns one row per training doc with >= 1 overlapping shingle:
     (doc, n_shingles, n_overlap, overlap_frac, contaminated).
     """
+    # No persist: both consumers (sizes, overlap) read the SAME
+    # dropDuplicates child, so its shuffle is computed once and the
+    # second consumer reads it via ReuseExchange — same single
+    # computation a cache would buy, with nothing corpus-sized pinned in
+    # storage for the rest of the session (a persist here leaked across
+    # calls and, at 100 TB, would evict hotter state).
     tr = exploded_shingles(train_docs, text_col, id_col, n).dropDuplicates(
         ["doc", "shingle"]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bench = (
         exploded_shingles(benchmark_docs, text_col, id_col, n)
         .select("shingle")

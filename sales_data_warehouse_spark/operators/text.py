@@ -363,9 +363,10 @@ def tfidf_top_terms(
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    # integer DIV end-to-end (the oracle mirrors with DuckDB's //):
+    # a float floor(a/b) path agrees only while tf*1e6 stays under 2^53
     scored = tf.join(df_, "term").withColumn(
-        "score_ppm",
-        F.floor(F.col("tf") * F.lit(1_000_000) / F.col("df")).cast("bigint"),
+        "score_ppm", F.expr("tf * 1000000L DIV df")
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score_ppm").desc(), F.col("term").asc()

@@ -54,8 +54,11 @@ def funnel_conversion(
             for i in range(len(steps))
         ]
     )
+    # step names are interpolated into SQL — escape embedded quotes so a
+    # step like "don't" can't malform the stack() fragment
     stack_args = ", ".join(
-        f"{i}, '{step}', _n{i}" for i, step in enumerate(steps)
+        "{}, '{}', _n{}".format(i, step.replace("'", "''"), i)
+        for i, step in enumerate(steps)
     )
     return agg.selectExpr(
         f"stack({len(steps)}, {stack_args})"
@@ -86,35 +89,51 @@ def funnel_steps(
         raise ValueError("funnel needs at least one step")
     t = F.col(ts_col)
 
-    out = (
-        events.filter(F.col(type_col) == steps[0])
+    # ONE scan of events: collect each user's sorted step-k timestamps
+    # into per-step arrays in a single groupBy, then resolve the funnel
+    # iteratively with array HOFs (first qualifying element = first
+    # element of a sorted array passing the window predicate) — all
+    # JVM-side, one shuffle keyed on user. The previous shape re-scanned
+    # and re-joined the events table K-1 times. State per user is its
+    # own funnel-step event times only (the same rows the K-1-join plan
+    # shuffled in aggregate), so a hot user costs memory proportional to
+    # its events — the usual skew caveat for per-entity analytics.
+    g = (
+        events.filter(F.col(type_col).isin(list(steps)))
         .groupBy(user_col)
-        .agg(F.min(t).alias("t_step0"))
-    )
-    prev = "t_step0"
-    for i, step in enumerate(steps[1:], start=1):
-        cond = F.col("_ts") > F.col("_prev")
-        if within_hours is not None:
-            cond = cond & (
-                F.col("_ts")
-                <= F.col("_prev") + F.expr(f"INTERVAL {within_hours} HOURS")
-            )
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .select(user_col, t.alias("_ts"))
-            .join(out.select(user_col, F.col(prev).alias("_prev")), user_col)
-            .filter(cond)
-            .groupBy(user_col)
-            .agg(F.min("_ts").alias(f"t_step{i}"))
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(F.col(type_col) == step, t))
+                ).alias(f"_s{i}")
+                for i, step in enumerate(steps)
+            ]
         )
-        out = out.join(nxt, user_col, "left")
-        prev = f"t_step{i}"
+        # funnel entry requires a step-0 event
+        .filter(F.size("_s0") > 0)
+    )
+
+    out = g.withColumn("t_step0", F.get("_s0", 0))
+    for i in range(1, len(steps)):
+        prev = F.col(f"t_step{i - 1}")
+        if within_hours is not None:
+            deadline = prev + F.expr(f"INTERVAL {within_hours} HOURS")
+            qual = F.filter(
+                F.col(f"_s{i}"), lambda x: (x > prev) & (x <= deadline)
+            )
+        else:
+            qual = F.filter(F.col(f"_s{i}"), lambda x: x > prev)
+        # F.get returns NULL out of bounds (empty qual / prev NULL) in
+        # both ANSI modes, unlike element_at
+        out = out.withColumn(f"t_step{i}", F.get(qual, 0))
 
     depth = sum(
         F.when(F.col(f"t_step{i}").isNotNull(), 1).otherwise(0)
         for i in range(len(steps))
     )
-    return out.withColumn("depth", depth.cast("int"))
+    return out.drop(*[f"_s{i}" for i in range(len(steps))]).withColumn(
+        "depth", depth.cast("int")
+    )
 
 
 def retention_cohorts(

@@ -2964,7 +2964,7 @@ def repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             CAST(FLOOR(tf.tf * 1000000 / df.df) AS BIGINT) AS score_ppm
+             CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_ppm
       FROM tf JOIN df USING (term)
     ),
     ranked AS (

@@ -146,3 +146,14 @@ def test_zscore_stats_broadcast_back(spark):
     # join, not a shuffle of the full event table.
     plan = _lib_executed_plan(QUERIES["zscore_outliers"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_funnel_single_scan_of_events(spark):
+    # funnel_steps must read events ONCE (single groupBy(user) over
+    # per-step time arrays) — the K-1-rescans-with-joins shape it
+    # replaced would multiply the 100 TB scan cost by funnel depth.
+    plan = _lib_executed_plan(QUERIES["funnel_conversion"](spark, SF_DIR))
+    # AQE plan strings render the final AND the initial plan; count
+    # scans in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
