@@ -234,6 +234,85 @@ def main() -> None:
         finally:
             shutil.rmtree(drop, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # sf1 scaling block: the same queries at 10x FACT volume, so the
+    # bench carries a measured scaling curve, not just plan-shape
+    # arguments. Facts (lineitem/orders/events/documents) replicate 10x
+    # with disjoint key ranges; dimensions stay constant — the axis that
+    # grows at 100 TB. Generated once into the temp dir and reused.
+    # Disable with SPARK_GRAFT_SF1=0.
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf <= 0.1:
+        import shutil as _sh
+        import tempfile as _tf
+
+        from sales_data_warehouse_spark.queries.corpus import load_table
+
+        sf1_dir = os.path.join(_tf.gettempdir(), "sdw_bench_sf1")
+        done = os.path.join(sf1_dir, "_COMPLETE")
+        copies = 10
+        if not os.path.exists(done):
+            _sh.rmtree(sf1_dir, ignore_errors=True)
+            os.makedirs(sf1_dir, exist_ok=True)
+            from pyspark.sql import functions as _SF
+
+            offsets = {  # disjoint key ranges per copy
+                "lineitem": ["l_orderkey"],
+                "orders": ["o_orderkey"],
+                "events": ["event_id", "user_id"],
+                "documents": ["doc_id"],
+            }
+            for name in [
+                "region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings",
+            ]:
+                df = load_table(spark, sf_dir, name)
+                keys = offsets.get(name)
+                if keys:
+                    df = (
+                        df.withColumn(
+                            "__copy",
+                            _SF.explode(
+                                _SF.sequence(_SF.lit(0), _SF.lit(copies - 1))
+                            ),
+                        )
+                        .select(
+                            *[
+                                (
+                                    _SF.col(c)
+                                    + _SF.lit(1_000_000_000)
+                                    * _SF.col("__copy")
+                                ).alias(c)
+                                if c in keys
+                                else _SF.col(c)
+                                for c in df.columns
+                            ]
+                        )
+                    )
+                df.write.mode("overwrite").parquet(
+                    os.path.join(sf1_dir, f"{name}.parquet")
+                )
+            open(done, "w").close()
+
+        SF1_SET = [
+            "pricing_summary",
+            "filter_projection",
+            "join_multiway",
+            "join_composite_key",
+            "asof_join_pricelist",
+            "topk_unshipped_revenue",
+            "sessionize",
+            "funnel_conversion",
+            "dedup_exact",
+            "repetition_quality",
+        ]
+        for name in SF1_SET:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -250,6 +329,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # measured scaling curve: same queries at 10x fact rows
+                # (dims constant); ratio ~<= 10 = at-worst-linear in rows
+                "sf1": {
+                    "fact_scale_vs_base": 10,
+                    "queries": sf1_timings,
+                    "scale_ratio": {
+                        q: round(sf1_timings[q] / timings[q], 2)
+                        for q in sf1_timings
+                        if timings.get(q)
+                    },
+                },
                 "notes": (
                     "value sums the HEADLINE corpus queries only "
                     f"({sum(1 for q in HEADLINE if q in timings)} queries; "

@@ -30,7 +30,7 @@ def asof_join(
     direction: str = "backward",
     broadcast_right: bool = True,
     unique_left: bool = False,
-    broadcast_row_limit: int = 10_000_000,
+    broadcast_row_limit: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' = least
@@ -46,15 +46,20 @@ def asof_join(
     re-shuffling on a meaningless unique id. With duplicate left keys it
     would collapse rows — leave it False there.
 
-    ``broadcast_right=True`` guards against silently broadcasting a huge
-    versioned side: if ``right`` exceeds ``broadcast_row_limit`` rows
-    (one cheap count of the dimension side), the call raises with a
-    pointer to :func:`asof_join_grouped`, the both-sides-huge path.
+    ``broadcast_row_limit`` (opt-in) guards against silently
+    broadcasting a huge versioned side: when set and ``right`` exceeds
+    that many rows, the call raises with a pointer to
+    :func:`asof_join_grouped`, the both-sides-huge path. The probe is
+    bounded (limit+1 semantics) but EXECUTES the right side's plan, so
+    enable it when ``right`` is a table scan or cheap derivation —
+    probing a derived pipeline (e.g. an SCD2 build) re-runs that
+    pipeline per call. Left None, broadcasting a too-big side fails at
+    Spark's own broadcast limits rather than silently succeeding.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
 
-    if broadcast_right:
+    if broadcast_right and broadcast_row_limit is not None:
         # bounded probe: CollectLimitExec stops scanning once limit+1
         # rows exist, so this costs ~one partition on dimension-sized
         # rights and never scans a huge right side end-to-end.

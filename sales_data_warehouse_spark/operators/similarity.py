@@ -604,6 +604,69 @@ def embedding_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def group_centroids(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroid (mean vector) — the reduction behind
+    semantic cluster summaries, per-source drift monitors, and IVF-style
+    coarse quantizer refits over labeled corpora.
+
+    Plan: posexplode to (group, dim, value), ONE groupBy(group, dim)
+    summing decimal-cast components (map-side partial aggregation; the
+    shuffle carries |groups| x dim partial sums regardless of corpus
+    size — the scalable dense-vector reduction in Spark), then a
+    |groups|-sized reassembly sorting components into the centroid
+    array. Nothing is proportional to input rows after the first
+    aggregate, so the shape survives 100 TB of vectors.
+
+    Determinism: component sums accumulate in DECIMAL(27,12) (exact, so
+    partition order can't drift low bits as double sums would); the
+    single double division and round happen once per (group, dim). Both
+    engines round the same double, making results hash-stable
+    cross-engine (same contract as the money math in queries/corpus).
+
+    Output: (group, n_vecs, centroid ARRAY<DOUBLE> rounded).
+    """
+    x = corpus.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    # float -> double (exact) -> decimal, mirroring the oracle's cast
+    # chain so both engines round the identical binary value
+    comp = x.groupBy("grp", "dim").agg(
+        F.sum(F.col("val").cast("double").cast("decimal(27,12)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        comp.groupBy("grp")
+        .agg(
+            F.first("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim"),
+                            F.round(
+                                F.col("s").cast("double") / F.col("n"),
+                                round_to,
+                            ).alias("m"),
+                        )
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("centroid"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            "centroid",
+        )
+    )
+
+
 def quantize_embeddings(
     corpus: DataFrame,
     vec_col: str = "embedding",

