@@ -269,26 +269,31 @@ def main() -> None:
                 df = load_table(spark, sf_dir, name)
                 keys = offsets.get(name)
                 if keys:
-                    df = (
-                        df.withColumn(
-                            "__copy",
-                            _SF.explode(
-                                _SF.sequence(_SF.lit(0), _SF.lit(copies - 1))
-                            ),
-                        )
-                        .select(
-                            *[
-                                (
-                                    _SF.col(c)
-                                    + _SF.lit(1_000_000_000)
-                                    * _SF.col("__copy")
-                                ).alias(c)
-                                if c in keys
-                                else _SF.col(c)
-                                for c in df.columns
-                            ]
-                        )
-                    )
+                    # branch on the OBSERVED key dtype — the driver
+                    # regenerates testdata between rounds and key
+                    # columns have changed type before; numeric keys
+                    # shift into disjoint ranges, string keys get a
+                    # per-copy suffix
+                    dtypes = dict(df.dtypes)
+
+                    def shifted(c):
+                        if c not in keys:
+                            return _SF.col(c)
+                        if dtypes[c] in ("bigint", "int", "smallint"):
+                            return (
+                                _SF.col(c)
+                                + _SF.lit(1_000_000_000) * _SF.col("__copy")
+                            ).alias(c)
+                        return _SF.concat_ws(
+                            "_", _SF.col(c), _SF.col("__copy")
+                        ).alias(c)
+
+                    df = df.withColumn(
+                        "__copy",
+                        _SF.explode(
+                            _SF.sequence(_SF.lit(0), _SF.lit(copies - 1))
+                        ),
+                    ).select(*[shifted(c) for c in df.columns])
                 df.write.mode("overwrite").parquet(
                     os.path.join(sf1_dir, f"{name}.parquet")
                 )

@@ -586,6 +586,75 @@ def simhash_near_pairs(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise cross-source shingle containment — the matrix that shows
+    which corpus sources are near-copies of each other (mirror sites,
+    re-crawls, dataset overlap) before mixing weights are chosen.
+
+    For each ordered source pair (a, b) with at least one common
+    shingle: ``containment = |shingles(a) ∩ shingles(b)| / |shingles(a)|``.
+
+    Plan: distinct (source, shingle) — the shuffle carries the distinct
+    shingle vocabulary per source, not the corpus — then a shingle-keyed
+    self-join aggregated to source pairs, sizes broadcast back. Output
+    rows are |sources|^2 at most, so the operator targets bounded source
+    counts (registries, crawls, dataset names), not per-document ids;
+    for hot shingles present in every source the join fan-out is
+    |sources|^2 per shingle, which is the bounded-by-design case.
+    """
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("src"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("token")] + [F.lead("token", j).over(w) for j in range(1, n)]
+    sh = (
+        toks.withColumn("_last", leads[-1])
+        .withColumn("shingle", F.concat_ws(" ", *leads))
+        .filter(F.col("_last").isNotNull())
+        .select("src", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("src").alias("src_a"), "shingle")
+    b = sh.select(F.col("src").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("src").alias("src_a"),
+                    F.col("n_shingles").alias("n_shingles_a"),
+                )
+            ),
+            "src_a",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shingles_a").cast("bigint").alias("n_shingles_a"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_shingles_a"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def ngram_decontaminate(
     train_docs: DataFrame,
     benchmark_docs: DataFrame,

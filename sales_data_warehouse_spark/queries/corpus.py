@@ -3150,6 +3150,46 @@ def decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "source_overlap_matrix",
+    r"""
+    WITH sh AS (
+      SELECT DISTINCT source AS src, shingle
+      FROM (
+        SELECT source,
+               UNNEST(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )) AS shingle
+        FROM documents
+      )
+    ),
+    sizes AS (
+      SELECT src, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.src <> b.src
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles_a,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           ROUND(CAST(i.n_common AS DOUBLE) / s.n_shingles, 6)
+             AS containment
+    FROM inter i JOIN sizes s ON s.src = i.src_a
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source shingle containment matrix — which sources are
+    near-copies of each other (mirrors, re-crawls, dataset overlap)
+    before mixture weights are chosen."""
+    return dedup.source_overlap_matrix(load_table(spark, sf, "documents"))
+
+
+@query(
     "token_budget_select",
     r"""
     WITH t AS (

@@ -75,3 +75,26 @@ def test_cap_noop_when_df_below_threshold(spark):
         )
     )
     assert base == capped and base
+
+
+def test_source_overlap_matrix_containment(spark):
+    from sales_data_warehouse_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x y z w"),      # shingles: {x y z, y z w}
+            (2, "b", "x y z"),        # {x y z}
+            (3, "c", "p q r"),        # {p q r} — no overlap
+        ],
+        "doc_id int, source string, text string",
+    )
+    got = {
+        (r.src_a, r.src_b): (r.n_shingles_a, r.n_common, r.containment)
+        for r in source_overlap_matrix(docs).collect()
+    }
+    # only pairs with >= 1 common shingle appear
+    assert set(got) == {("a", "b"), ("b", "a")}
+    assert got[("a", "b")] == (2, 1, 0.5)
+    assert got[("b", "a")] == (1, 1, 1.0)
