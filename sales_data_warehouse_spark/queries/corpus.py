@@ -284,22 +284,45 @@ def case_when_classify(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_multiway(spark: SparkSession, sf: str) -> DataFrame:
     """J1/J2: chained equi-joins up a hierarchy; nation/region broadcast
-    (the reference's 5-way time-hierarchy assembly shape)."""
+    (the reference's 5-way time-hierarchy assembly shape).
+
+    Eager aggregation: revenue needs no order/customer attributes until
+    the final rollup, so lineitem pre-aggregates per orderkey BEFORE the
+    orders join and re-aggregates per custkey before the customer join —
+    each shuffle carries partial sums at the next key's cardinality
+    instead of raw lineitem rows (the decimal partials stay exact, so
+    two-level summing is bit-identical to the flat aggregate). At 100 TB
+    this is the difference between shuffling the fact table twice and
+    shuffling |orders|- then |customers|-sized partials.
+    """
     l = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region")
     rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("_n")
+    )
+    per_cust = (
+        per_order.join(
+            o.select("o_orderkey", "o_custkey"),
+            per_order.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_rev"), F.sum("_n").alias("_n"))
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        per_cust.join(
+            c.select("c_custkey", "c_nationkey"),
+            per_cust.o_custkey == c.c_custkey,
+        )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_lineitems"),
-            F.sum(rev).cast("double").alias("revenue"),
+            F.sum("_n").cast("bigint").alias("n_lineitems"),
+            F.sum("_rev").cast("double").alias("revenue"),
         )
     )
 
