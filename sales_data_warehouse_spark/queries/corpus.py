@@ -3029,7 +3029,8 @@ def gap_fill_locf(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(MIN(value), 6) AS bin_min,
            ROUND(MAX(value), 6) AS bin_max,
-           ROUND(CAST(FLOOR(value / 10.0) AS BIGINT) * 10.0, 6) AS bin_lo
+           ROUND(CAST(FLOOR(value / 10.0) AS BIGINT) * CAST(10.0 AS DOUBLE), 6)
+             AS bin_lo
     FROM events GROUP BY 1, 2
     """,
 )

@@ -29,17 +29,24 @@ ORACLES = entry_mod.oracle_sql()
 
 
 def _norm(v):
+    # type-prefixed normalization: a DuckDB DECIMAL and a Spark DOUBLE
+    # that render to the same string must NOT compare equal — the
+    # driver's compare may be type-strict, so the local twin is too
+    # (this caught value_histogram's bin_lo arriving as Decimal('0.0')
+    # vs 0.0, invisible under plain str())
     if v is None:
         return "\0NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
+            return "float:NaN"
+        return f"float:{v!r}"
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return f"ts:{v.replace(tzinfo=None).isoformat()}"
     if isinstance(v, dt.date):
-        return v.isoformat()
-    return str(v)
+        return f"date:{v.isoformat()}"
+    return f"{type(v).__name__}:{v}"
 
 
 def _rows_to_multiset(cols, rows):
