@@ -87,6 +87,50 @@ def exact_duplicates(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-over-batch exact dedup: admit only documents whose text was
+    never seen — in any prior batch (``seen_fingerprints``) or earlier
+    in this batch — and return the updated fingerprint state.
+
+    The incremental ingestion pattern for a growing corpus: per batch,
+    work is O(batch) for fingerprinting plus one join against the seen
+    table keyed on fingerprint; nothing re-reads prior batches. Returns
+    ``(fresh, fingerprints)`` where ``fresh`` is the admitted subset of
+    ``new_docs`` (one canonical row per new fingerprint, ``min(id)`` —
+    same canonical rule as :func:`exact_duplicates`) and
+    ``fingerprints`` is the union state to pass to the next batch
+    (persist it parquet-side between runs; at 100 TB the state table is
+    |distinct texts| fingerprint rows, partitioned by fp prefix, and the
+    join is shuffle-on-fp or bucket-colocated — never a scan of the
+    corpus itself).
+
+    ``seen_fingerprints`` is the previous call's second return value
+    (schema: fp STRING, canonical_id, n_copies) or None for the first
+    batch.
+    """
+    batch = exact_duplicates(new_docs, text_col, id_col)
+    if seen_fingerprints is None:
+        fresh_fp = batch
+        state = batch
+    else:
+        fresh_fp = batch.join(
+            seen_fingerprints.select("fp"), "fp", "left_anti"
+        )
+        state = seen_fingerprints.unionByName(fresh_fp)
+    fresh = new_docs.join(
+        fresh_fp.select(
+            "fp", F.col("canonical_id").alias(f"__canon_{id_col}")
+        ),
+        F.md5(F.col(text_col)) == F.col("fp"),
+    ).filter(F.col(id_col) == F.col(f"__canon_{id_col}"))
+    return fresh.drop("fp", f"__canon_{id_col}"), state
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

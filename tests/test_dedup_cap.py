@@ -98,3 +98,32 @@ def test_source_overlap_matrix_containment(spark):
     assert set(got) == {("a", "b"), ("b", "a")}
     assert got[("a", "b")] == (2, 1, 0.5)
     assert got[("b", "a")] == (1, 1, 1.0)
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    from sales_data_warehouse_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 dups 1 in-batch
+        "doc_id int, text string",
+    )
+    fresh1, state1 = incremental_exact_dedup(b1, None)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+    assert state1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma"), (6, "gamma"), (7, "alpha")],
+        "doc_id int, text string",
+    )
+    fresh2, state2 = incremental_exact_dedup(b2, state1)
+    # beta/alpha seen in batch 1; gamma admitted once (canonical min id)
+    assert sorted(r.doc_id for r in fresh2.collect()) == [5]
+    assert state2.count() == 3
+    # a third batch of all-seen texts admits nothing
+    b3 = spark.createDataFrame(
+        [(8, "alpha"), (9, "gamma")], "doc_id int, text string"
+    )
+    fresh3, state3 = incremental_exact_dedup(b3, state2)
+    assert fresh3.count() == 0 and state3.count() == 3
