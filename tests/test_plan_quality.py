@@ -157,3 +157,18 @@ def test_funnel_single_scan_of_events(spark):
     # scans in the final section only
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1, final
+
+
+def test_join_multiway_eager_aggregation(spark):
+    # revenue pre-aggregates per orderkey BELOW the orders join (and per
+    # custkey below the customer join): the first shuffle after the
+    # lineitem scan must be an aggregate exchange, not a join of raw
+    # fact rows — at 100 TB that is the difference between shuffling
+    # partials at |orders| cardinality and shuffling the fact table.
+    plan = _lib_executed_plan(QUERIES["join_multiway"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    # three aggregation levels: per-order, per-cust, per-(region, nation)
+    assert final.count("HashAggregate") >= 6, final  # partial+final pairs
+    # the lineitem-orders join consumes the per-order aggregate: the
+    # plan joins on l_orderkey AFTER an aggregate keyed on it
+    assert "HashAggregate(keys=[l_orderkey" in final, final
