@@ -1,0 +1,32 @@
+"""CLI surface: subcommand parsing and in-process execution."""
+
+from __future__ import annotations
+
+from sales_data_warehouse_spark.cli import main
+
+
+def test_tables_lists_queries(capsys):
+    assert main(["tables"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "pricing_summary" in out and len(out) >= 100
+
+
+def test_unknown_query_is_an_error(capsys):
+    assert main(["query", "no_such_query"]) == 2
+
+
+def test_query_runs(spark, capsys):
+    assert main(
+        ["query", "scalar_aggregates", "--sf-dir", "/root/testdata/sf0.001"]
+    ) == 0
+    assert "max_orderkey" in capsys.readouterr().out
+
+
+def test_run_etl_prints_counts(spark, tmp_path, capsys):
+    rc = main(
+        ["run-etl", "/root/reference/Sales_January_2019.csv",
+         str(tmp_path / "wh")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cleansed: 9671" in out and "invalid: 42" in out
