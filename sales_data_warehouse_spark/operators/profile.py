@@ -61,3 +61,36 @@ def profile_table(
             "(column, n_rows, n_null, n_distinct, min_value, max_value)"
         )
     )
+
+
+def approx_frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k heavy hitters of one column in a single pass
+    (Spark's ``approx_top_k`` sketch — mergeable across partitions, so
+    the shuffle carries one bounded sketch per task, never the
+    value-cardinality).
+
+    Exactness regime: while a column's distinct count stays within
+    ``max_items_tracked``, the sketch degenerates to exact counting —
+    the property the test suite pins. Beyond it, counts are
+    approximate with the usual space-saving guarantees; raise
+    ``max_items_tracked`` to buy accuracy with memory.
+
+    Output: (item STRING, count BIGINT, rank INT) — item rendered as
+    string so heterogeneous columns share one schema.
+    """
+    sk = df.select(
+        F.expr(f"approx_top_k({col}, {k}, {max_items_tracked})").alias("tk")
+    )
+    return (
+        sk.select(F.posexplode("tk").alias("i", "e"))
+        .select(
+            F.col("e.item").cast("string").alias("item"),
+            F.col("e.count").cast("bigint").alias("count"),
+            (F.col("i") + 1).cast("int").alias("rank"),
+        )
+    )

@@ -73,3 +73,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_approx_frequent_items_exact_under_tracked_limit(spark):
+    from sales_data_warehouse_spark.operators.profile import (
+        approx_frequent_items,
+    )
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    got = {
+        r.item: r["count"]
+        for r in approx_frequent_items(o, "o_orderpriority", k=3).collect()
+    }
+    true = {
+        str(r["o_orderpriority"]): r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(3)
+        .collect()
+    }
+    # distinct priorities << max_items_tracked -> sketch is exact
+    assert got == true
