@@ -64,6 +64,97 @@ HEADLINE = [
 # are timed below as op_minhash_lsh_pairs / op_simhash_pairs.
 
 
+#: sf1 scaling set: one per headline shape family.
+SF1_SET = [
+    "pricing_summary",
+    "filter_projection",
+    "join_multiway",
+    "join_composite_key",
+    "asof_join_pricelist",
+    "topk_unshipped_revenue",
+    "sessionize",
+    "funnel_conversion",
+    "dedup_exact",
+    "repetition_quality",
+]
+
+
+def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
+    """Time SF1_SET at 10x FACT volume, so the bench carries a measured
+    scaling curve, not just plan-shape arguments.
+
+    Facts (lineitem/orders/events/documents) replicate 10x with
+    disjoint key ranges; dimensions stay constant — the axis that grows
+    at 100 TB. Generated once into the temp dir and reused. Disable
+    with SPARK_GRAFT_SF1=0.
+    """
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0" or sf > 0.1:
+        return {}
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _SF
+
+    from sales_data_warehouse_spark.queries.corpus import load_table
+
+    sf1_dir = os.path.join(_tf.gettempdir(), "sdw_bench_sf1")
+    done = os.path.join(sf1_dir, "_COMPLETE")
+    copies = 10
+    if not os.path.exists(done):
+        _sh.rmtree(sf1_dir, ignore_errors=True)
+        os.makedirs(sf1_dir, exist_ok=True)
+        offsets = {  # disjoint key ranges per copy
+            "lineitem": ["l_orderkey"],
+            "orders": ["o_orderkey"],
+            "events": ["event_id", "user_id"],
+            "documents": ["doc_id"],
+        }
+        for name in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            df = load_table(spark, sf_dir, name)
+            keys = offsets.get(name)
+            if keys:
+                # branch on the OBSERVED key dtype — the driver
+                # regenerates testdata between rounds and key columns
+                # have changed type before; numeric keys shift into
+                # disjoint ranges, string keys get a per-copy suffix
+                dtypes = dict(df.dtypes)
+
+                def shifted(c):
+                    if c not in keys:
+                        return _SF.col(c)
+                    if dtypes[c] in ("bigint", "int", "smallint"):
+                        return (
+                            _SF.col(c)
+                            + _SF.lit(1_000_000_000) * _SF.col("__copy")
+                        ).alias(c)
+                    return _SF.concat_ws(
+                        "_", _SF.col(c), _SF.col("__copy")
+                    ).alias(c)
+
+                df = df.withColumn(
+                    "__copy",
+                    _SF.explode(
+                        _SF.sequence(_SF.lit(0), _SF.lit(copies - 1))
+                    ),
+                ).select(*[shifted(c) for c in df.columns])
+            df.write.mode("overwrite").parquet(
+                os.path.join(sf1_dir, f"{name}.parquet")
+            )
+        open(done, "w").close()
+
+    out: dict[str, float] = {}
+    for name in SF1_SET:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf1_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -242,81 +333,12 @@ def main() -> None:
     # grows at 100 TB. Generated once into the temp dir and reused.
     # Disable with SPARK_GRAFT_SF1=0.
     sf1_timings: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf <= 0.1:
-        import shutil as _sh
-        import tempfile as _tf
-
-        from sales_data_warehouse_spark.queries.corpus import load_table
-
-        sf1_dir = os.path.join(_tf.gettempdir(), "sdw_bench_sf1")
-        done = os.path.join(sf1_dir, "_COMPLETE")
-        copies = 10
-        if not os.path.exists(done):
-            _sh.rmtree(sf1_dir, ignore_errors=True)
-            os.makedirs(sf1_dir, exist_ok=True)
-            from pyspark.sql import functions as _SF
-
-            offsets = {  # disjoint key ranges per copy
-                "lineitem": ["l_orderkey"],
-                "orders": ["o_orderkey"],
-                "events": ["event_id", "user_id"],
-                "documents": ["doc_id"],
-            }
-            for name in [
-                "region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "events", "documents", "embeddings",
-            ]:
-                df = load_table(spark, sf_dir, name)
-                keys = offsets.get(name)
-                if keys:
-                    # branch on the OBSERVED key dtype — the driver
-                    # regenerates testdata between rounds and key
-                    # columns have changed type before; numeric keys
-                    # shift into disjoint ranges, string keys get a
-                    # per-copy suffix
-                    dtypes = dict(df.dtypes)
-
-                    def shifted(c):
-                        if c not in keys:
-                            return _SF.col(c)
-                        if dtypes[c] in ("bigint", "int", "smallint"):
-                            return (
-                                _SF.col(c)
-                                + _SF.lit(1_000_000_000) * _SF.col("__copy")
-                            ).alias(c)
-                        return _SF.concat_ws(
-                            "_", _SF.col(c), _SF.col("__copy")
-                        ).alias(c)
-
-                    df = df.withColumn(
-                        "__copy",
-                        _SF.explode(
-                            _SF.sequence(_SF.lit(0), _SF.lit(copies - 1))
-                        ),
-                    ).select(*[shifted(c) for c in df.columns])
-                df.write.mode("overwrite").parquet(
-                    os.path.join(sf1_dir, f"{name}.parquet")
-                )
-            open(done, "w").close()
-
-        SF1_SET = [
-            "pricing_summary",
-            "filter_projection",
-            "join_multiway",
-            "join_composite_key",
-            "asof_join_pricelist",
-            "topk_unshipped_revenue",
-            "sessionize",
-            "funnel_conversion",
-            "dedup_exact",
-            "repetition_quality",
-        ]
-        for name in SF1_SET:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf1_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+    sf1_err: str | None = None
+    try:
+        sf1_timings = _sf1_block(spark, sf_dir, sf)
+    except Exception as e:  # noqa: BLE001 — scaling block must never
+        # take down the primary bench output
+        sf1_err = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(
@@ -344,6 +366,7 @@ def main() -> None:
                         for q in sf1_timings
                         if timings.get(q)
                     },
+                    **({"error": sf1_err} if sf1_err else {}),
                 },
                 "notes": (
                     "value sums the HEADLINE corpus queries only "
