@@ -1,0 +1,71 @@
+"""Operator scale probe over the synthetic DataSource.
+
+Generates documents/events at an arbitrary row count (no disk) and
+times representative operators, printing one JSON line. Use to check an
+operator's behavior beyond the shipped testdata scales:
+
+    python tools/scale_probe.py 1000000
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sales_data_warehouse_spark.operators import (  # noqa: E402
+    dedup,
+    text,
+    timeseries,
+)
+from sales_data_warehouse_spark.session import get_spark  # noqa: E402
+from sales_data_warehouse_spark.sources.synthetic import register  # noqa: E402
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    parts = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    register(spark)
+
+    docs = (
+        spark.read.format("sdw_synth")
+        .option("table", "documents").option("rows", rows)
+        .option("partitions", parts).load()
+    )
+    events = (
+        spark.read.format("sdw_synth")
+        .option("table", "events").option("rows", rows)
+        .option("partitions", parts).load()
+    )
+
+    probes = {
+        "dedup_exact": lambda: dedup.exact_duplicates(docs),
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(docs),
+        "simhash_pairs": lambda: dedup.simhash_near_pairs(
+            docs, max_hamming=3, blocks=6
+        ),
+        "text_quality": lambda: text.text_quality(docs),
+        "repetition_stats": lambda: text.repetition_stats(docs),
+        "funnel": lambda: timeseries.funnel_conversion(
+            events, ("view", "click", "purchase"), within_hours=24
+        ),
+        "sessionize_agg": lambda: events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+        ),
+    }
+    out = {}
+    for name, make in probes.items():
+        t0 = time.perf_counter()
+        make().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"rows": rows, "partitions": parts, "probes": out}))
+
+
+if __name__ == "__main__":
+    main()
