@@ -76,6 +76,9 @@ SF1_SET = [
     "funnel_conversion",
     "dedup_exact",
     "repetition_quality",
+    # embedding surface: corpus vectors also scale 10x in the generator
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
 ]
 
 
@@ -108,6 +111,7 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             "orders": ["o_orderkey"],
             "events": ["event_id", "user_id"],
             "documents": ["doc_id"],
+            "embeddings": ["vec_id"],
         }
         for name in [
             "region", "nation", "customer", "supplier", "part",
@@ -126,9 +130,14 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
                     if c not in keys:
                         return _SF.col(c)
                     if dtypes[c] in ("bigint", "int", "smallint"):
+                        # bigint literal: a plain int lit is 32-bit and
+                        # 1e9 * copy silently wraps negative under
+                        # ANSI-off (caught: vec_id < 10 matched 8010
+                        # rows and turned the LSH probe quadratic)
                         return (
-                            _SF.col(c)
-                            + _SF.lit(1_000_000_000) * _SF.col("__copy")
+                            _SF.col(c).cast("bigint")
+                            + _SF.lit(1_000_000_000).cast("bigint")
+                            * _SF.col("__copy")
                         ).alias(c)
                     return _SF.concat_ws(
                         "_", _SF.col(c), _SF.col("__copy")
@@ -152,6 +161,22 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             "overwrite"
         ).save()
         out[name] = round(time.perf_counter() - t0, 3)
+
+    # the exact-pair entries above are O(n^2) BY DESIGN (all-pairs
+    # cosine / exact top-k); the approximate path is what must scale —
+    # time it against the same 10x corpus (base twin: op_lsh_topk)
+    from pyspark.sql import functions as _SF
+
+    from sales_data_warehouse_spark.operators import (
+        similarity as _similarity,
+    )
+
+    emb10 = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    t0 = time.perf_counter()
+    _similarity.lsh_topk(
+        emb10, emb10.filter(_SF.col("vec_id") < 10), k=5, probe_hamming=3
+    ).write.format("noop").mode("overwrite").save()
+    out["op_lsh_topk"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -366,6 +391,14 @@ def main() -> None:
                         for q in sf1_timings
                         if timings.get(q)
                     },
+                    # exact-pair baselines are O(n^2) by definition —
+                    # their superlinear ratio is the algorithm, not the
+                    # plan; op_lsh_topk is the sub-linear scale path
+                    # over the same 10x corpus
+                    "quadratic_by_design": [
+                        "dedup_embedding_cosine",
+                        "ann_bruteforce_topk",
+                    ],
                     **({"error": sf1_err} if sf1_err else {}),
                 },
                 "notes": (
