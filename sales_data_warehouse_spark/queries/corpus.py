@@ -3611,6 +3611,62 @@ def topk_unshipped_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "user_paths",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY 1
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY 1
+    """,
+)
+def user_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-of-funnel behavior paths: each user's first three event
+    types, in order, rolled up to (path, n_users) — the Sankey-source
+    query of product analytics.
+
+    One shuffle on user (window row_number, ties broken by event_id for
+    cross-engine determinism), then a tiny path-cardinality aggregate —
+    at 100 TB the second shuffle carries one short string per user."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    paths = (
+        firstk.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("rn"), F.col("event_type"))
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
     "session_stats",
     """
     WITH gaps AS (
