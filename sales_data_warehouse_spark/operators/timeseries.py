@@ -169,6 +169,58 @@ def retention_cohorts(
     )
 
 
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / rolling-WAU / stickiness per day — the engagement ratio
+    (daily actives over trailing-7-day actives) every product dashboard
+    leads with.
+
+    A distinct-count over a sliding window can't partial-aggregate
+    directly, and a day-range join of the activity table is a range
+    join. Instead each (day, user) activity row is EXPLODED to the
+    ``window_days`` future days it keeps the user "active" for, then
+    deduped and counted per target day — two plain groupBys, both
+    map-side-combining, no range join, no window distinct. Shuffle
+    volume is |distinct (day, user)| x window_days of narrow rows —
+    bounded by users x days, independent of raw event volume.
+
+    Output: (day, dau, wau, stickiness) for days observed in the data
+    (trailing synthetic days beyond max(day) excluded).
+    """
+    day = F.col(ts_col).cast("date")
+    active = events.select(
+        day.alias("day"), F.col(user_col).alias("u")
+    ).distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        active.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("off"),
+            "day",
+            "u",
+        )
+        .select(F.date_add("day", F.col("off")).alias("day"), "u")
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day")  # inner: only observed days carry a dau row
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
 def gap_fill_locf(
     events: DataFrame,
     user_col: str = "user_id",

@@ -3611,6 +3611,31 @@ def topk_unshipped_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "rolling_active_users",
+    """
+    WITH active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM active GROUP BY 1),
+    contrib AS (
+      SELECT DISTINCT day + CAST(off AS INTEGER) AS day, user_id
+      FROM active, UNNEST(GENERATE_SERIES(0, 6)) AS t(off)
+    ),
+    wau AS (SELECT day, COUNT(*) AS wau FROM contrib GROUP BY 1)
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per observed day, via
+    explode-to-contribution-days instead of a windowed distinct or a
+    range join."""
+    return _ts.rolling_active_users(load_table(spark, sf, "events"))
+
+
+@query(
     "user_paths",
     """
     WITH r AS (

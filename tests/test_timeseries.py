@@ -202,3 +202,34 @@ def test_zscore_constant_group_yields_null(spark):
     }
     assert out[1] is None and out[2] is None
     assert out[3] is not None and out[4] is not None
+
+
+def test_rolling_active_users_small(spark):
+    import datetime as dt
+
+    from sales_data_warehouse_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),                          # day 0: u1
+        (2, t0),                          # day 0: u2
+        (1, t0 + dt.timedelta(days=3)),   # day 3: u1
+        (3, t0 + dt.timedelta(days=8)),   # day 8: u3 (u1/u2 aged out of
+                                          # 7-day window from day 0? day
+                                          # 0 contributes to days 0-6)
+    ]
+    df = spark.createDataFrame(
+        [(u, ts) for u, ts in rows], "user_id int, ts timestamp"
+    )
+    got = {
+        str(r.day): (r.dau, r.wau, r.stickiness)
+        for r in rolling_active_users(df).collect()
+    }
+    assert got["2024-01-01"] == (2, 2, 1.0)
+    # day 3: dau=1 (u1); wau = users active in days [-3..3] window
+    # contributions: day0 actives cover days 0-6 -> u1,u2 -> wau 2
+    assert got["2024-01-04"] == (1, 2, 0.5)
+    # day 8: only u3 in trailing 7 days (day 3 covers 3-9: u1 too!)
+    assert got["2024-01-09"] == (1, 2, 0.5)
