@@ -3611,6 +3611,89 @@ def topk_unshipped_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "session_funnel",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS snum
+      FROM gaps
+    ),
+    t0 AS (
+      SELECT user_id, snum, MIN(ts) AS t FROM s
+      WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    t1 AS (
+      SELECT s.user_id, s.snum, MIN(s.ts) AS t
+      FROM s JOIN t0 ON s.user_id = t0.user_id AND s.snum = t0.snum
+      WHERE s.event_type = 'click' AND s.ts > t0.t GROUP BY 1, 2
+    ),
+    t2 AS (
+      SELECT s.user_id, s.snum, MIN(s.ts) AS t
+      FROM s JOIN t1 ON s.user_id = t1.user_id AND s.snum = t1.snum
+      WHERE s.event_type = 'purchase' AND s.ts > t1.t GROUP BY 1, 2
+    )
+    SELECT * FROM (VALUES
+      (0, 'view', (SELECT COUNT(*) FROM t0)),
+      (1, 'click', (SELECT COUNT(*) FROM t1)),
+      (2, 'purchase', (SELECT COUNT(*) FROM t2))
+    ) AS v(step_idx, step, n_sessions)
+    """,
+)
+def session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel completed WITHIN one 30-minute-gap session — conversion
+    that doesn't credit a purchase three days after the view (the
+    product-analytics default the plain funnel can't express).
+
+    Composition: the sessionize gap logic assigns (user, session)
+    keys, then :func:`timeseries.funnel_steps` runs UNCHANGED on the
+    composite key — single scan, one shuffle keyed on session. The
+    rollup counts sessions at each depth."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    cur_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_session = F.when(
+        prev_us.isNull() | (cur_us - prev_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = e.withColumn(
+        "session_key",
+        F.concat_ws(
+            "#",
+            F.col("user_id"),
+            F.sum(new_session).over(w),
+        ),
+    )
+    steps = ("view", "click", "purchase")
+    per_session = _ts.funnel_steps(sessions, steps, user_col="session_key")
+    agg = per_session.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("depth") > i, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', _n{i}" for i, s in enumerate(steps)
+    )
+    return agg.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_sessions)"
+    )
+
+
+@query(
     "rolling_active_users",
     """
     WITH active AS (
