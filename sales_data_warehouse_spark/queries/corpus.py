@@ -3999,6 +3999,244 @@ def trend_slope_per_user(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retail analytics over the sales schema (the reference's home domain):
+# RFM segmentation, cohort LTV, market-basket affinity
+# ---------------------------------------------------------------------------
+
+@query(
+    "rfm_segmentation",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(last_order) AS anchor FROM m),
+    scored AS (
+      SELECT o_custkey,
+             DATEDIFF('day', last_order, (SELECT anchor FROM mx))
+               AS recency_days,
+             frequency, monetary,
+             NTILE(5) OVER (ORDER BY
+               DATEDIFF('day', last_order, (SELECT anchor FROM mx)) ASC,
+               o_custkey ASC) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS mseg
+      FROM m
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           ROUND(monetary, 2) AS monetary,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(mseg AS INT) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(mseg AS VARCHAR)
+             AS segment
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: quintiles of recency / frequency /
+    monetary with customer-key tie-breaks so every NTILE edge is
+    deterministic cross-engine. One groupBy(custkey) plus three
+    |customers|-sized window sorts — fact volume touches only the first
+    aggregate."""
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_money("o_totalprice")).cast("double").alias("monetary"),
+    )
+    anchor = m.agg(F.max("last_order").alias("anchor"))
+    scored = (
+        m.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days", F.datediff(F.col("anchor"), F.col("last_order"))
+        )
+        .withColumn(
+            "r",
+            F.ntile(5).over(
+                Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "mseg",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return scored.select(
+        "o_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.round("monetary", 2).alias("monetary"),
+        F.col("r").cast("int").alias("r"),
+        F.col("f").cast("int").alias("f"),
+        F.col("mseg").cast("int").alias("m"),
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("mseg").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@query(
+    "cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             YEAR(CAST(o_orderdate AS DATE)) * 12
+               + MONTH(CAST(o_orderdate AS DATE)) AS midx,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, MIN(midx) AS cohort FROM o GROUP BY 1),
+    rev AS (
+      SELECT f.cohort, o.midx - f.cohort AS month_offset,
+             SUM(o.price) AS revenue
+      FROM o JOIN firsts f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort_month_idx,
+           CAST(month_offset AS BIGINT) AS month_offset,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) OVER (
+             PARTITION BY cohort ORDER BY month_offset) AS DOUBLE)
+             AS cum_revenue
+    FROM rev
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue accumulated per months-since-first — integer month
+    indexes (year*12+month) and decimal sums keep every cell exact
+    cross-engine. Fact volume is touched once; the running total runs
+    over the |cohorts| x |offsets| triangle."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("midx"),
+        _money("o_totalprice").alias("price"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort", (F.col("midx") - F.col("cohort")).alias("month_offset")
+        )
+        .agg(F.sum("price").alias("revenue"))
+    )
+    w = Window.partitionBy("cohort").orderBy("month_offset")
+    return rev.select(
+        F.col("cohort").cast("bigint").alias("cohort_month_idx"),
+        F.col("month_offset").cast("bigint").alias("month_offset"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+@query(
+    "basket_affinity",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_orders AS (
+      SELECT l_partkey, COUNT(*) AS n_orders FROM baskets GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_co
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, CAST(p.n_co AS BIGINT) AS n_co,
+           CAST(pa.n_orders AS BIGINT) AS n_a,
+           CAST(pb.n_orders AS BIGINT) AS n_b,
+           ROUND(CAST(p.n_co AS DOUBLE) * (SELECT n_baskets FROM n)
+                 / (pa.n_orders * pb.n_orders), 6) AS lift
+    FROM pairs p
+    JOIN part_orders pa ON pa.l_partkey = p.part_a
+    JOIN part_orders pb ON pb.l_partkey = p.part_b
+    """,
+)
+def basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket part-pair affinity with lift, support >= 2 —
+    co-occurrence via an order-keyed self-join of the distinct
+    (order, part) table, so pair fan-out is basket-size^2 per order
+    (bounded by lineitems-per-order), never parts^2; per-part counts
+    broadcast back onto the filtered pair table."""
+    b = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_orders = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    n_baskets = b.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                part_orders.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_orders").alias("n_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                part_orders.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_orders").alias("n_b"),
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_co").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
