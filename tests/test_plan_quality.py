@@ -34,6 +34,10 @@ CARTESIAN_OK = {
     "dedup_simhash",
     "date_spine",
     "time_hierarchy",
+    # retail queries crossJoin a broadcast 1-row stat aggregate (anchor
+    # date / basket count) — 1 x n, constant cost at any scale
+    "rfm_segmentation",
+    "basket_affinity",
 }
 
 
