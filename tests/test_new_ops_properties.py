@@ -115,3 +115,42 @@ def test_incremental_dedup_matches_global_dedup(spark, batches):
         admitted.extend(got_txts)
     # global invariant: admitted texts are exactly the distinct texts
     assert sorted(admitted) == sorted(seen_py)
+
+
+import datetime as _dt
+
+_T0 = _dt.datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(st.integers(1, 5), st.integers(0, 20)),  # (user, day)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evts=_events)
+@SETTINGS
+def test_rolling_active_users_matches_bruteforce(spark, evts):
+    from sales_data_warehouse_spark.operators.timeseries import (
+        rolling_active_users,
+    )
+
+    rows = [
+        (u, _T0 + _dt.timedelta(days=d, hours=(u + d) % 24))
+        for u, d in evts
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        str(r.day): (r.dau, r.wau) for r in rolling_active_users(df).collect()
+    }
+
+    days = sorted({d for _, d in evts})
+    active = defaultdict(set)
+    for u, d in evts:
+        active[d].add(u)
+    want = {}
+    for d in days:
+        dau = len(active[d])
+        wau = len(set().union(*(active[d - o] for o in range(7))))
+        want[str((_T0 + _dt.timedelta(days=d)).date())] = (dau, wau)
+    assert got == want
