@@ -643,7 +643,11 @@ def group_centroids(
     return (
         comp.groupBy("grp")
         .agg(
-            F.first("n").alias("n_vecs"),
+            # MAX, not FIRST: per-(group,dim) counts are equal for
+            # fixed-dim corpora, but on ragged/null-element arrays
+            # F.first over a grouped agg is nondeterministic — MAX is
+            # stable and matches the oracle's MAX(n) exactly.
+            F.max("n").alias("n_vecs"),
             F.transform(
                 F.array_sort(
                     F.collect_list(

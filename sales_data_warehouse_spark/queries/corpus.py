@@ -2182,20 +2182,28 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "multimodal_features",
     """
-    SELECT doc_id,
-           LIST_TRANSFORM(
-             GENERATE_SERIES(0, 7),
-             i -> CAST((OCTET_LENGTH(ENCODE(text)) * 31 + i) % 97 AS DOUBLE)
-                  / 97.0
-           ) AS features
-    FROM documents
+    SELECT doc_id, CAST(i AS BIGINT) AS dim,
+           CAST((OCTET_LENGTH(ENCODE(text)) * 31 + i) % 97 AS DOUBLE)
+             / 97.0 AS feature
+    FROM documents, (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS i) g
     """,
 )
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Stubbed feature-extraction pass (vision-encoder shape): payload ->
-    fixed-dim vector via Arrow-batched mapInPandas."""
+    fixed-dim vector via Arrow-batched mapInPandas.
+
+    Driver-interface note: the operator emits (doc_id, features
+    ARRAY<DOUBLE>); the corpus wrapper posexplodes to one
+    (doc_id, dim, feature) row per component because the driver's
+    pandas canonicalizer cannot sort list-typed columns (r3 `err`:
+    unhashable type 'list'). Exploding — rather than to_json — keeps
+    the comparison numeric, dodging Java-vs-DuckDB double-to-string
+    formatting differences (1.0E-6 vs 1e-06)."""
     media = attach_binary_payload(load_table(spark, sf, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "feature")
+    ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
 # ---------------------------------------------------------------------------
@@ -2252,7 +2260,8 @@ def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
              ), 0) AS start_offset
       FROM t
     )
-    SELECT shard, doc_id, n_tokens, start_offset,
+    SELECT shard, doc_id, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
            CAST(start_offset // 512 AS BIGINT) AS first_seq,
            CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS last_seq
     FROM packed
@@ -2398,21 +2407,34 @@ def mixture_interleave(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "embedding_normalize",
     """
-    SELECT vec_id,
-           LIST_TRANSFORM(
-             embedding::DOUBLE[],
-             x -> ROUND(x / SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
-                                                  embedding::DOUBLE[])), 6)
-           ) AS unit,
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+           ROUND(embedding[i]::DOUBLE
+                 / SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 6)
+             AS unit_val,
            ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
                                        embedding::DOUBLE[])), 6) AS norm
-    FROM embeddings
+    FROM (
+      SELECT vec_id, embedding,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i
+      FROM embeddings
+    )
     """,
 )
 def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """L2 normalization (unit vectors make cosine == dot): exact oracle,
-    flat map, no shuffle."""
-    return similarity.normalize_embeddings(load_table(spark, sf, "embeddings"))
+    flat map, no shuffle.
+
+    Driver-interface note: the operator emits (vec_id, unit
+    ARRAY<DOUBLE>, norm); the wrapper posexplodes the unit vector to
+    (vec_id, dim, unit_val, norm) rows — the driver's pandas
+    canonicalizer cannot sort list columns (r3 `err` row), and
+    exploding keeps the compare numeric instead of relying on
+    engine-identical double-to-string JSON formatting."""
+    out = similarity.normalize_embeddings(load_table(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id", F.posexplode("unit").alias("dim", "unit_val"), "norm"
+    ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
 @query(
@@ -2431,9 +2453,11 @@ def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
       SELECT grp, dim, SUM(v) AS s, COUNT(*) AS n
       FROM x GROUP BY 1, 2
     )
-    SELECT grp AS label, CAST(MAX(n) AS BIGINT) AS n_vecs,
-           LIST(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY dim) AS centroid
-    FROM comp GROUP BY grp
+    SELECT grp AS label,
+           CAST(MAX(n) OVER (PARTITION BY grp) AS BIGINT) AS n_vecs,
+           CAST(dim AS BIGINT) AS dim,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS centroid_val
+    FROM comp
     """,
 )
 def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
@@ -2441,8 +2465,17 @@ def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     the dense-vector reduction whose shuffle carries |groups| x dim
     partials regardless of corpus size. Exact oracle: component sums
     accumulate in DECIMAL(27,12), one double division + round at the
-    end, so both engines emit identical arrays."""
-    return similarity.group_centroids(load_table(spark, sf, "embeddings"))
+    end, so both engines emit identical values.
+
+    Driver-interface note: the operator emits (label, n_vecs, centroid
+    ARRAY<DOUBLE>); the wrapper posexplodes the centroid to one
+    (label, n_vecs, dim, centroid_val) row per component — the driver's
+    pandas canonicalizer cannot sort list columns (the r3 `err`
+    failure mode on the sibling embedding queries)."""
+    out = similarity.group_centroids(load_table(spark, sf, "embeddings"))
+    return out.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("dim", "centroid_val")
+    ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
 @query(
@@ -2536,13 +2569,16 @@ from sales_data_warehouse_spark.operators.profile import profile_table  # noqa: 
              CAST(MAX(o_totalprice) AS VARCHAR) AS tp_max
       FROM orders
     )
-    SELECT 'o_custkey' AS "column", n AS n_rows, cust_null AS n_null,
+    SELECT 'o_custkey' AS "column", n AS n_rows,
+           CAST(cust_null AS BIGINT) AS n_null,
            cust_dist AS n_distinct, cust_min AS min_value,
            cust_max AS max_value FROM a
     UNION ALL
-    SELECT 'o_orderstatus', n, st_null, st_dist, st_min, st_max FROM a
+    SELECT 'o_orderstatus', n, CAST(st_null AS BIGINT), st_dist,
+           st_min, st_max FROM a
     UNION ALL
-    SELECT 'o_totalprice', n, tp_null, tp_dist, tp_min, tp_max FROM a
+    SELECT 'o_totalprice', n, CAST(tp_null AS BIGINT), tp_dist,
+           tp_min, tp_max FROM a
     """,
 )
 def table_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -3517,16 +3553,27 @@ def union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, ROUND(sc, 6) AS scale,
-           CASE WHEN sc > 0
-                THEN LIST_TRANSFORM(v, x -> CAST(ROUND(x / sc) AS INT))
-                ELSE NULL END AS qvec
-    FROM s
+           CAST(i - 1 AS BIGINT) AS dim,
+           CAST(ROUND(v[i] / sc) AS INT) AS q
+    FROM (SELECT vec_id, sc, v,
+                 UNNEST(GENERATE_SERIES(1, LEN(v))) AS i
+          FROM s WHERE sc > 0)
     """,
 )
 def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 embedding quantization (scale = max|x|/127) — the
-    storage representation an ANN shard uses at 100 TB."""
-    return similarity.quantize_embeddings(load_table(spark, sf, "embeddings"))
+    storage representation an ANN shard uses at 100 TB.
+
+    Driver-interface note: the operator emits (vec_id, scale, qvec
+    ARRAY<INT>); the wrapper posexplodes to (vec_id, scale, dim, q)
+    rows because the driver's pandas canonicalizer cannot sort list
+    columns (r3 `err` row). Zero-scale vectors (NULL qvec) carry no
+    exploded rows on either engine — the testdata has none; the
+    NULL-qvec contract itself is pinned by tests/test_similarity.py."""
+    out = similarity.quantize_embeddings(load_table(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("dim", "q")
+    ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
 @query(
@@ -3540,18 +3587,29 @@ def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id, v, SQRT(LIST_DOT_PRODUCT(v, v)) AS nrm FROM s
     )
     SELECT vec_id, ROUND(nrm, 6) AS prefix_norm,
-           CASE WHEN nrm > 0
-                THEN LIST_TRANSFORM(v, x -> ROUND(x / nrm, 6))
-                ELSE NULL END AS unit_prefix
-    FROM n
+           CAST(i - 1 AS BIGINT) AS dim,
+           ROUND(v[i] / nrm, 6) AS unit_val
+    FROM (SELECT vec_id, nrm, v,
+                 UNNEST(GENERATE_SERIES(1, LEN(v))) AS i
+          FROM n WHERE nrm > 0)
     """,
 )
 def embedding_truncate(spark: SparkSession, sf: str) -> DataFrame:
     """Matryoshka truncation to 16 dims + re-normalization — coarse
-    retrieval representation; full vectors stay for rerank."""
-    return similarity.truncate_embeddings(
+    retrieval representation; full vectors stay for rerank.
+
+    Driver-interface note: the operator emits (vec_id, prefix_norm,
+    unit_prefix ARRAY<DOUBLE>); the wrapper posexplodes to
+    (vec_id, prefix_norm, dim, unit_val) rows — the driver's pandas
+    canonicalizer cannot sort list columns (r3 `err` row). Zero-norm
+    prefixes (NULL unit_prefix) carry no exploded rows on either
+    engine; the NULL contract is pinned by tests/test_similarity.py."""
+    out = similarity.truncate_embeddings(
         load_table(spark, sf, "embeddings"), dims=16
     )
+    return out.select(
+        "vec_id", "prefix_norm", F.posexplode("unit_prefix").alias("dim", "unit_val")
+    ).withColumn("dim", F.col("dim").cast("bigint"))
 
 
 @query(
@@ -4240,73 +4298,79 @@ def basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
-# (CORRECTNESS_r01/r02 both equal registration positions 0-49).  Rounds
-# 1-2 gave two consecutive green driver rows to the originally-first 50;
-# the 54 entries registered after them (the ANN / text / chunking /
-# sampling / multimodal / timeseries / subquery extension surface) had
-# only the local DuckDB-parity twin (tests/test_oracle_parity.py, same
-# strictness, green for all 104).  Round 3 rotates those into slots
-# 0-49 so they earn hard driver rows; everything else (the double-green
-# 50 plus four plain-SQL entries whose immediate siblings are
-# double-green: full_outer_join, union_by_name_missing,
-# window_cume_dist, topk_rank_ties) keeps the local twin as its
-# regression guard.
+# (CORRECTNESS_r01-r03 all equal registration positions 0-49).  Round-4
+# window, closing the book on full-corpus driver coverage:
+#
+# * slots 0-5: the six r3 red rows, fixed this round at the harness
+#   interface (array outputs exploded to rows; two oracle SUMs cast to
+#   BIGINT) — they need hard green confirmation;
+# * slots 6-18: the 13 entries that have NEVER had a driver row
+#   (registered after the r3 rotation froze);
+# * slots 19-49: the 31 least-recently-verified entries whose last
+#   driver row is r2, preferring those whose implementation changed
+#   since (asof envelope prefilter, ngram df-cap, eager-agg multiway
+#   join, dedup family) — the 19 left out are the simplest pure-SQL
+#   scan/agg/window/set entries, double-green in r1+r2 and still pinned
+#   by the local parity twin every round.
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    "text_quality",
-    "language_id",
-    "doc_fingerprint",
-    "token_counting",
-    "corpus_filter_pipeline",
-    "doc_winnowing",
-    "token_frequencies",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_stats",
-    "multimodal_decode",
-    "multimodal_frame_sample",
+    # -- r3 red rows, fixed this round -------------------------------
     "multimodal_features",
-    "doc_chunking",
-    "doc_sequence_packing",
-    "doc_pii_scrub",
-    "stratified_sample",
-    "mixture_interleave",
     "embedding_normalize",
-    "table_profile",
-    "bpe_pair_counts",
-    "range_join_weeks",
-    "hypertable_rollup",
-    "sketch_union_rollup",
-    "scalar_subquery_share",
-    "exists_subquery_orders",
-    "in_subquery_big_orders",
-    "not_exists_customers",
-    "multimodal_audio_windows",
-    "funnel_conversion",
-    "retention_cohorts",
-    "gap_fill_locf",
-    "value_histogram",
-    "repetition_quality",
-    "tfidf_top_terms",
-    "decontaminate_ngrams",
-    "token_budget_select",
-    "rolling_range_avg",
-    "zscore_outliers",
-    "set_except_all",
-    "set_intersect_all",
-    "fuzzy_name_match",
     "embedding_quantize",
     "embedding_truncate",
-    "topk_unshipped_revenue",
-    "session_stats",
-    "attribution_last_touch",
-    "skew_salted_join",
-    "trend_slope_per_user",
+    "doc_sequence_packing",
+    "table_profile",
+    # -- never driver-checked ----------------------------------------
+    "embedding_centroids",
+    "semantic_outliers",
+    "source_overlap_matrix",
+    "window_cume_dist",
+    "topk_rank_ties",
+    "full_outer_join",
+    "union_by_name_missing",
+    "session_funnel",
+    "rolling_active_users",
+    "user_paths",
+    "rfm_segmentation",
+    "cohort_ltv",
+    "basket_affinity",
+    # -- last driver row r2; code changed since or non-trivial plans --
+    "join_multiway",
+    "join_composite_key",
+    "dense_cube_crossjoin",
+    "asof_join_pricelist",
+    "window_dense_rank",
+    "window_top1_per_group",
+    "rollup_revenue",
+    "cube_quantity",
+    "grouping_sets_revenue",
+    "pivot_status_by_year",
+    "approx_sketches",
+    "unpivot_lineitem_metrics",
+    "date_spine",
+    "time_hierarchy",
+    "cleanse_reject_routing",
+    "location_hierarchy",
+    "scd2_versions",
+    "tumbling_window_agg",
+    "sliding_window_rate",
+    "json_props_extract",
+    "sessionize",
+    "train_test_split",
+    "ntile_buckets",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_clusters_star",
 )
 
 

@@ -27,3 +27,29 @@ def test_every_query_has_an_oracle():
     # driver window doesn't
     missing = [n for n in QUERIES if n not in ORACLE]
     assert not missing, missing
+
+
+def test_no_complex_typed_output_columns(spark):
+    """The driver's pandas canonicalizer sort_values-crashes on
+    list-typed columns (r3: 4 `err` rows, `unhashable type: 'list'`).
+    Gate EVERY corpus query's output schema — plan analysis only, no
+    execution — so an array/map/struct/binary top-level column is
+    red-flagged here before the driver ever sees it. Operators may
+    still return arrays; their corpus wrappers must explode or
+    serialize them."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.BinaryType),
+            )
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"driver-incompatible output columns: {bad}"
