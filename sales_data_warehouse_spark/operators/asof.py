@@ -19,6 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: (applicationId, plan semanticHash) -> right-side row count. The
+#: broadcast guard's count is pure plan metadata within one Spark
+#: application (same files-immutable assumption as the corpus table
+#: cache), so repeated asof calls over the same versioned side — the
+#: common shape: one price list, many fact queries — pay the probe job
+#: once, not per call. Bounded by the number of distinct right-side
+#: plans in a session.
+_GUARD_COUNT_CACHE: dict[tuple[str, int], int] = {}
+
 
 def asof_join(
     left: DataFrame,
@@ -31,6 +40,7 @@ def asof_join(
     broadcast_right: bool = True,
     unique_left: bool = False,
     broadcast_row_limit: int | None = None,
+    envelope_prefilter: bool = False,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' = least
@@ -50,31 +60,60 @@ def asof_join(
     broadcasting a huge versioned side: when set and ``right`` exceeds
     that many rows, the call raises with a pointer to
     :func:`asof_join_grouped`, the both-sides-huge path. The probe is
-    bounded (limit+1 semantics) but EXECUTES the right side's plan, so
-    enable it when ``right`` is a table scan or cheap derivation —
-    probing a derived pipeline (e.g. an SCD2 build) re-runs that
-    pipeline per call. Left None, broadcasting a too-big side fails at
-    Spark's own broadcast limits rather than silently succeeding.
+    one ``count()`` job — a narrow full pass whose partial aggregation
+    ships ONE row per partition (the previous ``limit(N+1).count()``
+    formulation planned LocalLimit -> single-partition exchange ->
+    GlobalLimit, shipping up to N+1 rows from every partition through
+    the shuffle). The pass is bounded by what the broadcast hash-
+    relation build itself would scan, and the result is memoized per
+    (application, plan) so repeated calls over the same versioned side
+    don't re-pay it. Probing a derived pipeline (e.g. an SCD2 build)
+    still executes that pipeline once — leave None there, and
+    broadcasting a too-big side fails at Spark's own broadcast limits
+    rather than silently succeeding.
+
+    ``envelope_prefilter=True`` prunes right-side versions that cannot
+    match ANY left row before the join: for backward joins, versions
+    effective after the left's global max ``left_ts`` (for forward,
+    before the global min). Costs one tiny left-side min/max aggregate
+    broadcast into the filter. Worth it when the versioned side's
+    history extends past the fact window (e.g. pricing a January batch
+    against a multi-year price list); a no-op when versions already sit
+    inside the envelope.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
 
     if broadcast_right and broadcast_row_limit is not None:
-        # bounded probe: CollectLimitExec stops scanning once limit+1
-        # rows exist, so this costs ~one partition on dimension-sized
-        # rights and never scans a huge right side end-to-end.
-        over = (
-            right.select(F.lit(1).alias("__one"))
-            .limit(broadcast_row_limit + 1)
-            .count()
-        )
-        if over > broadcast_row_limit:
+        sc_app = left.sparkSession.sparkContext.applicationId
+        key = (sc_app, right.semanticHash())
+        n_right = _GUARD_COUNT_CACHE.get(key)
+        if n_right is None:
+            n_right = right.count()
+            _GUARD_COUNT_CACHE[key] = n_right
+        if n_right > broadcast_row_limit:
             raise ValueError(
                 f"asof_join: right side exceeds the broadcast guard of "
                 f"{broadcast_row_limit} rows; use asof_join_grouped "
                 "(cogrouped merge_asof) or pass broadcast_right=False "
                 "for a shuffle join"
             )
+
+    if envelope_prefilter:
+        # 1-row aggregate broadcast into a theta-join filter: prunes
+        # versions outside the left's reachable time envelope before
+        # the broadcast build. Backward can only bound from above (an
+        # arbitrarily old version may still be some row's as-of match);
+        # forward only from below.
+        if direction == "backward":
+            bound = left.agg(F.max(left_ts).alias("__env"))
+            keep = F.col(right_ts) <= F.col("__env")
+        else:
+            bound = left.agg(F.min(left_ts).alias("__env"))
+            keep = F.col(right_ts) >= F.col("__env")
+        right = (
+            right.join(F.broadcast(bound), keep, "inner").drop("__env")
+        )
 
     lid = "__asof_left_id"
     if unique_left:

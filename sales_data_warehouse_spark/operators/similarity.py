@@ -63,17 +63,59 @@ def _rowwise_cosine(qv: Column, cv: Column) -> Column:
 
         if not len(q):
             return pd.Series([], dtype="float64")
-        qm = np.stack(q.to_numpy()).astype("float64")
-        cm = np.stack(c.to_numpy()).astype("float64")
-        n, dim = qm.shape
-        dot = np.zeros(n)
-        qq = np.zeros(n)
-        cc = np.zeros(n)
-        for d in range(dim):
-            dot += qm[:, d] * cm[:, d]
-            qq += qm[:, d] * qm[:, d]
-            cc += cm[:, d] * cm[:, d]
-        return pd.Series(dot / (np.sqrt(qq) * np.sqrt(cc)))
+
+        def dense(qm, cm):
+            n, dim = qm.shape
+            dot = np.zeros(n)
+            qq = np.zeros(n)
+            cc = np.zeros(n)
+            for d in range(dim):
+                dot += qm[:, d] * cm[:, d]
+                qq += qm[:, d] * qm[:, d]
+                cc += cm[:, d] * cm[:, d]
+            return dot / (np.sqrt(qq) * np.sqrt(cc))
+
+        qa, ca = q.to_numpy(), c.to_numpy()
+        try:
+            # fast path: clean fixed-dim batch stacks directly (an
+            # all-NULL batch stacks to 1-D without raising — the ndim
+            # guard routes it to the fallback too)
+            qm = np.stack(qa).astype("float64")
+            cm = np.stack(ca).astype("float64")
+            if qm.ndim != 2 or cm.ndim != 2:
+                raise ValueError("non-rectangular batch")
+            return pd.Series(dense(qm, cm))
+        except (TypeError, ValueError):
+            # NULL vectors / ragged dims in the batch: np.stack raises.
+            # Propagate NULL per offending row (the HOF-dot contract the
+            # vectorized kernel replaced) instead of failing the query;
+            # valid rows are re-batched by dimension so a single stray
+            # null never degrades the whole batch to per-row work.
+            def bad(x, y):
+                return (
+                    x is None or y is None
+                    or len(x) != len(y) or len(x) == 0
+                    or pd.isnull(np.asarray(x, dtype="object")).any()
+                    or pd.isnull(np.asarray(y, dtype="object")).any()
+                )
+
+            from collections import defaultdict
+
+            by_dim: dict[int, list[int]] = defaultdict(list)
+            invalid = []
+            for i, (x, y) in enumerate(zip(qa, ca)):
+                (invalid.append(i) if bad(x, y)
+                 else by_dim[len(x)].append(i))
+            out = np.full(len(qa), np.nan)
+            for idxs in by_dim.values():
+                out[np.asarray(idxs)] = dense(
+                    np.stack([qa[i] for i in idxs]).astype("float64"),
+                    np.stack([ca[i] for i in idxs]).astype("float64"),
+                )
+            res = pd.Series(out)
+            if invalid:
+                res.iloc[np.asarray(invalid)] = None
+            return res
 
     return _cos(qv, cv)
 
@@ -226,14 +268,46 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
 
         if not len(v):
             return pd.Series([], dtype="int64")
-        vm = np.stack(v.to_numpy()).astype("float64")  # (n, dim)
-        dots = np.zeros((vm.shape[0], pm.shape[0]))
-        for d in range(pm.shape[1]):
-            dots += np.multiply.outer(vm[:, d], pm[:, d])
-        bits = (dots > 0).astype("int64") << np.arange(
-            pm.shape[0], dtype="int64"
-        )
-        return pd.Series(bits.sum(axis=1))
+
+        def sigs(vm):  # (n, dim) -> (n,) bucket ids
+            dots = np.zeros((vm.shape[0], pm.shape[0]))
+            for d in range(pm.shape[1]):
+                dots += np.multiply.outer(vm[:, d], pm[:, d])
+            bits = (dots > 0).astype("int64") << np.arange(
+                pm.shape[0], dtype="int64"
+            )
+            return bits.sum(axis=1)
+
+        va = v.to_numpy()
+        try:
+            # fast path: clean fixed-dim batch stacks directly (an
+            # all-NULL batch stacks to 1-D without raising — the ndim/
+            # dim guard routes it to the fallback too)
+            vm = np.stack(va).astype("float64")
+            if vm.ndim != 2 or vm.shape[1] != pm.shape[1]:
+                raise ValueError("non-rectangular or wrong-dim batch")
+            return pd.Series(sigs(vm))
+        except (TypeError, ValueError):
+            # NULL / ragged / wrong-dim vectors: bucket them as NULL
+            # (they can never be scored anyway) instead of failing the
+            # whole query on one bad row.
+            dim = pm.shape[1]
+
+            def bad(x):
+                return (
+                    x is None or len(x) != dim
+                    or pd.isnull(np.asarray(x, dtype="object")).any()
+                )
+
+            mask = np.array([not bad(x) for x in va])
+            out = pd.array([None] * len(va), dtype="Int64")
+            if mask.any():
+                out[mask] = sigs(
+                    np.stack([x for x, m in zip(va, mask) if m]).astype(
+                        "float64"
+                    )
+                )
+            return pd.Series(out)
 
     return _sig(vec)
 

@@ -223,3 +223,57 @@ def test_group_centroids_mean_and_shape(spark):
     }
     assert got["a"] == (2, [2.0, 1.0, 2.0])
     assert got["b"] == (1, [5.0, 5.0, 5.0])
+
+
+def test_rowwise_cosine_null_and_ragged_rows(spark):
+    """A NULL or ragged vector must yield NULL for that row only — the
+    HOF-dot contract — not fail the whole Arrow batch (the vectorized
+    kernel's np.stack raises on mixed batches; the fallback re-batches
+    valid rows by dimension)."""
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators.similarity import (
+        _rowwise_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),     # cos = 1
+        (2, None, [1.0, 0.0]),           # null left
+        (3, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),  # ragged dim, cos = 0
+        (4, [1.0, 1.0], None),           # null right
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a array<double>, b array<double>"
+    )
+    got = {
+        r["id"]: r["cos"]
+        for r in df.select(
+            "id", _rowwise_cosine(F.col("a"), F.col("b")).alias("cos")
+        ).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] is None
+    assert got[3] == 0.0
+    assert got[4] is None
+
+
+def test_bucket_expr_null_vector_buckets_null(spark):
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators.similarity import (
+        _bucket_expr,
+        _planes,
+    )
+
+    planes = _planes(4, 3)
+    rows = [(1, [1.0, 2.0, 3.0]), (2, None), (3, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    got = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", _bucket_expr(F.col("v"), planes).alias("sig")
+        ).collect()
+    }
+    assert isinstance(got[1], int)
+    assert got[2] is None  # NULL vector
+    assert got[3] is None  # wrong dimensionality
