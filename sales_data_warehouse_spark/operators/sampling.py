@@ -181,3 +181,49 @@ def token_budget_select(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+#: Second multiplicative constant for epoch mixing (2^32 / phi, odd).
+HASH_B = 2654435769
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: a reproducible pseudo-random
+    permutation of the corpus per epoch, materialized as
+    ``(shard, pos_in_shard, shuffle_key, doc_id)``.
+
+    The data-loader contract at 100 TB: every worker must agree on the
+    epoch-e order without coordination or stored RNG state, and
+    re-running the job must yield the identical order. The key is pure
+    BIGINT arithmetic — ``((id % P + P) % P * A + (epoch % P) * B) mod
+    2^32`` — so any engine replays it exactly (same discipline as
+    ``permille_hash``); changing ``epoch`` re-permutes.
+
+    Scale shape: shard assignment is a flat map (key % n_shards); the
+    within-shard position is one window per shard — parallelism equals
+    ``n_shards``, which IS the output layout (one training stream per
+    shard file), so the sort work is exactly the per-shard ordering the
+    loader needs anyway and no global total order is ever built. Ties
+    (two ids with equal key) break by id: (key, id) is unique.
+    """
+    key = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), HASH_P) * HASH_A
+        + F.pmod(F.lit(epoch).cast("bigint"), HASH_P) * HASH_B,
+        4294967296,
+    )
+    base = docs.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+    ).withColumn("shard", F.pmod(F.col("shuffle_key"), n_shards))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return base.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        "shuffle_key",
+        id_col,
+    )

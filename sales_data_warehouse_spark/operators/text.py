@@ -376,3 +376,199 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "score_ppm")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact_ppm: bool = True,
+) -> DataFrame:
+    """BM25 document ranking for a fixed term query — the lexical
+    retrieval scorer (the other half of a RAG stack next to the ANN
+    operators in ``similarity``).
+
+    Two scoring modes:
+
+    * ``exact_ppm=True`` (default, what the corpus oracle verifies):
+      every factor is exact 64-bit integer arithmetic. The tf
+      saturation ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` is
+      rewritten over the common denominator ``D*T`` (``T`` = total
+      corpus tokens, ``N`` = doc count, ``D`` = 10*100 from the
+      rational constants k1 = k1_tenths/10, b = b_hundredths/100), and
+      the idf is the Robertson ratio WITHOUT the log —
+      ``(2N - 2df + 1) / (2df + 1)`` — because ``ln`` is not
+      bit-identical between the JVM and C libm (measured: 279/500
+      inputs differ in the last ulp), exactly the near-tie hazard the
+      ``tfidf_top_terms`` docstring records. Per-term score lands as
+      ``score_ppm = num * 1_000_000 DIV den`` and the per-doc sum of
+      integer ppms is order-independent — bit-identical on any engine.
+      Overflow bound: num < 2^63 needs ``(2N+1) * (k1+1)*D*T * tf * 1e6
+      < 9.2e18`` — fine to ~1e9 corpus tokens; beyond that use the
+      double mode (no oracle needs it) or widen to DECIMAL(38,0).
+    * ``exact_ppm=False``: textbook BM25 with ``ln(1 + (N-df+0.5)/
+      (df+0.5))`` idf in doubles — the scores users expect to eyeball,
+      not cross-engine hash-stable.
+
+    Plan: one token explode filtered to the query terms BEFORE any
+    shuffle (the scan emits only |query|-matching tokens), tf =
+    groupBy(doc, term); df and the corpus stats are tiny aggregates
+    broadcast back; one final groupBy(doc) sums term scores; global
+    top-k via the usual window. Nothing document-sized shuffles except
+    the matching (doc, term) pairs.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        # MAX not FIRST: dl is constant within a doc, but FIRST over a
+        # grouped agg is formally nondeterministic (same rationale as
+        # group_centroids.n_vecs)
+        F.max("dl").alias("dl"),
+    )
+    # corpus stats: N docs, T total tokens — one 1-row broadcast
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("t_tokens"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    if exact_ppm:
+        # common-denominator integer rewrite (see docstring):
+        #   tfpart = (k1+1)*D*T*tf / (D*T*tf + (D - k1d*b_h)*k1_t'*T + k1*b*D*dl*N/avgdl-term)
+        # with k1 = k1_tenths/10, b = b_hundredths/100, D = 1000:
+        #   denom_t = 1000*T*tf + k1_tenths*(100 - b_hundredths)*T
+        #             + k1_tenths*b_hundredths*dl*N
+        #   num_t   = (10 + k1_tenths)*100*T*tf
+        # idf ratio = (2N - 2df + 1)/(2df + 1)
+        num = (
+            (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
+            * F.lit((10 + k1_tenths) * 100)
+            * F.col("t_tokens")
+            * F.col("tf")
+        )
+        den = (
+            (F.lit(2) * F.col("df") + F.lit(1))
+            * (
+                F.lit(1000) * F.col("t_tokens") * F.col("tf")
+                + F.lit(k1_tenths * (100 - b_hundredths)) * F.col("t_tokens")
+                + F.lit(k1_tenths * b_hundredths)
+                * F.col("dl")
+                * F.col("n_docs")
+            )
+        )
+        # integer DIV — mirrored by DuckDB's // in the oracle
+        scored = (
+            scored.withColumn("_num", num)
+            .withColumn("_den", den)
+            .withColumn("score_ppm", F.expr("_num * 1000000L DIV _den"))
+        )
+        per_doc = scored.groupBy(id_col).agg(
+            F.sum("score_ppm").cast("bigint").alias("score_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        order = [F.col("score_ppm").desc(), F.col(id_col).asc()]
+        out_cols = [id_col, "n_terms_hit", "score_ppm"]
+    else:
+        k1 = k1_tenths / 10.0
+        b = b_hundredths / 100.0
+        avgdl = F.col("t_tokens") / F.col("n_docs")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tfpart = (F.col("tf") * F.lit(k1 + 1)) / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+        scored = scored.withColumn("_s", idf * tfpart)
+        per_doc = scored.groupBy(id_col).agg(
+            F.round(F.sum("_s"), 6).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        order = [F.col("score").desc(), F.col(id_col).asc()]
+        out_cols = [id_col, "n_terms_hit", "score"]
+    w = Window.orderBy(*order)
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("rank", *out_cols)
+    )
+
+
+#: quality_logit weights, integer milli-units — w · features_ppm / 1000.
+#: Chosen to reward stopword density (real prose) and penalize
+#: punctuation density and extreme length; published as constants so the
+#: score is a documented, replayable contract rather than a model blob.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias_milli": -500,
+    "per_token_milli": 2,  # longer docs mildly preferred
+    "punct_ppm_milli_per_k": -40,  # punct_ppm/1000 * this
+    "stop_ppm_milli_per_k": 90,  # stop_ppm/1000 * this
+}
+
+
+def quality_logit(
+    docs: DataFrame,
+    keep_threshold_milli: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear quality classifier over the ``text_quality`` features,
+    entirely in scaled-integer space: ratios become exact ppm integers
+    (``n*1e6 DIV d``), weights are integer milli-units, and the logit is
+    an integer sum — bit-identical across engines with no float in
+    sight (``exp``/``ln`` differ between JVM and libm in the last ulp;
+    measured, see ``bm25_topk``). The sigmoid is monotone, so
+    thresholding the logit IS thresholding the probability — the
+    keep/drop decision needs no transcendental math.
+
+    Output: (doc_id, n_tokens, punct_ppm, stop_ppm, logit_milli, keep).
+    One scan, no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tok = token_count(t)
+    no_punct = F.regexp_replace(t, PUNCT_CLASS, "")
+    n_punct = (F.length(t) - F.length(no_punct)).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(LANG_STOPWORDS["en"]))
+    ).cast("bigint")
+    w = QUALITY_LOGIT_WEIGHTS
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (n_punct * F.lit(1_000_000)).alias("_pp_num"),
+        n_chars.alias("_nc"),
+        (n_stop * F.lit(1_000_000)).alias("_sp_num"),
+    )
+    base = base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("_pp_num DIV _nc").alias("punct_ppm"),
+        F.expr("_sp_num DIV n_tokens").alias("stop_ppm"),
+    )
+    logit = (
+        F.lit(w["bias_milli"])
+        + F.lit(w["per_token_milli"]) * F.col("n_tokens")
+        + F.lit(w["punct_ppm_milli_per_k"])
+        * F.expr("punct_ppm DIV 1000")
+        + F.lit(w["stop_ppm_milli_per_k"]) * F.expr("stop_ppm DIV 1000")
+    ).cast("bigint")
+    return base.withColumn("logit_milli", logit).withColumn(
+        "keep", F.col("logit_milli") >= keep_threshold_milli
+    )

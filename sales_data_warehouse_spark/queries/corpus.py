@@ -4309,6 +4309,134 @@ def basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lexical retrieval / training-order shuffle / quality classifier
+# ---------------------------------------------------------------------------
+
+@query(
+    "bm25_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS dl,
+             UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')))
+                  AS BIGINT) AS t_tokens
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(MAX(dl) AS BIGINT) AS dl
+      FROM tok WHERE term IN ('spark', 'window', 'hash')
+      GROUP BY 1, 2
+    ),
+    dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             ((2 * s.n_docs - 2 * d.df + 1) * 2200 * s.t_tokens * t.tf
+              * 1000000)
+             // ((2 * d.df + 1)
+                 * (1000 * s.t_tokens * t.tf + 300 * s.t_tokens
+                    + 900 * t.dl * s.n_docs)) AS score_ppm
+      FROM tf t JOIN dfx d USING (term), stats s
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(score_ppm) AS BIGINT) AS score_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, n_terms_hit, score_ppm
+    FROM agg ORDER BY rank LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-10 for a fixed 3-term query, in the
+    exact integer-ppm mode (rational idf + common-denominator tf
+    saturation — ``ln`` differs between JVM and libm in the last ulp,
+    so the verified score is transcendental-free; see
+    ``text.bm25_topk``). The scan emits only query-matching tokens, the
+    stats/df sides broadcast, and the top-k window runs over per-doc
+    aggregates only."""
+    return text.bm25_topk(
+        load_table(spark, sf, "documents"),
+        ["spark", "window", "hash"],
+        k=10,
+    )
+
+
+@query(
+    "epoch_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761
+              + (1 % 1000003) * 2654435769) % 4294967296 AS shuffle_key
+      FROM documents
+    )
+    SELECT CAST(shuffle_key % 16 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shuffle_key % 16
+             ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard,
+           CAST(shuffle_key AS BIGINT) AS shuffle_key,
+           doc_id
+    FROM k
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch-1 training-order shuffle into 16 shards:
+    pure BIGINT multiplicative hashing (no RNG state), one window per
+    shard for the within-shard order — the reproducible data-loader
+    permutation at 100 TB (see ``sampling.epoch_shuffle``)."""
+    return sampling.epoch_shuffle(
+        load_table(spark, sf, "documents"), epoch=1, n_shards=16
+    )
+
+
+@query(
+    "quality_logit",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(LEN(REGEXP_EXTRACT_ALL(
+                    LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             CAST((n_punct * 1000000) // n_chars AS BIGINT) AS punct_ppm,
+             CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS stop_ppm
+      FROM f
+    )
+    SELECT doc_id, n_tokens, punct_ppm, stop_ppm,
+           CAST(-500 + 2 * n_tokens + (-40) * (punct_ppm // 1000)
+                + 90 * (stop_ppm // 1000) AS BIGINT) AS logit_milli,
+           (-500 + 2 * n_tokens + (-40) * (punct_ppm // 1000)
+            + 90 * (stop_ppm // 1000)) >= 0 AS keep
+    FROM p
+    """,
+)
+def quality_logit(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear quality classifier in scaled-integer space: ratio
+    features as exact ppm integers, published integer milli-weights,
+    integer logit, threshold keep/drop — bit-identical across engines
+    with no transcendental math (the sigmoid is monotone, so the
+    threshold needs none; see ``text.quality_logit``)."""
+    return text.quality_logit(load_table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
