@@ -193,12 +193,19 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             fh.write(fp)
 
     out: dict[str, float] = {}
+    # min-of-2, matching the base timings: a single run folds fresh
+    # plan-compile/codegen cost into the sf1 number while the base it's
+    # divided by is a warm min — which inflated scale ratios (r4 found
+    # join_composite_key reported 13.15x where the warm ratio is ~8x).
     for name in SF1_SET:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf1_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
 
     # the exact-pair entries above are O(n^2) BY DESIGN (all-pairs
     # cosine / exact top-k); the approximate path is what must scale —

