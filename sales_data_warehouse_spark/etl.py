@@ -57,7 +57,16 @@ def run_etl(
     When ``output_dir`` is set, each stage is written as parquet (the
     fact partitioned by month for partition pruning on time slices).
     """
+    from pyspark import StorageLevel
+
     landing = ingest_csv(spark, csv_path)
+    # Persist the parsed CSV: the cleansed and invalid branches (plus the
+    # max-id subplan) each consume landing, and without a persist every
+    # branch re-parses the file — the invalid write alone re-ran the full
+    # ingest+cleanse (measured 0.58 s of a 3.56 s run on the reference
+    # CSV). MEMORY_AND_DISK spills rather than OOMs at 100 TB; released
+    # below once both outputs are materialized.
+    landing = landing.persist(StorageLevel.MEMORY_AND_DISK)
     cleansed, invalid = cleanse(landing)
     if output_dir:
         # Materialize cleansed once: three dims + fact all consume it.
@@ -75,6 +84,10 @@ def run_etl(
         # parquet: the fact (and dense cube) otherwise re-executes every
         # dimension's window pipeline once per downstream action.
         write_table(invalid, f"{output_dir}/invalid")
+        # both landing consumers (cleansed, invalid) are materialized;
+        # drop the cached parse. Blocking=False: eviction is async, the
+        # returned landing plan stays valid (recomputes if re-used).
+        landing.unpersist()
         write_table(time_dim, f"{output_dir}/time_dimension")
         write_table(loc_dim, f"{output_dir}/location_dimension")
         write_table(prod_dim, f"{output_dir}/product_dimension")
