@@ -227,3 +227,37 @@ def epoch_shuffle(
         "shuffle_key",
         id_col,
     )
+
+
+def temperature_rates_permille(
+    weights: dict[str, float], temperature: float
+) -> dict[str, int]:
+    """Per-source keep rates (permille) for temperature-scaled mixture
+    sampling: rate_s ∝ w_s^(1/T), normalized so the largest source keeps
+    everything. T=1 reproduces the raw weights; T→∞ flattens toward
+    uniform — the standard knob for up-weighting low-resource sources.
+
+    Computed driver-side in Python floats and rounded to integer
+    permille ONCE, so the distributed decision (`permille_hash` <
+    rate) is pure BIGINT arithmetic and the same literal rates can be
+    embedded verbatim in a SQL oracle."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0: {temperature}")
+    powered = {s: w ** (1.0 / temperature) for s, w in weights.items()}
+    top = max(powered.values())
+    return {s: round(1000 * p / top) for s, p in powered.items()}
+
+
+def temperature_sample(
+    docs: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    temperature: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixture: keep each source at permille
+    rate ∝ weight^(1/T) (largest source kept fully), decided by the
+    deterministic id hash — `stratified_sample` with rates derived from
+    the temperature schedule. Flat map, no shuffle, replayable."""
+    rates = temperature_rates_permille(weights, temperature)
+    return stratified_sample(docs, F.col(source_col), rates, id_col)

@@ -4445,6 +4445,46 @@ def quality_logit(spark: SparkSession, sf: str) -> DataFrame:
     return text.quality_logit(load_table(spark, sf, "documents"))
 
 
+@query(
+    "temperature_mixture",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'web'
+                  WHEN doc_id % 3 = 1 THEN 'books'
+                  ELSE 'code' END AS stratum,
+             ((doc_id % 1000003 + 1000003) % 1000003) * 2654435761
+               % 4294967296 % 1000 AS h
+      FROM documents
+    )
+    SELECT doc_id, stratum FROM t
+    WHERE h < CASE stratum WHEN 'web' THEN 1000
+                           WHEN 'books' THEN 707 ELSE 408 END
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (T=2 over 0.6/0.3/0.1 source
+    weights): keep rates ∝ w^(1/T), computed once driver-side and
+    applied via the deterministic permille hash — the low-resource
+    up-weighting schedule of multilingual/multi-domain pre-training.
+    The oracle's literal rates (1000/707/408) are the same integers
+    ``temperature_rates_permille`` produces, pinned by
+    tests/test_sampling.py."""
+    d = load_table(spark, sf, "documents")
+    src = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    out = sampling.temperature_sample(
+        d.withColumn("_grp", src),
+        "_grp",
+        {"web": 0.6, "books": 0.3, "code": 0.1},
+        temperature=2.0,
+    )
+    return out.select("doc_id", "stratum")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------

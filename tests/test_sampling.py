@@ -114,3 +114,53 @@ def test_interleave_two_phase_matches_naive_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_temperature_rates_schedule():
+    from sales_data_warehouse_spark.operators.sampling import (
+        temperature_rates_permille,
+    )
+
+    w = {"web": 0.6, "books": 0.3, "code": 0.1}
+    # T=1 reproduces raw relative weights; largest keeps all
+    assert temperature_rates_permille(w, 1.0) == {
+        "web": 1000, "books": 500, "code": 167,
+    }
+    # T=2 compresses toward uniform (literals embedded in the corpus
+    # oracle — a change here must update temperature_mixture's SQL)
+    assert temperature_rates_permille(w, 2.0) == {
+        "web": 1000, "books": 707, "code": 408,
+    }
+    # T -> inf flattens to uniform
+    assert temperature_rates_permille(w, 1e9) == {
+        "web": 1000, "books": 1000, "code": 1000,
+    }
+
+
+def test_temperature_sample_rates_realized(spark):
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = spark.range(0, 9000).withColumnRenamed("id", "doc_id")
+    src = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    out = temperature_sample(
+        docs.withColumn("grp", src), "grp",
+        {"web": 0.6, "books": 0.3, "code": 0.1}, temperature=2.0,
+    )
+    got = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got["web"] == 3000  # rate 1000 permille keeps all
+    # hash is pseudo-uniform: realized rates near 707/408 permille
+    assert abs(got["books"] - 3000 * 0.707) < 150
+    assert abs(got["code"] - 3000 * 0.408) < 150
