@@ -572,3 +572,106 @@ def quality_logit(
     return base.withColumn("logit_milli", logit).withColumn(
         "keep", F.col("logit_milli") >= keep_threshold_milli
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Distributed BPE tokenizer training: ``num_merges`` rounds of
+    merge-the-most-frequent-adjacent-pair, the iterative algorithm a
+    tokenizer build runs before any pre-training job.
+
+    Scale shape — the classical word-type factorization: state is the
+    DISTINCT-WORD table ``(word, count, syms)``, vocabulary-sized, not
+    corpus-sized; the corpus is scanned exactly once (to count word
+    types). Each round is two jobs over that small table: (1) explode
+    weighted adjacent pairs + one groupBy to find the argmax pair
+    (ties: count desc, then pair lexicographic — deterministic), a
+    single 5-field row collected to the driver (legitimately: it IS the
+    algorithm's sequential dependency); (2) a pure-JVM ``aggregate``
+    fold that rewrites each word's symbol array with the greedy
+    left-to-right non-overlapping merge. ``localCheckpoint`` truncates
+    the growing lineage each round — 100 rounds stay O(1) plan depth.
+
+    Returns ``(merges, vocab)``: the ordered merge table
+    ``[(round, left, right, merged, n_occurrences)]`` — the tokenizer
+    artifact — and the final ``(symbol, n_words, total_count)`` vocab
+    DataFrame.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # split into characters: the initial symbol alphabet (the
+        # lookahead also matches at end-of-string, so split leaves a
+        # trailing '' — drop it)
+        .withColumn(
+            "syms",
+            F.expr("filter(split(w, '(?!^)'), x -> x != '')"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    state = words
+    for rnd in range(1, num_merges + 1):
+        pairs = (
+            # filter BEFORE the transform: sequence(0, size-2) on a
+            # 1-symbol word is sequence(0, -1) which Spark evaluates
+            # descending to [0, -1] — garbage pairs, not an empty list
+            state.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.desc("n"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merged = a + b
+        merges.append((rnd, a, b, merged, n))
+        # greedy left-to-right non-overlapping merge as a pure-JVM fold:
+        # append x unless the running tail equals `a` and x equals `b`,
+        # in which case replace the tail with the merged symbol. The
+        # merged tail never re-merges in the same round (it no longer
+        # equals `a` unless a+b == a, impossible for non-empty b).
+        state = state.select(
+            "w",
+            "cnt",
+            F.expr(
+                "aggregate(syms, CAST(array() AS ARRAY<STRING>), "
+                "(acc, x) -> IF(size(acc) > 0 "
+                f"AND element_at(acc, -1) = {_sql_str(a)} "
+                f"AND x = {_sql_str(b)}, "
+                f"concat(slice(acc, 1, size(acc) - 1), "
+                f"array({_sql_str(merged)})), "
+                "concat(acc, array(x))))"
+            ).alias("syms"),
+        ).localCheckpoint()
+    vocab = (
+        state.select("cnt", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("total_count"),
+        )
+    )
+    return merges, vocab
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (escape embedded quotes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
