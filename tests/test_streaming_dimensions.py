@@ -1,0 +1,102 @@
+"""start_streaming_dimensions: two files drained through two separate
+availableNow queries (same checkpoint — a real restart) must yield the
+same dimensions as the batch pipeline over the full CSV."""
+
+from __future__ import annotations
+
+import shutil
+
+from sales_data_warehouse_spark.etl import run_etl
+from sales_data_warehouse_spark.streaming.dimensions import (
+    start_streaming_dimensions,
+)
+from tests.conftest import REFERENCE_CSV
+
+
+def _split_csv(tmp_path):
+    """Split the reference CSV by parsed order date (mirrors the
+    increment test's cut) into two drop-files."""
+    import re
+
+    raw = open(REFERENCE_CSV).read().splitlines()
+    header, body = raw[0], raw[1:]
+
+    def half(line: str) -> int:
+        m = re.search(r"(\d\d)/(\d\d)/(\d\d) \d\d:\d\d", line)
+        if not m:
+            return 1
+        mm, dd, yy = m.groups()
+        return 1 if f"20{yy}-{mm}-{dd}" <= "2019-01-15" else 2
+
+    f1 = tmp_path / "batch1.csv"
+    f2 = tmp_path / "batch2.csv"
+    f1.write_text(
+        "\n".join([header] + [l for l in body if half(l) == 1]) + "\n"
+    )
+    f2.write_text(
+        "\n".join([header] + [l for l in body if half(l) == 2]) + "\n"
+    )
+    return f1, f2
+
+
+def test_streaming_dimensions_match_batch(spark, tmp_path):
+    f1, f2 = _split_csv(tmp_path)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    wh = str(tmp_path / "wh")
+
+    # batch reference warehouse over the full CSV
+    full = run_etl(spark, REFERENCE_CSV, output_dir=str(tmp_path / "full"))
+
+    # micro-batch 1: first half
+    shutil.copy(f1, drop / "batch1.csv")
+    q = start_streaming_dimensions(spark, str(drop), wh, available_now=True)
+    q.awaitTermination()
+
+    mid_products = spark.read.parquet(f"{wh}/product_dimension").count()
+
+    # micro-batch 2 through a RESTARTED query on the same checkpoint:
+    # only the new file is processed, and the merges fold it in
+    shutil.copy(f2, drop / "batch2.csv")
+    q = start_streaming_dimensions(spark, str(drop), wh, available_now=True)
+    q.awaitTermination()
+
+    time_dim = spark.read.parquet(f"{wh}/time_dimension")
+    loc_dim = spark.read.parquet(f"{wh}/location_dimension")
+    prod_dim = spark.read.parquet(f"{wh}/product_dimension")
+
+    # time dimension: pure date functions -> bit-identical to batch
+    assert sorted(map(tuple, time_dim.collect())) == sorted(
+        map(tuple, full.time_dimension.collect())
+    )
+
+    # product SCD2: same version set after the merge (every version of
+    # the reference data happens to be seen by Jan 15, so the mid count
+    # can already equal the final one — the merge must not exceed it)
+    assert mid_products <= prod_dim.count() == full.product_dimension.count()
+    key = ["product_name", "price_each"]
+    assert (
+        prod_dim.select(*key)
+        .exceptAll(full.product_dimension.select(*key))
+        .count()
+        == 0
+    )
+
+    # location: same natural-key set, ids unique (append-stable, not
+    # necessarily equal to the batch build's numbering)
+    lkey = ["street_name", "city_name", "state_name", "postal"]
+    assert loc_dim.count() == full.location_dimension.count()
+    assert (
+        loc_dim.select(*lkey)
+        .exceptAll(full.location_dimension.select(*lkey))
+        .count()
+        == 0
+    )
+    assert (
+        loc_dim.select("location_id").distinct().count() == loc_dim.count()
+    )
+
+    # streaming cleanse keeps per-batch rows (no cross-batch DISTINCT):
+    # 9,681 pre-distinct valid rows
+    assert spark.read.parquet(f"{wh}/cleansed").count() == 9681
+    assert spark.read.parquet(f"{wh}/invalid").count() == 42
