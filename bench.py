@@ -76,6 +76,9 @@ SF1_SET = [
     "funnel_conversion",
     "dedup_exact",
     "repetition_quality",
+    # window + text-agg shapes (added r4 to broaden the curve)
+    "rolling_range_avg",
+    "tfidf_top_terms",
     # embedding surface: corpus vectors also scale 10x in the generator
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from sales_data_warehouse_spark.operators import (  # noqa: E402
     dedup,
+    sampling,
     text,
     timeseries,
 )
@@ -58,6 +59,13 @@ def main() -> None:
         "sessionize_agg": lambda: events.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
         ),
+        "bm25_topk": lambda: text.bm25_topk(
+            docs, ["spark", "window", "hash"], k=10
+        ),
+        "epoch_shuffle": lambda: sampling.epoch_shuffle(
+            docs, epoch=1, n_shards=64
+        ),
+        "quality_logit": lambda: text.quality_logit(docs),
     }
     out = {}
     for name, make in probes.items():
