@@ -1,0 +1,99 @@
+"""Small-files compaction for parquet tables.
+
+Incremental pipelines accrete files: ``run_etl_increment`` appends a
+few files per batch into each month partition, streaming sinks append
+per micro-batch — after a thousand batches a 100 TB table is millions
+of tiny files and every scan pays open/footer/seek costs per file
+(plus driver-side listing memory). Compaction rewrites a table (or one
+partition of it) into size-targeted files, optionally sorted so
+min/max footer stats prune within the partition.
+
+Shape at scale: ONE job per compaction — a scan, an exchange to
+``ceil(bytes / target)`` partitions (range exchange when sort columns
+are given: globally sorted output files with tight, non-overlapping
+min/max bounds — the same pruning contract as ``sources.zorder``, one
+dimension), and a write. The swap is rename-based via the Hadoop
+FileSystem API, so it works on any Hadoop-compatible store; the old
+data directory survives until the new one is fully written (crash
+before the swap leaves the table untouched; crash between renames is
+recoverable from ``path + '.compact_old'``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FS API (works for
+    local paths, HDFS, and object stores with Hadoop connectors)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str] | None = None,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite the parquet table at ``path`` into
+    ``ceil(total_bytes / target_file_mb)`` files; returns the new file
+    count. With ``sort_cols``, data is range-partitioned + sorted
+    within files so every output file covers a tight, non-overlapping
+    key range (footer min/max pruning).
+
+    The rewrite lands in ``path + '.compact_tmp'`` and is swapped in by
+    two renames — the source is never overwritten while a plan still
+    reads it, and a crash mid-way leaves either the old table intact or
+    both directories present for manual recovery.
+    """
+    total = table_bytes(spark, path)
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+
+    tmp = path + ".compact_tmp"
+    old = path + ".compact_old"
+    out.write.mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(P(old), True)
+    if not fs.rename(P(path), P(old)):
+        raise IOError(f"compact_table: could not stage {path} -> {old}")
+    if not fs.rename(P(tmp), P(path)):
+        # roll back: restore the original directory
+        fs.rename(P(old), P(path))
+        raise IOError(f"compact_table: could not swap {tmp} -> {path}")
+    fs.delete(P(old), True)
+    return n_files
+
+
+def parquet_file_count(spark: SparkSession, path: str) -> int:
+    """Number of data files in the table (driver-side listing; use for
+    tests/monitoring, not in job hot paths)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
