@@ -261,3 +261,43 @@ def temperature_sample(
     the temperature schedule. Flat map, no shuffle, replayable."""
     rates = temperature_rates_permille(weights, temperature)
     return stratified_sample(docs, F.col(source_col), rates, id_col)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    train_permille: int = 900,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-aware train/test split: every copy of the same text lands
+    on the SAME side — the guard against eval leakage that a plain
+    per-document hash split cannot give (one duplicate in train, one in
+    test = memorization measured as generalization).
+
+    The split key is the DUPLICATE GROUP's canonical id (min doc id per
+    md5(text) fingerprint), hashed with the deterministic permille
+    hash; documents inherit their group's assignment. Plan: the
+    fingerprint groupBy (the minimal exact-dedup aggregate) + one
+    join back on the fingerprint — both shuffles key on md5(text), so
+    AQE/exchange reuse keeps it at effectively one repartitioning of
+    the corpus. For near-dup-safe splits feed
+    ``dedup.connected_components`` output in as the canonical mapping
+    instead; the hash-assignment contract is identical.
+
+    Output: (doc_id, canonical_id, n_copies, split 'train'|'test').
+    """
+    from sales_data_warehouse_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs, text_col, id_col)
+    assigned = groups.withColumn(
+        "split",
+        F.when(
+            permille_hash(F.col("canonical_id")) < train_permille,
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .join(assigned, "fp")
+        .select(id_col, "canonical_id", "n_copies", "split")
+    )

@@ -4485,6 +4485,31 @@ def temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "stratum")
 
 
+@query(
+    "leakage_safe_split",
+    """
+    WITH g AS (
+      SELECT MD5(text) AS fp, MIN(doc_id) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, g.canonical_id, g.n_copies,
+           CASE WHEN ((g.canonical_id % 1000003 + 1000003) % 1000003)
+                     * 2654435761 % 4294967296 % 1000 < 900
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d JOIN g ON MD5(d.text) = g.fp
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aware 90/10 split: all copies of a text inherit their
+    duplicate group's side (canonical-id hash), so no text straddles
+    train and test — the leakage guard a per-document hash split
+    cannot give (see ``sampling.leakage_safe_split``)."""
+    return sampling.leakage_safe_split(
+        load_table(spark, sf, "documents"), train_permille=900
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------

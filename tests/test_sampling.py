@@ -164,3 +164,29 @@ def test_temperature_sample_rates_realized(spark):
     # hash is pseudo-uniform: realized rates near 707/408 permille
     assert abs(got["books"] - 3000 * 0.707) < 150
     assert abs(got["code"] - 3000 * 0.408) < 150
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    from sales_data_warehouse_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = [
+        (1, "alpha text"), (2, "alpha text"), (3, "alpha text"),
+        (4, "beta text"), (5, "beta text"),
+        (6, "unique gamma"),
+    ] + [(100 + i, f"filler {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = leakage_safe_split(df, train_permille=500).collect()
+    assert len(got) == len(rows)
+    by_canon = {}
+    for r in got:
+        by_canon.setdefault(r["canonical_id"], set()).add(r["split"])
+    # every duplicate group lands entirely on one side
+    assert all(len(s) == 1 for s in by_canon.values())
+    dup = {r["doc_id"]: r for r in got}
+    assert dup[1]["canonical_id"] == dup[2]["canonical_id"] == 1
+    assert dup[1]["n_copies"] == 3
+    # with 53 groups at 500 permille, both sides are populated
+    sides = {r["split"] for r in got}
+    assert sides == {"train", "test"}
