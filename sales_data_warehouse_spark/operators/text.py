@@ -675,3 +675,61 @@ def bpe_train(
 def _sql_str(s: str) -> str:
     """SQL single-quoted string literal (escape embedded quotes)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table (``bpe_train``'s first return
+    value) to a corpus: per document, the BPE token count and the
+    distinct-symbol count under the learned vocabulary.
+
+    Word-type factorization again: each DISTINCT word is encoded once
+    (an Arrow-batched kernel applying the merge list in training order
+    — the standard sequential dependency of BPE encoding; ~|word| work
+    per merge), then the per-type token counts join back to the corpus
+    by word. At 100 TB the encode cost is |vocabulary| x |merges|, not
+    |corpus|, and the join broadcasts the encoded word-type table when
+    it fits.
+
+    Output: (doc_id, n_words, n_bpe_tokens) — the compression ratio
+    n_words/n_bpe_tokens is the usual tokenizer-quality readout.
+    """
+    merge_seq = [(m[1], m[2]) for m in merges]
+
+    @F.pandas_udf("long")
+    def encode_len(words):
+        def enc(w):
+            if w is None:
+                return 0
+            syms = list(w)
+            for a, b in merge_seq:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            return len(syms)
+
+        return words.map(enc)
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.col("w") != "")
+    types = toks.select("w").distinct().withColumn(
+        "n_syms", encode_len(F.col("w"))
+    )
+    return (
+        toks.join(F.broadcast(types), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

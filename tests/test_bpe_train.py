@@ -90,3 +90,42 @@ def test_bpe_train_single_char_words_survive(spark):
     assert [(m[1], m[2], m[4]) for m in merges] == [("b", "b", 2)]
     got = {r["symbol"] for r in vocab_df.collect()}
     assert got == {"a", "bb"}
+
+
+def test_bpe_encode_matches_python_twin(spark):
+    df = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id bigint, text string"
+    )
+    merges, _ = bpe_train(df, num_merges=6)
+    from sales_data_warehouse_spark.operators.text import bpe_encode
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    merge_seq = [(m[1], m[2]) for m in merges]
+    for i, text in enumerate(CORPUS):
+        words = [w for w in text.lower().split() if w]
+        total = 0
+        for w in words:
+            syms = list(w)
+            for a, b in merge_seq:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            total += len(syms)
+        assert got[i] == (len(words), total), i
+
+
+def test_bpe_encode_no_merges_is_char_count(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cde")], "doc_id bigint, text string"
+    )
+    from sales_data_warehouse_spark.operators.text import bpe_encode
+
+    r = bpe_encode(df, []).collect()[0]
+    assert (r["n_words"], r["n_bpe_tokens"]) == (2, 5)
