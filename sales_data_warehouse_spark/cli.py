@@ -3,6 +3,7 @@
     python -m sales_data_warehouse_spark run-etl <csv> <outdir> [--dense]
     python -m sales_data_warehouse_spark query <name> [--sf-dir DIR] [-n 20]
     python -m sales_data_warehouse_spark tables [--sf-dir DIR]
+    python -m sales_data_warehouse_spark compact <path> [--sort-cols a,b]
 
 The reference engine is driven by psql invocations of its procedures
 (``MotherProcedure.sql``); this is that surface for the Spark engine —
@@ -34,6 +35,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("tables", help="list corpus queries")
     t.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    c = sub.add_parser(
+        "compact", help="rewrite a parquet table into size-targeted files"
+    )
+    c.add_argument("path")
+    c.add_argument("--sort-cols", default=None,
+                   help="comma-separated sort columns (range-sorted files)")
+    c.add_argument("--target-file-mb", type=int, default=128)
     return p
 
 
@@ -51,6 +60,25 @@ def main(argv: list[str] | None = None) -> int:
         for name in ("landing", "invalid", "cleansed", "time_dimension",
                      "location_dimension", "product_dimension", "fact"):
             print(f"{name}: {getattr(res, name).count()}")
+        return 0
+
+    if args.cmd == "compact":
+        from sales_data_warehouse_spark.sources.compaction import (
+            compact_table,
+            parquet_file_count,
+        )
+
+        spark = get_spark(app_name="sdw-cli")
+        before = parquet_file_count(spark, args.path)
+        n = compact_table(
+            spark,
+            args.path,
+            sort_cols=(
+                args.sort_cols.split(",") if args.sort_cols else None
+            ),
+            target_file_mb=args.target_file_mb,
+        )
+        print(f"{args.path}: {before} -> {n} files")
         return 0
 
     from sales_data_warehouse_spark.queries.corpus import QUERIES

@@ -30,3 +30,21 @@ def test_run_etl_prints_counts(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "cleansed: 9671" in out and "invalid: 42" in out
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.cli import main
+
+    path = str(tmp_path / "t")
+    (
+        spark.range(0, 5000)
+        .withColumn("v", F.md5(F.col("id").cast("string")))
+        .repartition(20)
+        .write.parquet(path)
+    )
+    assert main(["compact", path, "--sort-cols", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "20 -> 1 files" in out
+    assert spark.read.parquet(path).count() == 5000
