@@ -67,3 +67,39 @@ def test_grouped_matches_broadcast(spark, sides, direction):
     )
     assert sorted(got.columns) == sorted(want.columns)
     assert _key_rows(got) == _key_rows(want)
+
+
+def test_envelope_prefilter_preserves_results(spark):
+    """envelope_prefilter prunes right-side versions outside the left's
+    reachable time range without changing any result row."""
+    from sales_data_warehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2020-06-01"), (1, "2020-07-01"), (2, "2020-06-15")],
+        "k int, ts string",
+    ).selectExpr("k", "CAST(ts AS DATE) AS ts")
+    # versions include ones AFTER every left ts (prunable backward) and
+    # ancient ones (never prunable backward)
+    right = spark.createDataFrame(
+        [
+            (1, "2019-01-01", 10.0), (1, "2020-06-20", 11.0),
+            (1, "2021-01-01", 12.0),   # future: prunable
+            (2, "2020-01-01", 20.0), (2, "2022-01-01", 21.0),  # future
+        ],
+        "k int, vts string, price double",
+    ).selectExpr("k", "CAST(vts AS DATE) AS vts", "price")
+
+    plain = asof_join(left, right, ["k"], "ts", "vts").collect()
+    pruned = asof_join(
+        left, right, ["k"], "ts", "vts", envelope_prefilter=True
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, pruned))
+    # and forward direction prunes from below, same results
+    fplain = asof_join(
+        left, right, ["k"], "ts", "vts", direction="forward"
+    ).collect()
+    fpruned = asof_join(
+        left, right, ["k"], "ts", "vts",
+        direction="forward", envelope_prefilter=True,
+    ).collect()
+    assert sorted(map(tuple, fplain)) == sorted(map(tuple, fpruned))
