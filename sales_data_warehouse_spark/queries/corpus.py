@@ -620,6 +620,35 @@ def asof_join_pricelist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("asof_join_grouped_pricelist", ORACLE["asof_join_pricelist"])
+def asof_join_grouped_pricelist(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME as-of semantics through the both-sides-huge path:
+    ``asof_join_grouped`` cogroups both sides on the key and runs a
+    sorted ``merge_asof`` per key group in Arrow batches — one shuffle
+    per side, state bounded by the largest key. Must reproduce the
+    broadcast+max_by plan's results exactly (oracle shared verbatim)."""
+    from sales_data_warehouse_spark.operators.asof import asof_join_grouped
+
+    l = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    ph = _price_history(spark, sf)
+    per_key = l.groupBy("p_partkey", "ship_date").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = asof_join_grouped(
+        per_key, ph, on=["p_partkey"], left_ts="ship_date",
+        right_ts="eff_date",
+    )
+    return best.groupBy("eff_date").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("eff_price") * F.col("cnt")).cast("double").alias(
+            "sum_eff_price"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sorts (SURVEY W1-W3, O1-O3)
 # ---------------------------------------------------------------------------
