@@ -60,13 +60,18 @@ def run_etl(
     from pyspark import StorageLevel
 
     landing = ingest_csv(spark, csv_path)
-    # Persist the parsed CSV: the cleansed and invalid branches (plus the
-    # max-id subplan) each consume landing, and without a persist every
-    # branch re-parses the file — the invalid write alone re-ran the full
-    # ingest+cleanse (measured 0.58 s of a 3.56 s run on the reference
-    # CSV). MEMORY_AND_DISK spills rather than OOMs at 100 TB; released
-    # below once both outputs are materialized.
-    landing = landing.persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist the parsed CSV when we materialize outputs here: the
+    # cleansed and invalid branches (plus the max-id subplan) each
+    # consume landing, and without a persist every branch re-parses the
+    # file — the invalid write alone re-ran the full ingest+cleanse
+    # (measured 0.58 s of a 3.56 s run on the reference CSV).
+    # MEMORY_AND_DISK spills rather than OOMs at 100 TB; released once
+    # both outputs are written. Without output_dir the consumers are
+    # the CALLER's lazy actions and nothing here could unpersist
+    # afterwards — persisting would pin the parsed CSV for the
+    # application lifetime, so that mode keeps the rescan behavior.
+    if output_dir:
+        landing = landing.persist(StorageLevel.MEMORY_AND_DISK)
     cleansed, invalid = cleanse(landing)
     if output_dir:
         # Materialize cleansed once: three dims + fact all consume it.

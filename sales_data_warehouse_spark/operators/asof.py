@@ -60,17 +60,21 @@ def asof_join(
     broadcasting a huge versioned side: when set and ``right`` exceeds
     that many rows, the call raises with a pointer to
     :func:`asof_join_grouped`, the both-sides-huge path. The probe is
-    one ``count()`` job — a narrow full pass whose partial aggregation
-    ships ONE row per partition (the previous ``limit(N+1).count()``
-    formulation planned LocalLimit -> single-partition exchange ->
-    GlobalLimit, shipping up to N+1 rows from every partition through
-    the shuffle). The pass is bounded by what the broadcast hash-
-    relation build itself would scan, and the result is memoized per
-    (application, plan) so repeated calls over the same versioned side
-    don't re-pay it. Probing a derived pipeline (e.g. an SCD2 build)
-    still executes that pipeline once — leave None there, and
-    broadcasting a too-big side fails at Spark's own broadcast limits
-    rather than silently succeeding.
+    one ``count()`` job — a narrow FULL pass of the right side whose
+    partial aggregation ships one row per partition (the previous
+    ``limit(N+1).count()`` formulation planned LocalLimit ->
+    single-partition exchange -> GlobalLimit, shipping up to N+1 rows
+    from every partition through the shuffle, without actually
+    stopping early either). Be explicit about the trade: when the
+    guard PASSES, the count costs no more than the broadcast build
+    would have scanned anyway, and the memo (per application + plan)
+    makes repeat calls free; when the guard FIRES on a genuinely huge
+    side, you pay one full narrow scan for the loud failure. If even
+    that scan is unacceptable — or the right side is an expensive
+    derived pipeline (e.g. an SCD2 build) — skip the guard (None) and
+    route huge sides to :func:`asof_join_grouped` yourself;
+    broadcasting a too-big side without the guard fails at Spark's own
+    broadcast limits rather than silently succeeding.
 
     ``envelope_prefilter=True`` prunes right-side versions that cannot
     match ANY left row before the join: for backward joins, versions

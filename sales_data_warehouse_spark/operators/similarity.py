@@ -79,11 +79,14 @@ def _rowwise_cosine(qv: Column, cv: Column) -> Column:
         try:
             # fast path: clean fixed-dim batch stacks directly (an
             # all-NULL batch stacks to 1-D without raising — the ndim
-            # guard routes it to the fallback too)
+            # guard routes it to the fallback; two sides stacking to
+            # DIFFERENT widths — e.g. truncated vs full embeddings —
+            # must also fall back, or dense() would silently score the
+            # common prefix instead of emitting NULL per the contract)
             qm = np.stack(qa).astype("float64")
             cm = np.stack(ca).astype("float64")
-            if qm.ndim != 2 or cm.ndim != 2:
-                raise ValueError("non-rectangular batch")
+            if qm.ndim != 2 or cm.ndim != 2 or qm.shape != cm.shape:
+                raise ValueError("non-rectangular or mismatched batch")
             return pd.Series(dense(qm, cm))
         except (TypeError, ValueError):
             # NULL vectors / ragged dims in the batch: np.stack raises.

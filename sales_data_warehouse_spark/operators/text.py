@@ -407,21 +407,63 @@ def bm25_topk(
       ``tfidf_top_terms`` docstring records. Per-term score lands as
       ``score_ppm = num * 1_000_000 DIV den`` and the per-doc sum of
       integer ppms is order-independent — bit-identical on any engine.
-      Overflow bound: num < 2^63 needs ``(2N+1) * (k1+1)*D*T * tf * 1e6
-      < 9.2e18`` — fine to ~1e9 corpus tokens; beyond that use the
-      double mode (no oracle needs it) or widen to DECIMAL(38,0).
+
+      SEMANTICS NOTE: the rational idf is per-term monotone in the
+      true ln-idf, but the per-doc score SUMS terms, so on corpora
+      with extreme document-frequency spreads the rational variant can
+      weight a very rare term far above what ln-BM25 would — rankings
+      are verifiable, not textbook-identical. Both modes hit exactly
+      the same document set; use ``exact_ppm=False`` when ln-BM25
+      ordering semantics matter more than cross-engine exactness.
+
+      OVERFLOW GUARD: the largest intermediate is
+      ``(2N+1) * (k1_tenths+10)*100 * T * tf * 1e6`` with
+      ``tf <= max_dl``; the operator computes (N, T, max_dl) in one
+      tiny aggregate, RAISES if the bound can exceed 2^63 (silent
+      ANSI-off wraparound would corrupt rankings AND desync from the
+      oracle, which errors on HUGEINT-free BIGINT overflow), and
+      otherwise embeds the stats as literals.
     * ``exact_ppm=False``: textbook BM25 with ``ln(1 + (N-df+0.5)/
       (df+0.5))`` idf in doubles — the scores users expect to eyeball,
       not cross-engine hash-stable.
 
-    Plan: one token explode filtered to the query terms BEFORE any
-    shuffle (the scan emits only |query|-matching tokens), tf =
-    groupBy(doc, term); df and the corpus stats are tiny aggregates
-    broadcast back; one final groupBy(doc) sums term scores; global
-    top-k via the usual window. Nothing document-sized shuffles except
-    the matching (doc, term) pairs.
+    Plan: one tiny corpus-stats aggregate (collected — 1 row), then
+    one token explode filtered to the query terms BEFORE any shuffle
+    (the scan emits only |query|-matching tokens), tf = groupBy(doc,
+    term); df broadcasts back; one final groupBy(doc) sums term
+    scores; global top-k via the usual window over per-doc aggregates.
     """
     terms = [t.lower() for t in query_terms]
+    # corpus stats: one 1-row aggregate, collected so the exact-ppm
+    # overflow bound can be validated loudly and the values embedded
+    # as literals (no crossJoin in the scoring plan)
+    srow = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("t_tokens"),
+        F.max(token_count(F.col(text_col))).cast("bigint").alias("max_dl"),
+    ).collect()[0]
+    n_docs, t_tokens, max_dl = (
+        int(srow["n_docs"]),
+        int(srow["t_tokens"] or 0),
+        int(srow["max_dl"] or 0),
+    )
+    if exact_ppm:
+        worst = (
+            (2 * n_docs + 1)
+            * (10 + k1_tenths) * 100
+            * t_tokens
+            * max(max_dl, 1)
+            * 1_000_000
+        )
+        if worst >= 2**63:
+            raise ValueError(
+                "bm25_topk(exact_ppm=True): integer score would overflow "
+                f"int64 (bound {worst:.3e} >= 2^63) for N={n_docs}, "
+                f"T={t_tokens}, max_dl={max_dl}. Use exact_ppm=False "
+                "(double ln-idf scores) at this corpus size — the "
+                "integer mode exists for oracle-verifiable exactness at "
+                "test scales."
+            )
     toks = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("dl"),
@@ -434,17 +476,13 @@ def bm25_topk(
         # group_centroids.n_vecs)
         F.max("dl").alias("dl"),
     )
-    # corpus stats: N docs, T total tokens — one 1-row broadcast
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).cast("bigint").alias("t_tokens"),
-    )
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .withColumn("t_tokens", F.lit(t_tokens).cast("bigint"))
     )
     if exact_ppm:
         # common-denominator integer rewrite (see docstring):
@@ -692,8 +730,10 @@ def bpe_encode(
     — the standard sequential dependency of BPE encoding; ~|word| work
     per merge), then the per-type token counts join back to the corpus
     by word. At 100 TB the encode cost is |vocabulary| x |merges|, not
-    |corpus|, and the join broadcasts the encoded word-type table when
-    it fits.
+    |corpus|; the join back is left to AQE, which broadcasts the
+    word-type table when its runtime size fits and falls back to a
+    shuffle join for huge vocabularies (a forced broadcast hint would
+    OOM there).
 
     Output: (doc_id, n_words, n_bpe_tokens) — the compression ratio
     n_words/n_bpe_tokens is the usual tokenizer-quality readout.
@@ -726,7 +766,7 @@ def bpe_encode(
         "n_syms", encode_len(F.col("w"))
     )
     return (
-        toks.join(F.broadcast(types), "w")
+        toks.join(types, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

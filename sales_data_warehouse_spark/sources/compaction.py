@@ -26,6 +26,42 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence through the Hadoop FileSystem API — correct for
+    HDFS/object-store URIs where ``os.path.exists`` is always False."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def staged_overwrite(spark, df, path: str) -> None:
+    """Overwrite ``path`` with ``df`` crash-safely: write to a staging
+    dir, then swap via two renames. A plain ``mode('overwrite')``
+    deletes the old data before the new job commits — a mid-write crash
+    destroys the only durable copy. A crash here instead leaves either
+    the old table intact (before the first rename) or both directories
+    present for recovery (``path + '.stage_old'``)."""
+    tmp = path + ".stage_tmp"
+    old = path + ".stage_old"
+    df.write.mode("overwrite").parquet(tmp)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.delete(P(old), True)
+    if fs.exists(P(path)):
+        if not fs.rename(P(path), P(old)):
+            raise IOError(f"staged_overwrite: could not stage {path}")
+    if not fs.rename(P(tmp), P(path)):
+        fs.rename(P(old), P(path))
+        raise IOError(f"staged_overwrite: could not swap into {path}")
+    fs.delete(P(old), True)
+
+
 def table_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under ``path`` via the Hadoop FS API (works for
     local paths, HDFS, and object stores with Hadoop connectors)."""
@@ -52,7 +88,27 @@ def compact_table(
     two renames — the source is never overwritten while a plan still
     reads it, and a crash mid-way leaves either the old table intact or
     both directories present for manual recovery.
+
+    Hive-partitioned tables (``key=value`` subdirectories, e.g. the
+    month-partitioned fact) are REFUSED at the root: reading the root
+    would lift the partition key into a data column and the rewrite
+    would flatten the directory layout, destroying partition pruning.
+    Compact each partition subdirectory instead — which is also the
+    natural maintenance unit (only active partitions accrete files).
     """
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    part_dirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"compact_table: {path} is hive-partitioned "
+            f"({part_dirs[0]}, ...); compacting the root would flatten "
+            "the partition layout. Compact per partition: "
+            f"compact_table(spark, '{path}/{part_dirs[0]}', ...)"
+        )
     total = table_bytes(spark, path)
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)

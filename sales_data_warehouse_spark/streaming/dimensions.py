@@ -10,17 +10,21 @@ append-stable dimension merges per micro-batch — dimensions stay
 current continuously instead of per nightly run.
 
 Why foreachBatch and not stateful streaming operators: the merges are
-small-table (catalog-sized) batch jobs with exactly-once parquet
-outputs; per-key state stores would re-implement what the dimension
-tables already are. The checkpoint gives exactly-once at the source-
-offset level, and each merge is idempotent for replayed batches
-(existing keys keep ids verbatim; re-merging the same rows is a
-no-op), so a crash between sink writes cannot corrupt the dimensions.
+small-table (catalog-sized) batch jobs whose outputs ARE the state;
+per-key state stores would re-implement what the dimension tables
+already are. Replay-safety, concretely:
+
+* dimension writes go through ``staged_overwrite`` (write-then-rename)
+  so a crash mid-write leaves the previous dimension intact;
+* the merges themselves are idempotent (existing keys keep ids
+  verbatim; re-merging the same rows is a no-op);
+* cleansed/invalid land in a ``batch_id=N`` partition directory with
+  ``mode('overwrite')`` per batch — a replayed micro-batch rewrites
+  its own partition instead of appending duplicates;
+* the checkpoint gives exactly-once at the source-offset level.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,7 +40,10 @@ from sales_data_warehouse_spark.operators.time_dimension import (
     build_time_dimension,
     merge_time_dimension,
 )
-from sales_data_warehouse_spark.sources.parquet_io import write_table
+from sales_data_warehouse_spark.sources.compaction import (
+    fs_exists,
+    staged_overwrite,
+)
 from sales_data_warehouse_spark.streaming.ingest import (
     cleanse_stream,
     read_sales_csv_stream,
@@ -56,18 +63,25 @@ def merge_dimensions_batch(
 
     First batch (no prior parquet) builds each dimension; later batches
     run the append-stable merges. ``localCheckpoint`` materializes each
-    merged dimension BEFORE its overwrite — the merge plan reads the
-    very path the write replaces, which Spark otherwise (rightly)
-    refuses. Work per batch is O(batch + dimension), never O(history).
+    merged dimension BEFORE its rewrite (the merge plan reads the very
+    path being replaced), and the rewrite itself is the staged
+    write-then-rename (``staged_overwrite``) so a crash mid-write
+    cannot destroy the previous dimension — the localCheckpoint copy is
+    memory-only and dies with the application, so it is NOT a recovery
+    source. Existence checks go through the Hadoop FS API: with an
+    HDFS/S3 warehouse an ``os.path`` check would be always-False and
+    every batch would silently rebuild-from-scratch, discarding
+    accumulated SCD2 history. Work per batch is O(batch + dimension),
+    never O(history).
     """
     for name, build, merge in _DIMS:
         path = f"{warehouse_dir}/{name}"
-        if os.path.exists(path):
+        if fs_exists(spark, path):
             prior = spark.read.parquet(path)
             dim = merge(prior, cleansed_batch).localCheckpoint()
         else:
             dim = build(cleansed_batch).localCheckpoint()
-        write_table(dim, path)
+        staged_overwrite(spark, dim, path)
 
 
 def start_streaming_dimensions(
@@ -87,11 +101,19 @@ def start_streaming_dimensions(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cleansed, invalid = cleanse_stream(batch_df)
-        # one computation of the batch cleanse feeds the parquet append
-        # AND the three merges
+        # one computation of the batch cleanse feeds the parquet write
+        # AND the three merges. Each batch owns a batch_id=N partition
+        # and OVERWRITES it, so a replayed micro-batch (crash between
+        # the write and the checkpoint commit) rewrites its own
+        # partition instead of appending duplicates; readers scan the
+        # parent dir (batch_id shows up as a partition column).
         cleansed = cleansed.drop("order_ts").localCheckpoint()
-        cleansed.write.mode("append").parquet(f"{warehouse_dir}/cleansed")
-        invalid.write.mode("append").parquet(f"{warehouse_dir}/invalid")
+        cleansed.write.mode("overwrite").parquet(
+            f"{warehouse_dir}/cleansed/batch_id={batch_id}"
+        )
+        invalid.write.mode("overwrite").parquet(
+            f"{warehouse_dir}/invalid/batch_id={batch_id}"
+        )
         merge_dimensions_batch(spark, cleansed, warehouse_dir)
 
     landing = read_sales_csv_stream(spark, drop_dir)

@@ -1,6 +1,8 @@
 """Property tests: bm25_topk (double mode) vs a brute-force Python BM25,
-the exact-ppm mode's rank agreement with it, and epoch_shuffle's
-permutation/determinism contract — all on random corpora."""
+the exact-ppm mode's hit-set agreement with it (rankings legitimately
+differ between rational idf and ln idf — see the operator docstring),
+and epoch_shuffle's permutation/determinism contract — all on random
+corpora."""
 
 from __future__ import annotations
 

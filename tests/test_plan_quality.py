@@ -38,9 +38,6 @@ CARTESIAN_OK = {
     # date / basket count) — 1 x n, constant cost at any scale
     "rfm_segmentation",
     "basket_affinity",
-    # bm25 crossJoins the broadcast 1-row (n_docs, total_tokens) corpus
-    # stats aggregate into the per-term scores — 1 x n, constant cost
-    "bm25_topk",
 }
 
 

@@ -277,3 +277,23 @@ def test_bucket_expr_null_vector_buckets_null(spark):
     assert isinstance(got[1], int)
     assert got[2] is None  # NULL vector
     assert got[3] is None  # wrong dimensionality
+
+
+def test_rowwise_cosine_cross_side_dim_mismatch_is_null(spark):
+    """Both sides stack cleanly but to DIFFERENT widths (truncated vs
+    full embeddings): the kernel must emit NULL per row, not score the
+    common prefix."""
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators.similarity import (
+        _rowwise_cosine,
+    )
+
+    rows = [(i, [1.0, 2.0], [1.0, 2.0, 3.0]) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "id int, a array<double>, b array<double>"
+    ).repartition(1)
+    got = df.select(
+        _rowwise_cosine(F.col("a"), F.col("b")).alias("cos")
+    ).collect()
+    assert all(r["cos"] is None for r in got)
