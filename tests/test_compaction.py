@@ -67,3 +67,63 @@ def test_compact_sorted_files_have_disjoint_bounds(spark, tmp_path):
         assert hi1 < lo2, bounds
     # and the union covers all rows
     assert spark.read.parquet(path).count() == 200000
+
+
+def test_staged_overwrite_survives_swap_failure(spark, tmp_path):
+    """If the final rename-in cannot complete, the original table must
+    be restored (the rollback path)."""
+    from unittest.mock import patch
+
+    from sales_data_warehouse_spark.sources import compaction
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).write.parquet(path)
+    new = spark.range(100, 150)
+
+    real_fs = compaction._hadoop_fs
+
+    class FlakyFs:
+        """Proxy that fails the rename INTO the target path once."""
+
+        def __init__(self, fs, target):
+            self._fs = fs
+            self._target = target
+
+        def rename(self, src, dst):
+            if str(dst).endswith(self._target.rsplit("/", 1)[-1]) and str(
+                src
+            ).endswith(".stage_tmp"):
+                return False  # simulated swap failure
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def flaky(spark_, p):
+        fs, hp, jvm = real_fs(spark_, p)
+        return FlakyFs(fs, path), hp, jvm
+
+    with patch.object(compaction, "_hadoop_fs", flaky):
+        import pytest as _pytest
+
+        with _pytest.raises(IOError):
+            staged_overwrite(spark, new, path)
+
+    # original data intact after the failed swap
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_staged_overwrite_happy_path(spark, tmp_path):
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite,
+    )
+
+    path = str(tmp_path / "t2")
+    spark.range(0, 10).write.parquet(path)
+    staged_overwrite(spark, spark.range(0, 7), path)
+    assert spark.read.parquet(path).count() == 7
+    assert not (tmp_path / "t2.stage_tmp").exists()
+    assert not (tmp_path / "t2.stage_old").exists()
