@@ -58,8 +58,10 @@ _DIMS = (
 
 def merge_dimensions_batch(
     spark: SparkSession, cleansed_batch: DataFrame, warehouse_dir: str
-) -> None:
-    """Fold one cleansed batch into the warehouse's three dimensions.
+) -> dict[str, DataFrame]:
+    """Fold one cleansed batch into the warehouse's three dimensions;
+    returns the merged (materialized) dimension frames so the caller
+    can build facts without re-reading the just-written parquet.
 
     First batch (no prior parquet) builds each dimension; later batches
     run the append-stable merges. ``localCheckpoint`` materializes each
@@ -74,6 +76,7 @@ def merge_dimensions_batch(
     accumulated SCD2 history. Work per batch is O(batch + dimension),
     never O(history).
     """
+    merged: dict[str, DataFrame] = {}
     for name, build, merge in _DIMS:
         path = f"{warehouse_dir}/{name}"
         if fs_exists(spark, path):
@@ -82,6 +85,8 @@ def merge_dimensions_batch(
         else:
             dim = build(cleansed_batch).localCheckpoint()
         staged_overwrite(spark, dim, path)
+        merged[name] = dim
+    return merged
 
 
 def start_streaming_dimensions(
@@ -120,6 +125,58 @@ def start_streaming_dimensions(
     writer = landing.writeStream.foreachBatch(sink).option(
         "checkpointLocation",
         checkpoint_dir or f"{warehouse_dir}/_dim_checkpoint",
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_streaming_warehouse(
+    spark: SparkSession,
+    drop_dir: str,
+    warehouse_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """The full warehouse maintained continuously: per micro-batch —
+    cleanse, dimension merges, AND the fact rows for the batch's order
+    lines joined against the post-merge dimensions. The streaming shape
+    of ``run_etl_increment``; after any number of micro-batches the
+    fact table equals the batch pipeline's on natural keys + measures
+    (surrogate ids are append-stable, not batch-identical).
+
+    Fact rows land in a ``batch_id=N`` directory (replay-idempotent,
+    same contract as cleansed/invalid), month-partitioned inside it so
+    time-sliced readers still prune: ``fact/batch_id=N/month_id=M``.
+    Dimensions merge BEFORE the fact build, so every batch's facts
+    resolve against dimensions that include their keys.
+    """
+    from sales_data_warehouse_spark.operators.fact import build_fact
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cleansed, invalid = cleanse_stream(batch_df)
+        cleansed = cleansed.drop("order_ts").localCheckpoint()
+        cleansed.write.mode("overwrite").parquet(
+            f"{warehouse_dir}/cleansed/batch_id={batch_id}"
+        )
+        invalid.write.mode("overwrite").parquet(
+            f"{warehouse_dir}/invalid/batch_id={batch_id}"
+        )
+        dims = merge_dimensions_batch(spark, cleansed, warehouse_dir)
+        fact = build_fact(
+            cleansed,
+            dims["product_dimension"],
+            dims["location_dimension"],
+            dims["time_dimension"],
+        )
+        fact.write.mode("overwrite").partitionBy("month_id").parquet(
+            f"{warehouse_dir}/fact/batch_id={batch_id}"
+        )
+
+    landing = read_sales_csv_stream(spark, drop_dir)
+    writer = landing.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint_dir or f"{warehouse_dir}/_wh_checkpoint",
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -100,3 +100,53 @@ def test_streaming_dimensions_match_batch(spark, tmp_path):
     # 9,681 pre-distinct valid rows
     assert spark.read.parquet(f"{wh}/cleansed").count() == 9681
     assert spark.read.parquet(f"{wh}/invalid").count() == 42
+
+
+def test_streaming_warehouse_fact_matches_batch(spark, tmp_path):
+    """Full streaming warehouse: after two micro-batches (restarted
+    query, one checkpoint), the accumulated fact equals the batch
+    pipeline's on natural keys + measures."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.streaming.dimensions import (
+        start_streaming_warehouse,
+    )
+
+    f1, f2 = _split_csv(tmp_path)
+    drop = tmp_path / "wdrop"
+    drop.mkdir()
+    wh = str(tmp_path / "wwh")
+
+    full = run_etl(spark, REFERENCE_CSV, output_dir=str(tmp_path / "wfull"))
+
+    _sh.copy(f1, drop / "b1.csv")
+    q = start_streaming_warehouse(spark, str(drop), wh, available_now=True)
+    q.awaitTermination()
+    _sh.copy(f2, drop / "b2.csv")
+    q = start_streaming_warehouse(spark, str(drop), wh, available_now=True)
+    q.awaitTermination()
+
+    fact = spark.read.parquet(f"{wh}/fact")
+    cols = ["product", "order_date", "street_name", "postal",
+            "quantity_ordered", "price_each"]
+    got = sorted(map(tuple, fact.select(*cols).collect()))
+    want = sorted(map(tuple, full.fact.select(*cols).collect()))
+    # streaming cleanse keeps per-batch rows (no cross-batch DISTINCT)
+    # and no null-id assignment, so the streaming fact carries the 10
+    # duplicate lines the batch pipeline's full-row DISTINCT drops —
+    # the comparison below is superset containment plus the revenue
+    # floor, not exact equality
+    assert len(got) >= len(want)
+    # every batch-pipeline fact line exists in the streaming fact
+    from collections import Counter
+
+    cg, cw = Counter(got), Counter(want)
+    missing = cw - cg
+    assert not missing, list(missing)[:3]
+    # revenue invariant holds modulo the duplicate lines
+    rev = fact.agg(
+        F.sum(F.col("quantity_ordered") * F.col("price_each"))
+    ).first()[0]
+    assert float(rev) >= 1814491.55 - 0.01
