@@ -404,8 +404,12 @@ def bm25_topk(
       ``(2N - 2df + 1) / (2df + 1)`` — because ``ln`` is not
       bit-identical between the JVM and C libm (measured: 279/500
       inputs differ in the last ulp), exactly the near-tie hazard the
-      ``tfidf_top_terms`` docstring records. Per-term score lands as
-      ``score_ppm = num * 1_000_000 DIV den`` and the per-doc sum of
+      ``tfidf_top_terms`` docstring records. The per-term score is two
+      integer divisions — ``idf_ppm = idf_num*1e6 DIV idf_den`` and
+      ``tfpart_ppm = tf_num*1e6 DIV tf_den`` — multiplied and rescaled
+      (``idf_ppm * tfpart_ppm DIV 1e6``), keeping every intermediate
+      orders of magnitude under 2^63 where the single-division form
+      overflowed already at ~300k corpus tokens. The per-doc sum of
       integer ppms is order-independent — bit-identical on any engine.
 
       SEMANTICS NOTE: the rational idf is per-term monotone in the
@@ -416,13 +420,12 @@ def bm25_topk(
       the same document set; use ``exact_ppm=False`` when ln-BM25
       ordering semantics matter more than cross-engine exactness.
 
-      OVERFLOW GUARD: the largest intermediate is
-      ``(2N+1) * (k1_tenths+10)*100 * T * tf * 1e6`` with
-      ``tf <= max_dl``; the operator computes (N, T, max_dl) in one
-      tiny aggregate, RAISES if the bound can exceed 2^63 (silent
-      ANSI-off wraparound would corrupt rankings AND desync from the
-      oracle, which errors on HUGEINT-free BIGINT overflow), and
-      otherwise embeds the stats as literals.
+      OVERFLOW GUARD: the operator pre-computes (N docs, T tokens,
+      max tf over the query terms) in two tiny aggregates and RAISES
+      if any intermediate could exceed 2^63 — silent ANSI-off
+      wraparound would corrupt rankings AND desync from the oracle.
+      Safe through millions of documents and ``T * max_tf`` up to
+      ~4e9; beyond that use the double mode.
     * ``exact_ppm=False``: textbook BM25 with ``ln(1 + (N-df+0.5)/
       (df+0.5))`` idf in doubles — the scores users expect to eyeball,
       not cross-engine hash-stable.
@@ -440,30 +443,8 @@ def bm25_topk(
     srow = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(token_count(F.col(text_col))).cast("bigint").alias("t_tokens"),
-        F.max(token_count(F.col(text_col))).cast("bigint").alias("max_dl"),
     ).collect()[0]
-    n_docs, t_tokens, max_dl = (
-        int(srow["n_docs"]),
-        int(srow["t_tokens"] or 0),
-        int(srow["max_dl"] or 0),
-    )
-    if exact_ppm:
-        worst = (
-            (2 * n_docs + 1)
-            * (10 + k1_tenths) * 100
-            * t_tokens
-            * max(max_dl, 1)
-            * 1_000_000
-        )
-        if worst >= 2**63:
-            raise ValueError(
-                "bm25_topk(exact_ppm=True): integer score would overflow "
-                f"int64 (bound {worst:.3e} >= 2^63) for N={n_docs}, "
-                f"T={t_tokens}, max_dl={max_dl}. Use exact_ppm=False "
-                "(double ln-idf scores) at this corpus size — the "
-                "integer mode exists for oracle-verifiable exactness at "
-                "test scales."
-            )
+    n_docs, t_tokens = int(srow["n_docs"]), int(srow["t_tokens"] or 0)
     toks = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("dl"),
@@ -476,6 +457,27 @@ def bm25_topk(
         # group_centroids.n_vecs)
         F.max("dl").alias("dl"),
     )
+    if exact_ppm:
+        # ACTUAL max tf over the query terms (not the max_dl upper
+        # bound, which over-fires the guard 10x) — one cheap aggregate
+        # over the filtered explode
+        trow = tf.agg(F.max("tf").alias("m")).collect()[0]
+        max_tf = int(trow["m"] or 0)
+        # two intermediates to bound (see docstring):
+        #   tf_num*1e6 = 2200*T*tf*1e6  and  idf_ppm*tfpart_ppm where
+        #   idf_ppm <= (2N+1)*1e6 and tfpart_ppm <= (k1+1)*1e6
+        worst = max(
+            (10 + k1_tenths) * 100 * t_tokens * max(max_tf, 1) * 1_000_000,
+            (2 * n_docs + 1) * 1_000_000 * (10 + k1_tenths) * 100_000,
+        )
+        if worst >= 2**63:
+            raise ValueError(
+                "bm25_topk(exact_ppm=True): integer score would overflow "
+                f"int64 (bound {worst:.3e} >= 2^63) for N={n_docs}, "
+                f"T={t_tokens}, max_tf={max_tf}. Use exact_ppm=False "
+                "(double ln-idf scores) at this corpus size — the "
+                "integer mode exists for oracle-verifiable exactness."
+            )
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -485,34 +487,44 @@ def bm25_topk(
         .withColumn("t_tokens", F.lit(t_tokens).cast("bigint"))
     )
     if exact_ppm:
-        # common-denominator integer rewrite (see docstring):
-        #   tfpart = (k1+1)*D*T*tf / (D*T*tf + (D - k1d*b_h)*k1_t'*T + k1*b*D*dl*N/avgdl-term)
-        # with k1 = k1_tenths/10, b = b_hundredths/100, D = 1000:
-        #   denom_t = 1000*T*tf + k1_tenths*(100 - b_hundredths)*T
-        #             + k1_tenths*b_hundredths*dl*N
-        #   num_t   = (10 + k1_tenths)*100*T*tf
-        # idf ratio = (2N - 2df + 1)/(2df + 1)
-        num = (
+        # two-division integer rewrite (see docstring):
+        #   idf_ppm    = (2N - 2df + 1)*1e6 DIV (2df + 1)
+        #   tfpart_ppm = 2200*T*tf*1e6
+        #                DIV (1000*T*tf + k1t*(100-bh)*T + k1t*bh*dl*N)
+        #   score_ppm  = idf_ppm * tfpart_ppm DIV 1e6
+        # with k1 = k1_tenths/10, b = b_hundredths/100; constants for
+        # the defaults: 2200 / 300 / 900.
+        idf_num = (
             (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
-            * F.lit((10 + k1_tenths) * 100)
+            * F.lit(1_000_000)
+        )
+        idf_den = F.lit(2) * F.col("df") + F.lit(1)
+        tf_num = (
+            F.lit((10 + k1_tenths) * 100)
             * F.col("t_tokens")
             * F.col("tf")
+            * F.lit(1_000_000)
         )
-        den = (
-            (F.lit(2) * F.col("df") + F.lit(1))
-            * (
-                F.lit(1000) * F.col("t_tokens") * F.col("tf")
-                + F.lit(k1_tenths * (100 - b_hundredths)) * F.col("t_tokens")
-                + F.lit(k1_tenths * b_hundredths)
-                * F.col("dl")
-                * F.col("n_docs")
-            )
+        tf_den = (
+            F.lit(1000) * F.col("t_tokens") * F.col("tf")
+            + F.lit(k1_tenths * (100 - b_hundredths)) * F.col("t_tokens")
+            + F.lit(k1_tenths * b_hundredths)
+            * F.col("dl")
+            * F.col("n_docs")
         )
         # integer DIV — mirrored by DuckDB's // in the oracle
         scored = (
-            scored.withColumn("_num", num)
-            .withColumn("_den", den)
-            .withColumn("score_ppm", F.expr("_num * 1000000L DIV _den"))
+            scored.withColumn("_idf_num", idf_num)
+            .withColumn("_idf_den", idf_den)
+            .withColumn("_tf_num", tf_num)
+            .withColumn("_tf_den", tf_den)
+            .withColumn(
+                "score_ppm",
+                F.expr(
+                    "(_idf_num DIV _idf_den) * (_tf_num DIV _tf_den) "
+                    "DIV 1000000L"
+                ),
+            )
         )
         per_doc = scored.groupBy(id_col).agg(
             F.sum("score_ppm").cast("bigint").alias("score_ppm"),

@@ -4373,12 +4373,15 @@ def basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
     ),
     dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     scored AS (
+      -- two-division form, mirroring the Spark side exactly: idf_ppm
+      -- and tfpart_ppm each fit int64 where the single-division
+      -- product overflowed at ~300k corpus tokens
       SELECT t.doc_id,
-             ((2 * s.n_docs - 2 * d.df + 1) * 2200 * s.t_tokens * t.tf
-              * 1000000)
-             // ((2 * d.df + 1)
-                 * (1000 * s.t_tokens * t.tf + 300 * s.t_tokens
-                    + 900 * t.dl * s.n_docs)) AS score_ppm
+             (((2 * s.n_docs - 2 * d.df + 1) * 1000000) // (2 * d.df + 1))
+             * ((2200 * s.t_tokens * t.tf * 1000000)
+                // (1000 * s.t_tokens * t.tf + 300 * s.t_tokens
+                    + 900 * t.dl * s.n_docs))
+             // 1000000 AS score_ppm
       FROM tf t JOIN dfx d USING (term), stats s
     ),
     agg AS (
