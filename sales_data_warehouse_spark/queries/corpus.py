@@ -527,21 +527,28 @@ def semi_join_having(spark: SparkSession, sf: str) -> DataFrame:
 
 def _price_history(spark: SparkSession, sf: str) -> DataFrame:
     """Synthetic SCD2 price history from part: v1 at 1995-01-01 (retail
-    price), v2 at 1998-01-01 (price * 1.2, exact decimal)."""
+    price), v2 at 1998-01-01 (price * 1.2, exact decimal).
+
+    Single-scan explode rather than a two-branch union: the union form
+    scans ``part`` once per version branch, and every consumer of this
+    table (the asof broadcast-guard count, the broadcast build, the
+    equality re-join in the pricelist rollup) multiplies that. Explode
+    of a 2-element struct array emits both versions from one pass —
+    same rows, same types, half the scans."""
     p = load_table(spark, sf, "part")
-    v1 = p.select(
-        "p_partkey",
+    v1 = F.struct(
         _money("p_retailprice").alias("eff_price"),
         F.lit("1995-01-01").cast("date").alias("eff_date"),
     )
-    v2 = p.select(
-        "p_partkey",
+    v2 = F.struct(
         (_money("p_retailprice") * F.lit(1.2).cast("decimal(2,1)"))
         .cast("decimal(18,2)")
         .alias("eff_price"),
         F.lit("1998-01-01").cast("date").alias("eff_date"),
     )
-    return v1.unionByName(v2)
+    return p.select(
+        "p_partkey", F.explode(F.array(v1, v2)).alias("__v")
+    ).select("p_partkey", "__v.eff_price", "__v.eff_date")
 
 
 _PRICE_HISTORY_SQL = """
