@@ -755,3 +755,71 @@ def ngram_decontaminate(
             (F.col("n_overlap") >= min_hits).alias("contaminated"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Line-level dedup (boilerplate removal): drop every line that
+    appears in more than ``max_doc_freq`` distinct documents — the
+    CCNet/Dolma pre-training cleanup that strips nav bars, cookie
+    banners, and license footers which document-level dedup can't see.
+
+    A line is a removal *candidate* only when its trimmed length is
+    >= ``min_line_chars``; shorter lines (blanks, list bullets, code
+    braces) are always kept — frequency there measures syntax, not
+    boilerplate.
+
+    Plan (scale-first, all codegen): posexplode lines inside the scan
+    stage; doc-frequency aggregates on ``md5(line)`` so the shuffle
+    carries a 32-char key instead of arbitrarily long line text, with
+    (doc, fp) pre-dedup making the count map-side-combinable; hot
+    fingerprints (the boilerplate set — tiny next to the corpus, the
+    whole point of the threshold) come back via one join that AQE
+    broadcasts; documents reassemble with a groupBy on the id — the
+    same key the explode partitioned on, so the final agg piggybacks
+    the existing partitioning. Nothing is O(n^2), no Python in the
+    loop.
+
+    Returns one row per input document: (id, n_lines_kept,
+    n_lines_removed, text_clean) — documents whose every line was
+    boilerplate survive with ``text_clean = ''``.
+    """
+    lines = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    cand = F.length(F.trim(F.col("line"))) >= min_line_chars
+    hot = (
+        lines.filter(cand)
+        .select("doc", F.md5(F.col("line")).alias("fp"))
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("fp", F.lit(True).alias("__hot"))
+    )
+    flagged = lines.join(
+        hot, F.md5(F.col("line")) == F.col("fp"), "left"
+    ).withColumn("keep", F.col("__hot").isNull() | ~cand)
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("pos"), F.col("line"))
+    )  # no otherwise -> null; collect_list drops nulls
+    return (
+        flagged.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.sum(F.col("keep").cast("bigint")).alias("n_lines_kept"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_lines_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.line,
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+    )

@@ -4549,6 +4549,56 @@ def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lines",
+    r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ls FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ls))) AS i, ls FROM t
+    ),
+    lx AS (
+      SELECT doc_id, i - 1 AS pos, ls[i] AS line FROM ln
+    ),
+    hot AS (
+      SELECT line FROM lx
+      WHERE LEN(TRIM(line)) >= 10
+      GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    fl AS (
+      SELECT lx.doc_id, lx.pos, lx.line,
+             (hot.line IS NULL OR LEN(TRIM(lx.line)) < 10) AS keep
+      FROM lx LEFT JOIN hot ON lx.line = hot.line
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_lines_removed,
+           COALESCE(
+             STRING_AGG(CASE WHEN keep THEN line END, CHR(10)
+                        ORDER BY pos),
+             '') AS text_clean
+    FROM fl
+    GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level dedup (CCNet/Dolma boilerplate removal): lines >= 10
+    trimmed chars appearing in >1 distinct document are stripped from
+    every document; the doc-frequency shuffle carries md5 fingerprints,
+    the hot set comes back through one AQE-broadcast join, and docs
+    reassemble on the explode's own partitioning
+    (``dedup.line_dedup``)."""
+    return dedup.line_dedup(
+        load_table(spark, sf, "documents"),
+        max_doc_freq=1,
+        min_line_chars=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
