@@ -785,3 +785,121 @@ def bpe_encode(
             F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+#: Gopher quality-rule stopword presence set (Rae et al. 2021, table A1:
+#: a document must contain >= 2 of these to pass). Presence, not count.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021, published
+    rule set): word-count bounds, mean word length in [3, 10], symbol-
+    to-word ratio < 0.1 (hash/ellipsis), < 90% bullet lines, < 30%
+    ellipsis-ended lines, > 80% words containing a letter, and >= 2
+    distinct presence-set stopwords.
+
+    Every threshold is evaluated in INTEGER arithmetic (e.g. mean word
+    length in [3,10] as ``3*n_words <= n_nonspace <= 10*n_words``), so
+    the pass verdict is bit-exact across engines and partitionings —
+    no double division sits under a comparison. The reported ratio
+    columns are rounded doubles for human use only.
+
+    One projection over the scan — no joins, no shuffles, no Python;
+    at 100 TB this filter runs at parquet-scan speed.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_words = F.size(F.split(t, TOKEN_SPLIT)).cast("bigint")
+    n_nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint")
+    n_symbols = F.size(
+        F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0)
+    ).cast("bigint")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(F.split(low, TOKEN_SPLIT), lambda x: x.rlike("[a-z]"))
+    ).cast("bigint")
+    n_stop = sum(
+        low.rlike(rf"\b{w}\b").cast("bigint") for w in GOPHER_STOPWORDS
+    )
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (3 * n_words <= n_nonspace)
+        & (n_nonspace <= 10 * n_words)
+        & (10 * n_symbols < n_words)
+        & (10 * n_bullet < 9 * n_lines)
+        & (10 * n_ellipsis < 3 * n_lines)
+        & (5 * n_alpha > 4 * n_words)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.round(n_nonspace / n_words, 4).alias("mean_word_chars"),
+        F.round(n_symbols / n_words, 6).alias("symbol_word_ratio"),
+        F.round(n_bullet / n_lines, 6).alias("frac_bullet_lines"),
+        F.round(n_ellipsis / n_lines, 6).alias("frac_ellipsis_lines"),
+        F.round(n_alpha / n_words, 6).alias("frac_alpha_words"),
+        n_stop.alias("n_stop_present"),
+        passes.alias("passes"),
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM commonness score, trained on the corpus itself: each
+    token contributes ``floor(log2(corpus_frequency))`` and documents
+    aggregate the sum/mean — a rare-token document scores low, the
+    shape of a KenLM-perplexity prefilter without a model artifact.
+
+    ``floor(log2(n))`` on integer n is the bit length minus one —
+    exact in both engines (log2 is exact at powers of two, the only
+    floor boundaries), so the score is integer-deterministic where a
+    true ``ln(p)`` sum would drift per partitioning.
+
+    Plan: explode tokens in the scan stage; the frequency table is
+    vocabulary-sized (heavy-tail collapses under map-side partial
+    agg); tokens rejoin frequencies on the token key — AQE broadcasts
+    the vocabulary when it fits, else a co-keyed shuffle join — and
+    the per-doc aggregate partials map-side. Nothing is quadratic, no
+    Python in the loop.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias(
+            "tok"
+        ),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(freq, "tok")
+        .withColumn(
+            "bits", F.floor(F.log2(F.col("cnt"))).cast("bigint")
+        )
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_log2_freq"),
+            F.round(
+                F.sum("bits") / F.count(F.lit(1)), 4
+            ).alias("avg_log2_freq"),
+        )
+    )

@@ -4599,6 +4599,95 @@ def dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _gopher_oracle() -> str:
+    stop_sum = "\n           + ".join(
+        f"CASE WHEN REGEXP_MATCHES(LOWER(text), '\\b{w}\\b') "
+        "THEN 1 ELSE 0 END"
+        for w in text.GOPHER_STOPWORDS
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS BIGINT)
+               AS n_nonspace,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.|…')) AS BIGINT)
+               AS n_symbols,
+             CAST(LEN(STRING_SPLIT(text, CHR(10))) AS BIGINT) AS n_lines,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+                  x -> REGEXP_MATCHES(x, '^\s*[-*•]'))) AS BIGINT)
+               AS n_bullet,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+                  x -> REGEXP_MATCHES(x, '(\.\.\.|…)\s*$'))) AS BIGINT)
+               AS n_ellipsis,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                  x -> REGEXP_MATCHES(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST({stop_sum} AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_lines,
+           ROUND(CAST(n_nonspace AS DOUBLE) / n_words, 4)
+             AS mean_word_chars,
+           ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6)
+             AS symbol_word_ratio,
+           ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6)
+             AS frac_bullet_lines,
+           ROUND(CAST(n_ellipsis AS DOUBLE) / n_lines, 6)
+             AS frac_ellipsis_lines,
+           ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6)
+             AS frac_alpha_words,
+           n_stop AS n_stop_present,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words
+            AND 10 * n_symbols < n_words
+            AND 10 * n_bullet < 9 * n_lines
+            AND 10 * n_ellipsis < 3 * n_lines
+            AND 5 * n_alpha > 4 * n_words
+            AND n_stop >= 2) AS passes
+    FROM t
+    """
+
+
+@query("gopher_quality_filter", _gopher_oracle())
+def gopher_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rules document quality filter (published rule set): every
+    threshold compares INTEGER counts (``3*n_words <= n_nonspace`` etc.)
+    so the pass verdict cannot flap on a double-rounding boundary; one
+    codegen projection, parquet-scan speed (``text.gopher_quality``)."""
+    return text.gopher_quality(load_table(spark, sf, "documents"))
+
+
+@query(
+    "unigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(LOG2(f.cnt)) AS BIGINT)) AS BIGINT)
+             AS sum_log2_freq,
+           ROUND(CAST(SUM(CAST(FLOOR(LOG2(f.cnt)) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_log2_freq
+    FROM toks t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained unigram commonness score — the KenLM-perplexity
+    prefilter shape without a model artifact. Token scores are
+    ``floor(log2(corpus_freq))``, exact integers in both engines, so
+    per-doc sums are deterministic under any partitioning
+    (``text.unigram_surprisal``)."""
+    return text.unigram_surprisal(load_table(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
