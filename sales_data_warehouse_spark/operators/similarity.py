@@ -820,3 +820,108 @@ def truncate_embeddings(
             F.transform(v, lambda x: F.round(x / F.col("_norm"), 6)),
         ).alias("unit_prefix"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    num_centroids: int = 16,
+    assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    the corpus into k-means cells, compare cosine similarity only WITHIN
+    each cell, and drop every vector that has an in-cell near-duplicate
+    with a smaller id (deterministic keep-lowest rule; the kept vector
+    is the group's representative).
+
+    This is the scale path for embedding dedup: the exact all-pairs
+    GEMM is O(n^2) over the corpus, while cells bound the quadratic
+    term to O(sum cell_i^2) — with cells balanced, an n_cells-fold
+    reduction. Recall is traded at cell boundaries, precision never:
+    every drop is backed by an exact cosine comparison. ``assign`` soft-
+    assigns each vector to its ``assign`` nearest cells (rank-0 = the
+    true cell), so a boundary-split pair still co-occurs wherever their
+    probe sets overlap — the multi-assignment recall fix from the IVF
+    literature at ``assign``x compute, and a vector is dropped if ANY
+    of its cells finds a smaller-id duplicate (drops stay exact-backed,
+    so extra assignments only ever improve recall).
+
+    Per-task memory is one cell's gram matrix; scale ``num_centroids``
+    with the corpus (SemDeDup used ~sqrt-of-n clusters at the 5 B-image
+    scale) to keep cells bounded. The k-means fit itself is Spark ML's
+    distributed Lloyd's — no driver-side data; only the tiny codebook
+    is collected and rebroadcast.
+
+    Returns one row per vector: (id, cell, n_dup_neighbors, kept) with
+    ``cell`` the rank-0 assignment and ``n_dup_neighbors`` the largest
+    in-cell duplicate count observed across assignments.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    # training only — the argmin assignment is recomputed below with
+    # top-``assign`` ranks; ``assigned`` is lazy and never executed
+    centers = build_ivf_index(
+        corpus, num_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
+        cache=False,
+    ).centers
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def near_cells(v):
+        if not len(v):
+            return _pd.Series([], dtype="object")
+        m = _np.stack(v.to_numpy()).astype("float64")
+        cm = _np.asarray(centers, dtype="float64")
+        d2 = -2.0 * (m @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+        order = _np.argsort(d2, axis=1, kind="stable")[:, :assign]
+        return _pd.Series([row.astype("int32").tolist() for row in order])
+
+    tagged = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).select(
+        "id", "v", F.posexplode(near_cells(F.col("v"))).alias("rank", "cell")
+    )
+
+    id_t = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_t),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("n_dup_neighbors", T.LongType()),
+            T.StructField("has_smaller_dup", T.BooleanType()),
+        ]
+    )
+
+    def cell_verdicts(key, pdf):
+        ids = pdf["id"].to_numpy()
+        m = _np.stack(pdf["v"].to_numpy()).astype("float64")
+        norms = _np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # zero vectors: cos undefined -> 0
+        sims = (m @ m.T) / _np.outer(norms, norms)
+        dup = sims >= threshold
+        _np.fill_diagonal(dup, False)
+        smaller = ids[None, :] < ids[:, None]
+        return _pd.DataFrame(
+            {
+                "id": ids,
+                "cell": int(key[0]),
+                "rank": pdf["rank"].to_numpy(),
+                "n_dup_neighbors": dup.sum(axis=1).astype("int64"),
+                "has_smaller_dup": (dup & smaller).any(axis=1),
+            }
+        )
+
+    return (
+        tagged.groupBy("cell")
+        .applyInPandas(cell_verdicts, schema=out_schema)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.min_by("cell", "rank").alias("cell"),
+            F.max("n_dup_neighbors").alias("n_dup_neighbors"),
+            (~F.bool_or("has_smaller_dup")).alias("kept"),
+        )
+    )
