@@ -4737,12 +4737,16 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 #   BIGINT) — they need hard green confirmation;
 # * slots 6-18: the 13 entries that have NEVER had a driver row
 #   (registered after the r3 rotation froze);
-# * slots 19-49: the 31 least-recently-verified entries whose last
+# * slots 19-28: the 10 operators ADDED during round 4 (bm25, epoch
+#   shuffle, quality logit, mixture, leakage split, cogrouped asof,
+#   line dedup, gopher filter, unigram surprisal, semantic dedup) —
+#   no driver row exists for them yet;
+# * slots 29-49: the 21 least-recently-verified entries whose last
 #   driver row is r2, preferring those whose implementation changed
-#   since (asof envelope prefilter, ngram df-cap, eager-agg multiway
-#   join, dedup family) — the 19 left out are the simplest pure-SQL
-#   scan/agg/window/set entries, double-green in r1+r2 and still pinned
-#   by the local parity twin every round.
+#   since (asof price-history rewrite, ngram df-cap, pinned
+#   composite-key join strategy, dedup family) — entries left out are
+#   the simplest pure-SQL scan/agg/window/set entries, double-green in
+#   r1+r2 and still pinned by the local parity twin every round.
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
@@ -4770,7 +4774,24 @@ FIRST_50 = (
     "rfm_segmentation",
     "cohort_ltv",
     "basket_affinity",
+    # -- registered mid-round-4, no driver row yet --------------------
+    "asof_join_grouped_pricelist",
+    "bm25_topk",
+    "epoch_shuffle",
+    "quality_logit",
+    "temperature_mixture",
+    "leakage_safe_split",
+    "dedup_lines",
+    "gopher_quality_filter",
+    "unigram_surprisal",
+    "semantic_dedup",
     # -- last driver row r2; code changed since or non-trivial plans --
+    # (rotated out to make room for the 10 above: time_hierarchy,
+    # cleanse_reject_routing, location_hierarchy, scd2_versions,
+    # tumbling_window_agg, sliding_window_rate, json_props_extract,
+    # sessionize, train_test_split, ntile_buckets — all double-green
+    # r1+r2 on unchanged code, re-checked every round by the local
+    # parity twin)
     "join_multiway",
     "join_composite_key",
     "dense_cube_crossjoin",
@@ -4784,16 +4805,6 @@ FIRST_50 = (
     "approx_sketches",
     "unpivot_lineitem_metrics",
     "date_spine",
-    "time_hierarchy",
-    "cleanse_reject_routing",
-    "location_hierarchy",
-    "scd2_versions",
-    "tumbling_window_agg",
-    "sliding_window_rate",
-    "json_props_extract",
-    "sessionize",
-    "train_test_split",
-    "ntile_buckets",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
