@@ -254,6 +254,42 @@ def minhash_signatures(
     return mins.select("doc", F.expr(f"{sig_sql} AS signature"))
 
 
+def banded_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc, signature, band, bucket) rows — the LSH banding table:
+    ``bands`` rows per doc, each bucketing ``num_hashes/bands``
+    consecutive signature positions into one xxhash64 bucket key. This
+    is both the join key table for :func:`minhash_lsh_pairs` and the
+    PERSISTENT STATE of :func:`incremental_minhash_lsh` (parquet it
+    partitioned/bucketed by (band, bucket) between batches)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, text_col, id_col, n, num_hashes, shingles=shingles
+    )
+    bands_sql = "array(" + ", ".join(
+        f"struct({b} AS band, xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(element_at(signature, {b * rows_per_band + r + 1})"
+            " AS string)"
+            for r in range(rows_per_band)
+        )
+        + ")) AS bucket)"
+        for b in range(bands)
+    ) + ")"
+    return sigs.select(
+        "doc",
+        "signature",
+        F.explode(F.expr(bands_sql)).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -272,25 +308,9 @@ def minhash_lsh_pairs(
     The bucket join replaces all-pairs: complexity ~ sum of bucket sizes
     squared, tunable via bands/rows to target a similarity threshold.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        docs, text_col, id_col, n, num_hashes, shingles=shingles
+    banded = banded_signatures(
+        docs, text_col, id_col, n, num_hashes, bands, shingles=shingles
     )
-    bands_sql = "array(" + ", ".join(
-        f"struct({b} AS band, xxhash64(concat_ws(',', "
-        + ", ".join(
-            f"cast(element_at(signature, {b * rows_per_band + r + 1})"
-            " AS string)"
-            for r in range(rows_per_band)
-        )
-        + ")) AS bucket)"
-        for b in range(bands)
-    ) + ")"
-    banded = sigs.select(
-        "doc",
-        "signature",
-        F.explode(F.expr(bands_sql)).alias("bb"),
-    ).select("doc", "signature", "bb.band", "bb.bucket")
     # Both self-join sides read `banded`; persist so the shingle->minhash
     # aggregation (the expensive part) runs once.
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
@@ -823,3 +843,97 @@ def line_dedup(
             ).alias("text_clean"),
         )
     )
+
+
+def incremental_minhash_lsh(
+    new_docs: DataFrame,
+    state: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-over-batch near-dup detection: LSH-band the NEW batch only,
+    probe it against the persisted band-bucket ``state`` of everything
+    seen before, and return ``(pairs, new_state)``.
+
+    ``pairs`` are the near-dup candidates the new batch introduces —
+    within-batch collisions plus new-vs-seen collisions — scored by
+    estimated Jaccard exactly like :func:`minhash_lsh_pairs`. Running
+    batches through this and unioning the per-batch pairs yields the
+    IDENTICAL pair set as one full-corpus ``minhash_lsh_pairs`` run
+    (signatures don't depend on batching; a colliding pair is found in
+    whichever batch its later doc arrives) — property-tested.
+
+    Scale contract: per batch the shingle->signature work is O(batch),
+    and the probe joins the batch's ``bands`` rows/doc against state on
+    (band, bucket) — persist state parquet bucketed by those keys and
+    the join is shuffle-free on the state side; nothing ever re-reads
+    or re-hashes prior batches' text. State grows |seen docs| x bands
+    rows of 4 longs + the signature array.
+
+    ``state`` is the previous call's second return value (schema of
+    :func:`banded_signatures`) or None for the first batch.
+    """
+    banded_new = banded_signatures(
+        new_docs, text_col, id_col, n, num_hashes, bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    probe_side = (
+        banded_new
+        if state is None
+        else banded_new.unionByName(state)
+    )
+    a = banded_new.select(
+        F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"),
+        "band", "bucket",
+    )
+    b = probe_side.select(
+        F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"),
+        "band", "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            # least/greatest on the struct keyed by doc keeps each
+            # signature attached to its id through canonicalization
+            F.least(
+                F.struct("doc_a", "sig_a"),
+                F.struct(F.col("doc_b").alias("doc_a"),
+                         F.col("sig_b").alias("sig_a")),
+            )["sig_a"].alias("sig_lo"),
+            F.greatest(
+                F.struct("doc_a", "sig_a"),
+                F.struct(F.col("doc_b").alias("doc_a"),
+                         F.col("sig_b").alias("sig_a")),
+            )["sig_a"].alias("sig_hi"),
+        )
+        .dropDuplicates(["lo", "hi"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_lo", "sig_hi", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    pairs = (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("lo").alias("doc_a"),
+            F.col("hi").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+    new_state = (
+        banded_new if state is None else state.unionByName(banded_new)
+    )
+    return pairs, new_state

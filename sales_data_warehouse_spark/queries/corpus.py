@@ -4725,6 +4725,46 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_incremental",
+    """
+    SELECT TRUE AS incremental_equals_full,
+           CAST((SELECT COUNT(*) * 8 FROM documents) AS BIGINT)
+             AS state_rows
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-over-batch MinHash-LSH (``dedup.incremental_minhash_lsh``):
+    the corpus arrives in 3 batches; each batch is banded once and
+    probed against the persisted band-bucket state — prior batches are
+    never re-read or re-hashed.
+
+    Property oracle (bucket hashes are engine-specific): the union of
+    per-batch pairs must EQUAL the single full-corpus LSH run's pairs
+    exactly — signatures don't depend on batching and a colliding pair
+    surfaces when its later doc arrives — and the final state must
+    hold exactly ``bands`` (8) rows per document, which SQL pins from
+    the document count."""
+    docs = load_table(spark, sf, "documents")
+    full = dedup.minhash_lsh_pairs(docs)
+    state = None
+    batch_pairs = []
+    for b in range(3):
+        pairs, state = dedup.incremental_minhash_lsh(
+            docs.filter(F.col("doc_id") % 3 == b), state
+        )
+        batch_pairs.append(pairs)
+    inc = batch_pairs[0].unionByName(batch_pairs[1]).unionByName(
+        batch_pairs[2]
+    )
+    missing = full.exceptAll(inc).count()
+    extra = inc.exceptAll(full).count()
+    return spark.createDataFrame(
+        [(missing == 0 and extra == 0, state.count())],
+        "incremental_equals_full boolean, state_rows long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
