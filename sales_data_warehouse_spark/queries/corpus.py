@@ -4844,7 +4844,7 @@ FIRST_50 = (
     "pivot_status_by_year",
     "approx_sketches",
     "unpivot_lineitem_metrics",
-    "date_spine",
+    "dedup_minhash_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
