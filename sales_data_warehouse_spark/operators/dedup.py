@@ -937,3 +937,91 @@ def incremental_minhash_lsh(
         banded_new if state is None else state.unionByName(banded_new)
     )
     return pairs, new_state
+
+
+def repeated_span_mask(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring dedup at k-token granularity (the Lee et al. 2022
+    "deduplicating training data" operation, bounded to k-gram spans):
+    mask every token covered by a k-token window whose exact sequence
+    occurs ``min_count`` or more times in the corpus — killing boiler
+    passages, duplicated quotes, and templated spans that document- and
+    line-level dedup both miss.
+
+    Plan: tokenize with position once (posexplode in the scan stage);
+    k-grams come from lead() windows over the SAME per-doc partitioning
+    (no second shuffle); occurrence counts aggregate on md5(gram) so
+    the shuffle key is 32 chars however long the span text is; hot
+    grams join back (AQE broadcasts the hot set — it is the repeated
+    tail, small by construction); covered positions explode each hot
+    start into its k offsets and dedup on (doc, pos); reassembly is
+    one groupBy(doc). Everything is codegen except nothing — no
+    Python, no O(n^2): cost is linear in total tokens times k for the
+    coverage explode.
+
+    Masking removes ALL copies of a repeated span (the conservative
+    variant; Lee et al. keep one occurrence — at pipeline scale the
+    canonical copy is usually re-admitted from the dedup cluster's
+    representative instead). Docs shorter than k tokens are untouched.
+
+    Returns (id, n_tokens, n_masked, text_masked) — one row per doc,
+    fully-masked docs survive with ``text_masked = ''``.
+    """
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("token")] + [
+        F.lead("token", j).over(w) for j in range(1, k)
+    ]
+    grams = (
+        toks.withColumn("_last", leads[-1])
+        .withColumn("gram", F.concat_ws(" ", *leads))
+        .filter(F.col("_last").isNotNull())
+        .select("doc", "pos", F.md5("gram").alias("fp"))
+    )
+    hot = (
+        grams.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("fp")
+    )
+    covered = (
+        grams.join(hot, "fp", "left_semi")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .dropDuplicates(["doc", "pos"])
+        .withColumn("__cov", F.lit(True))
+    )
+    flagged = toks.join(covered, ["doc", "pos"], "left")
+    kept_struct = F.when(
+        F.col("__cov").isNull(), F.struct(F.col("pos"), F.col("token"))
+    )
+    return (
+        flagged.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__cov").isNotNull().cast("bigint")).alias(
+                "n_masked"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.token,
+                ),
+                " ",
+            ).alias("text_masked"),
+        )
+    )

@@ -4765,6 +4765,65 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_repeated_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i, toks
+      FROM t
+    ),
+    tk AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS token FROM tok
+    ),
+    gr AS (
+      SELECT doc_id, i - 1 AS pos,
+             ARRAY_TO_STRING(toks[i : i + 9], ' ') AS gram
+      FROM tok
+      WHERE i + 9 <= LEN(toks)
+    ),
+    hot AS (
+      SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id,
+               g.pos + UNNEST(GENERATE_SERIES(0, 9)) AS p
+        FROM gr g JOIN hot h USING (gram)
+      )
+    ),
+    fl AS (
+      SELECT tk.doc_id, tk.pos, tk.token,
+             (cov.p IS NOT NULL) AS masked
+      FROM tk LEFT JOIN cov
+        ON tk.doc_id = cov.doc_id AND tk.pos = cov.p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           COALESCE(
+             STRING_AGG(CASE WHEN NOT masked THEN token END, ' '
+                        ORDER BY pos),
+             '') AS text_masked
+    FROM fl
+    GROUP BY doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup at 10-token-gram granularity (Lee et al.
+    2022 shape): every token covered by a 10-gram occurring >= 2 times
+    in the corpus is masked out of all documents; counts shuffle md5
+    fingerprints, coverage explodes hot starts into offsets, docs
+    reassemble on one groupBy (``dedup.repeated_span_mask``)."""
+    return dedup.repeated_span_mask(
+        load_table(spark, sf, "documents"), k=10, min_count=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
