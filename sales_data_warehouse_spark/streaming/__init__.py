@@ -36,6 +36,11 @@ from sales_data_warehouse_spark.streaming.ingest import (
     read_sales_csv_stream,
     start_streaming_etl,
 )
+from sales_data_warehouse_spark.streaming.documents import (
+    dedup_documents_batch,
+    read_documents_stream,
+    start_streaming_doc_dedup,
+)
 from sales_data_warehouse_spark.streaming.stateful import (
     running_user_totals,
 )
@@ -53,4 +58,7 @@ __all__ = [
     "dedupe_within",
     "start_streaming_etl",
     "running_user_totals",
+    "read_documents_stream",
+    "dedup_documents_batch",
+    "start_streaming_doc_dedup",
 ]

@@ -1,0 +1,119 @@
+"""Streaming document dedup: a drop-directory stream of document
+parquet files, each micro-batch deduplicated against the persisted
+fingerprint state of everything admitted so far.
+
+This is the streaming shape of ``dedup.incremental_exact_dedup`` — the
+ingestion front door of a growing pre-training corpus: per batch the
+work is O(batch) fingerprinting plus one join against the fingerprint
+table; admitted history is never re-read or re-hashed.
+
+Replay safety follows the module conventions (see
+``streaming/dimensions.py``): admitted docs land in a ``batch_id=N``
+directory with per-batch overwrite; the fingerprint state goes through
+``staged_overwrite`` (write-then-rename) AFTER the admitted write. A
+replayed batch either recomputes identically (crash before the state
+rename) or is detected as fully-merged and skipped (crash after the
+rename but before the checkpoint commit) — the one case where
+recomputing would wrongly admit nothing and overwrite the batch's
+output with an empty directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sales_data_warehouse_spark.operators.dedup import (
+    incremental_exact_dedup,
+)
+from sales_data_warehouse_spark.sources.compaction import (
+    fs_exists,
+    staged_overwrite,
+)
+
+#: documents-table schema (streaming sources need it declared).
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a documents drop directory (parquet).
+    One file per trigger by default so multi-file backfills exercise
+    the batch-over-batch state path instead of collapsing into one
+    giant batch."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(drop_dir)
+    )
+
+
+def dedup_documents_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+) -> None:
+    """Fold one micro-batch through the fingerprint state. Exposed as a
+    plain function (the ``foreachBatch`` sink calls it) so replay
+    semantics are directly testable without driving a stream."""
+    admitted_path = f"{output_dir}/admitted/batch_id={batch_id}"
+    state_path = f"{output_dir}/fingerprints"
+
+    prior = (
+        spark.read.parquet(state_path)
+        if fs_exists(spark, state_path)
+        else None
+    )
+    if prior is not None and fs_exists(spark, admitted_path):
+        # the batch's admitted output exists; if its fingerprints are
+        # all in state too, the whole batch committed before the crash
+        # — recomputing now would find zero fresh docs and clobber the
+        # admitted output with an empty overwrite
+        batch_fps = batch_df.select(
+            F.md5(F.col("text")).alias("fp")
+        ).distinct()
+        if batch_fps.join(prior, "fp", "left_anti").count() == 0:
+            return
+    fresh, state = incremental_exact_dedup(batch_df, prior)
+    fresh.write.mode("overwrite").parquet(admitted_path)
+    # the state plan reads state_path (prior) — materialize before the
+    # rename replaces the files under it
+    staged_overwrite(spark, state.localCheckpoint(), state_path)
+
+
+def start_streaming_doc_dedup(
+    spark: SparkSession,
+    drop_dir: str,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous drop-dir -> deduplicated corpus: admitted (first-seen)
+    documents land per batch under ``admitted/batch_id=N``; the
+    fingerprint table under ``fingerprints`` always reflects everything
+    admitted. Readers scan ``admitted/`` (batch_id appears as a
+    partition column). Returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_documents_batch(spark, batch_df, batch_id, output_dir)
+
+    stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint_dir or f"{output_dir}/_dedup_checkpoint",
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

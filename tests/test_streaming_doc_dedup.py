@@ -1,0 +1,109 @@
+"""Streaming document dedup: the drained stream must admit exactly the
+first-seen copy of every distinct text (matching the batch
+``exact_duplicates`` answer), keep fingerprint state consistent, and a
+replayed micro-batch must not lose or duplicate admitted output.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.streaming.documents import (
+    dedup_documents_batch,
+    start_streaming_doc_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture()
+def batches(spark):
+    b1 = _docs(spark, [(1, "alpha text"), (2, "beta text"),
+                       (3, "alpha text")])
+    b2 = _docs(spark, [(4, "beta text"), (5, "gamma text"),
+                       (6, "gamma text")])
+    return b1, b2
+
+
+def test_batches_admit_first_seen_only(spark, batches, tmp_path):
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    admitted = spark.read.parquet(f"{out}/admitted")
+    got = {
+        r["doc_id"]: r["text"] for r in admitted.collect()
+    }
+    # first-seen copies only: 3 (dup of 1), 4 (dup of 2), 6 (dup of 5)
+    assert got == {1: "alpha text", 2: "beta text", 5: "gamma text"}
+    state = spark.read.parquet(f"{out}/fingerprints")
+    assert state.count() == 3
+    assert set(
+        r["canonical_id"] for r in state.collect()
+    ) == {1, 2, 5}
+
+
+def test_replay_after_full_commit_is_a_noop(spark, batches, tmp_path):
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    before = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    # crash between state rename and checkpoint commit: batch 1 replays
+    dedup_documents_batch(spark, b2, 1, out)
+    after = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    assert after == before  # no loss, no duplicates
+    assert spark.read.parquet(f"{out}/fingerprints").count() == 3
+
+
+def test_replay_before_state_commit_recomputes_identically(
+    spark, batches, tmp_path
+):
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    # simulate a crash AFTER the admitted write but BEFORE the state
+    # rename: write batch 2's admitted dir by hand, leave state at b1
+    fresh = _docs(spark, [(5, "gamma text")])
+    fresh.write.mode("overwrite").parquet(f"{out}/admitted/batch_id=1")
+    dedup_documents_batch(spark, b2, 1, out)  # the replay
+    admitted = spark.read.parquet(f"{out}/admitted")
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 5]
+    assert spark.read.parquet(f"{out}/fingerprints").count() == 3
+
+
+def test_streamed_drain_matches_batch_dedup(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "dedup")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    _docs(spark, [(1, "t one"), (2, "t two"), (3, "t one")]).coalesce(
+        1
+    ).write.parquet(str(drop / "f1.parquet"))
+    _docs(spark, [(4, "t two"), (5, "t three")]).coalesce(1).write.parquet(
+        str(drop / "f2.parquet")
+    )
+    q = start_streaming_doc_dedup(
+        spark, str(drop) + "/*", out, available_now=True
+    )
+    q.awaitTermination(120)
+    admitted = spark.read.parquet(f"{out}/admitted")
+    texts = sorted(r["text"] for r in admitted.collect())
+    assert texts == ["t one", "t three", "t two"]
+    # fingerprints cover every distinct text exactly once
+    fps = spark.read.parquet(f"{out}/fingerprints")
+    assert fps.count() == 3
+    assert fps.select("fp").distinct().count() == 3
