@@ -4885,12 +4885,13 @@ FIRST_50 = (
     "unigram_surprisal",
     "semantic_dedup",
     # -- last driver row r2; code changed since or non-trivial plans --
-    # (rotated out to make room for the 10 above: time_hierarchy,
+    # (rotated out to make room for the 10 above + the late-round
+    # dedup_minhash_incremental / dedup_repeated_spans: time_hierarchy,
     # cleanse_reject_routing, location_hierarchy, scd2_versions,
     # tumbling_window_agg, sliding_window_rate, json_props_extract,
-    # sessionize, train_test_split, ntile_buckets — all double-green
-    # r1+r2 on unchanged code, re-checked every round by the local
-    # parity twin)
+    # sessionize, train_test_split, ntile_buckets, date_spine,
+    # unpivot_lineitem_metrics — all double-green r1+r2 on unchanged
+    # code, re-checked every round by the local parity twin)
     "join_multiway",
     "join_composite_key",
     "dense_cube_crossjoin",
@@ -4902,7 +4903,7 @@ FIRST_50 = (
     "grouping_sets_revenue",
     "pivot_status_by_year",
     "approx_sketches",
-    "unpivot_lineitem_metrics",
+    "dedup_repeated_spans",
     "dedup_minhash_incremental",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -186,3 +186,34 @@ def test_composite_key_join_never_broadcasts_the_fact(spark):
     plan = _lib_executed_plan(QUERIES["join_composite_key"](spark, SF_DIR))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_line_dedup_broadcasts_hot_set(spark):
+    # the boilerplate fingerprint set is small by construction (that is
+    # the point of the df threshold); the flag-back join must broadcast
+    # it so the exploded line table never shuffles for the join
+    plan = _lib_executed_plan(QUERIES["dedup_lines"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_repeated_spans_broadcasts_hot_grams(spark):
+    plan = _lib_executed_plan(
+        QUERIES["dedup_repeated_spans"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_gopher_filter_is_shuffle_free(spark):
+    # the whole rule set is one codegen projection over the scan — any
+    # Exchange appearing here means a rule leaked an aggregation/join
+    plan = _lib_executed_plan(
+        QUERIES["gopher_quality_filter"](spark, SF_DIR)
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_unigram_surprisal_aggregates_are_partial(spark):
+    # vocab counts and per-doc sums must both partial-aggregate
+    # map-side; HashAggregate appears in partial+final pairs
+    plan = _lib_executed_plan(QUERIES["unigram_surprisal"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
