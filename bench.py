@@ -85,6 +85,17 @@ SF1_SET = [
 ]
 
 
+#: Round-4 text/dedup additions: measured base + 10x timings reported
+#: in their own additive block — NOT in HEADLINE, so the round-over-
+#: round headline total stays comparable.
+EXTRA_SCALING = [
+    "dedup_lines",
+    "dedup_repeated_spans",
+    "gopher_quality_filter",
+    "unigram_surprisal",
+]
+
+
 _BENCH_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -225,6 +236,28 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
         emb10, emb10.filter(_SF.col("vec_id") < 10), k=5, probe_hamming=3
     ).write.format("noop").mode("overwrite").save()
     out["op_lsh_topk"] = round(time.perf_counter() - t0, 3)
+
+    # additive scaling evidence for the round-4 text/dedup ops: these
+    # are not HEADLINE queries (the headline total must stay
+    # round-comparable), so both the base and the 10x timing are
+    # measured here, min-of-2 each
+    extras: dict[str, dict[str, float]] = {}
+    for name in EXTRA_SCALING:
+        times = {}
+        for tag, d in (("base", sf_dir), ("x10", sf1_dir)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[tag] = round(best, 3)
+        times["ratio"] = (
+            round(times["x10"] / times["base"], 2) if times["base"] else -1
+        )
+        extras[name] = times
+    out["__extras__"] = extras
     return out
 
 
@@ -412,6 +445,7 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — scaling block must never
         # take down the primary bench output
         sf1_err = f"{type(e).__name__}: {e}"[:200]
+    extra_scaling = sf1_timings.pop("__extras__", {})
 
     # ------------------------------------------------------------------
     # Calibration: one fixed-cost synthetic probe (no I/O, no testdata
@@ -470,6 +504,10 @@ def main() -> None:
                         "dedup_embedding_cosine",
                         "ann_bruteforce_topk",
                     ],
+                    # round-4 text/dedup ops: base + 10x measured here
+                    # (not HEADLINE members, so the headline total
+                    # stays round-comparable)
+                    "new_ops": extra_scaling,
                     **({"error": sf1_err} if sf1_err else {}),
                 },
                 "notes": (
