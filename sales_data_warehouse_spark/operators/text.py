@@ -457,6 +457,25 @@ def bm25_topk(
         # group_centroids.n_vecs)
         F.max("dl").alias("dl"),
     )
+    return _bm25_rank(
+        tf, n_docs, t_tokens, k, k1_tenths, b_hundredths, exact_ppm, id_col
+    )
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    n_docs: int,
+    t_tokens: int,
+    k: int,
+    k1_tenths: int,
+    b_hundredths: int,
+    exact_ppm: bool,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail over a (id, term, tf, dl) table already
+    reduced to the query's terms — both the one-shot :func:`bm25_topk`
+    and the persisted-index :func:`bm25_search` end here, so the two
+    paths cannot drift."""
     if exact_ppm:
         # ACTUAL max tf over the query terms (not the max_dl upper
         # bound, which over-fires the guard 10x) — one cheap aggregate
@@ -902,4 +921,122 @@ def unigram_surprisal(
                 F.sum("bits") / F.count(F.lit(1)), 4
             ).alias("avg_log2_freq"),
         )
+    )
+
+
+class TextIndex:
+    """A built BM25 index: full-vocabulary postings + corpus stats.
+
+    ``postings`` is (term, pbucket, <id>, tf, dl) — at scale persist it
+    PARTITIONED BY ``pbucket`` (a 64-way hash of the term) so a search
+    touching q terms reads at most q bucket directories instead of the
+    corpus; the stats are two ints every search embeds as literals.
+    """
+
+    def __init__(
+        self, postings: DataFrame, n_docs: int, t_tokens: int,
+        id_col: str = "doc_id",
+    ) -> None:
+        self.postings = postings
+        self.n_docs = int(n_docs)
+        self.t_tokens = int(t_tokens)
+        self.id_col = id_col
+
+
+_PBUCKETS = 64
+
+
+def build_text_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> TextIndex:
+    """Tokenize the corpus ONCE into full-vocabulary postings — the
+    build half of the BM25 build/search split (same economics as the
+    IVF index: repeated queries stop re-exploding the corpus). One
+    explode + one (doc, term) groupBy; the postings table is bounded by
+    distinct (doc, term) pairs, always <= total tokens."""
+    srow = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias(
+            "t_tokens"
+        ),
+    ).collect()[0]
+    toks = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    postings = (
+        toks.groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .withColumn(
+            "pbucket", F.pmod(F.xxhash64("term"), F.lit(_PBUCKETS))
+        )
+    )
+    return TextIndex(
+        postings, int(srow["n_docs"]), int(srow["t_tokens"] or 0), id_col
+    )
+
+
+def save_text_index(index: TextIndex, path: str) -> None:
+    """Persist: postings partitioned by pbucket (a q-term search prunes
+    to <= q of the 64 directories), stats as a 1-row parquet."""
+    index.postings.write.mode("overwrite").partitionBy("pbucket").parquet(
+        f"{path}/postings"
+    )
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.n_docs, index.t_tokens, index.id_col)],
+        "n_docs long, t_tokens long, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_text_index(spark, path: str) -> TextIndex:
+    """Reopen a saved index; postings stay a lazy partitioned scan so a
+    search's pbucket filter becomes partition pruning."""
+    row = spark.read.parquet(f"{path}/stats").collect()[0]
+    return TextIndex(
+        spark.read.parquet(f"{path}/postings"),
+        row["n_docs"], row["t_tokens"], row["id_col"],
+    )
+
+
+def bm25_search(
+    index: TextIndex,
+    query_terms: list[str],
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+    exact_ppm: bool = True,
+) -> DataFrame:
+    """Search a built index: filter postings to the query's terms —
+    pbucket equality first (partition pruning on a saved index), then
+    the term itself — and run the SAME scoring tail as
+    :func:`bm25_topk`, so index-backed rankings are bit-identical to
+    the one-shot path (property-tested)."""
+    terms = [t.lower() for t in query_terms]
+    import pyspark.sql.functions as _F
+
+    buckets = sorted(
+        {
+            r["b"]
+            for r in index.postings.sparkSession.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(
+                _F.pmod(_F.xxhash64("term"), _F.lit(_PBUCKETS)).alias("b")
+            )
+            .collect()
+        }
+    )
+    tf = index.postings.filter(
+        F.col("pbucket").isin(buckets) & F.col("term").isin(terms)
+    ).drop("pbucket")
+    return _bm25_rank(
+        tf, index.n_docs, index.t_tokens, k, k1_tenths, b_hundredths,
+        exact_ppm, index.id_col,
     )

@@ -1,0 +1,69 @@
+"""Persisted BM25 index: the build/search split must rank identically
+to the one-shot ``bm25_topk`` (shared scoring tail), survive a
+save/load roundtrip, and prune the postings scan to the query terms'
+hash buckets."""
+
+from __future__ import annotations
+
+import pytest
+
+from sales_data_warehouse_spark.operators.text import (
+    bm25_search,
+    bm25_topk,
+    build_text_index,
+    load_text_index,
+    save_text_index,
+)
+
+TERMS = ["fast", "vector", "merge"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return build_text_index(docs)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_index_search_matches_one_shot(spark, docs, index):
+    want = _rows(bm25_topk(docs, TERMS, k=10))
+    got = _rows(bm25_search(index, TERMS, k=10))
+    assert got == want and len(got) == 10
+
+
+def test_double_mode_matches_too(spark, docs, index):
+    want = _rows(bm25_topk(docs, TERMS, k=5, exact_ppm=False))
+    got = _rows(bm25_search(index, TERMS, k=5, exact_ppm=False))
+    assert got == want
+
+
+def test_save_load_roundtrip_and_pruning(spark, docs, index, tmp_path):
+    path = str(tmp_path / "bm25_index")
+    save_text_index(index, path)
+    reopened = load_text_index(spark, path)
+    assert reopened.n_docs == index.n_docs
+    assert reopened.t_tokens == index.t_tokens
+    want = _rows(bm25_topk(docs, TERMS, k=10))
+    assert _rows(bm25_search(reopened, TERMS, k=10)) == want
+    # the postings scan must carry a pbucket partition filter so a
+    # saved index reads <= |terms| of the 64 bucket directories
+    plan = (
+        bm25_search(reopened, TERMS, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pbucket" in plan
+
+
+def test_stats_match_corpus(docs, index):
+    assert index.n_docs == docs.count()
