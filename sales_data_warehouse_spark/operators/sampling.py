@@ -301,3 +301,62 @@ def leakage_safe_split(
         .join(assigned, "fp")
         .select(id_col, "canonical_id", "n_copies", "split")
     )
+
+
+def quality_select_top(
+    docs: DataFrame,
+    keep_permille: int = 300,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_permille``/1000 of the corpus by quality
+    score — the "train on the best 30%" selection step downstream of a
+    quality classifier.
+
+    Scale shape: the naive formulation is a global percent_rank — one
+    all-rows sort through a single partition, dead at 100 TB. Here the
+    cutoff comes from a HISTOGRAM of the integer logit: scores
+    aggregate to (score, count) — distinct-score-sized, tiny — a
+    cumulative count over the descending histogram finds the highest
+    threshold T with at least ``ceil(n * keep/1000)`` docs at or above
+    it, and one filter pass keeps ``score >= T``. Two linear passes,
+    no row-level sort anywhere.
+
+    Tie semantics (documented contract): every doc scoring exactly T
+    is kept, so the selection can overshoot the target by at most the
+    tie mass at T — deterministic, partition-independent, and exactly
+    reproducible in SQL (no hash tiebreak sampling inside a score
+    class).
+
+    Returns the scored rows (``text.quality_logit`` columns) that made
+    the cut, plus the threshold as a column for auditability.
+    """
+    from sales_data_warehouse_spark.operators.text import quality_logit
+
+    scored = quality_logit(docs, text_col=text_col)
+    hist = scored.groupBy("logit_milli").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.orderBy(F.desc("logit_milli"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    row = cum.agg(
+        F.sum("cnt").alias("n"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    if n == 0:
+        return scored.withColumn(
+            "threshold_milli", F.lit(0).cast("bigint")
+        )
+    target = -(-n * keep_permille // 1000)  # ceil
+    trow = (
+        cum.filter(F.col("cum") >= target)
+        .agg(F.max("logit_milli").alias("t"))
+        .collect()[0]
+    )
+    threshold = int(trow["t"])
+    return scored.filter(
+        F.col("logit_milli") >= threshold
+    ).withColumn("threshold_milli", F.lit(threshold).cast("bigint"))

@@ -4824,6 +4824,67 @@ def dedup_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_select_top",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(LEN(REGEXP_EXTRACT_ALL(
+                    LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             CAST((n_punct * 1000000) // n_chars AS BIGINT) AS punct_ppm,
+             CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS stop_ppm
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, n_tokens, punct_ppm, stop_ppm,
+             CAST(-500 + 2 * n_tokens + (-40) * (punct_ppm // 1000)
+                  + 90 * (stop_ppm // 1000) AS BIGINT) AS logit_milli,
+             (-500 + 2 * n_tokens + (-40) * (punct_ppm // 1000)
+              + 90 * (stop_ppm // 1000)) >= 0 AS keep
+      FROM p
+    ),
+    h AS (
+      SELECT logit_milli, COUNT(*) AS cnt FROM s GROUP BY logit_milli
+    ),
+    c AS (
+      SELECT logit_milli,
+             SUM(cnt) OVER (ORDER BY logit_milli DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    t AS (
+      SELECT CAST(MAX(logit_milli) AS BIGINT) AS thr FROM c
+      WHERE cum >= (SELECT (COUNT(*) * 300 + 999) // 1000 FROM s)
+    )
+    SELECT s.doc_id, s.n_tokens, s.punct_ppm, s.stop_ppm,
+           s.logit_milli, s.keep, t.thr AS threshold_milli
+    FROM s, t
+    WHERE s.logit_milli >= t.thr
+    """,
+)
+def quality_select_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-30%-by-quality selection without a global row sort: the
+    cutoff comes from a cumulative count over the integer-logit
+    HISTOGRAM (distinct-score-sized), then one filter pass keeps
+    ``score >= threshold`` — ties at the threshold all kept, the
+    documented deterministic overshoot (``sampling.quality_select_top``)."""
+    return sampling.quality_select_top(
+        load_table(spark, sf, "documents"), keep_permille=300
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
