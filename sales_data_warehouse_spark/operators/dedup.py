@@ -1025,3 +1025,48 @@ def repeated_span_mask(
             ).alias("text_masked"),
         )
     )
+
+
+def keep_best_representative(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "fp",
+    score_col: str = "logit_milli",
+) -> DataFrame:
+    """Pick each duplicate group's QUALITY representative: the member
+    with the highest score, ties broken by lowest id — the selection
+    policy real pipelines run over dedup clusters instead of
+    keep-lowest-id (the best-written copy survives, not the earliest).
+
+    ``assignments`` maps members to groups ((id, group) — a fingerprint
+    column, a connected-components cluster id, a SemDeDup cell
+    verdict); ``scores`` maps ids to a quality score. One join on the
+    id and one grouped ``max_by`` aggregate — map-side combinable, no
+    window, so the reduction scales like any groupBy however large the
+    groups. NOTE: exact-duplicate groups tie by construction
+    (identical text -> identical score) and degrade to keep-lowest-id;
+    the policy bites on NEAR-dup groups (normalization fingerprints,
+    LSH clusters) where copies genuinely differ.
+
+    Returns (group, n_members, min_id, best_id, best_score).
+    """
+    j = assignments.select(
+        F.col(id_col).alias("__id"), F.col(group_col).alias("__g")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("__id"), F.col(score_col).alias("__s")
+        ),
+        "__id",
+    )
+    return j.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("__id").alias("min_id"),
+        # best by (score desc, id asc): negate the id inside the
+        # ordering struct, recover it by negating the argmax back
+        (-F.max_by(
+            -F.col("__id"),
+            F.struct(F.col("__s"), (-F.col("__id")).alias("nid")),
+        )).alias("best_id"),
+        F.max("__s").alias(f"best_{score_col}"),
+    )

@@ -4885,6 +4885,57 @@ def quality_select_top(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_best",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS fp,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(LEN(REGEXP_EXTRACT_ALL(
+                    LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, fp,
+             CAST(-500 + 2 * n_tokens
+                  + (-40) * (((n_punct * 1000000) // n_chars) // 1000)
+                  + 90 * (((n_stop * 1000000) // n_tokens) // 1000)
+                  AS BIGINT) AS logit_milli
+      FROM f
+    )
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           -- best = highest logit, ties broken by LOWEST doc id
+           -- (DuckDB ordered aggregate; Spark mirrors with a struct
+           -- max_by — same semantic value)
+           CAST(FIRST(doc_id ORDER BY logit_milli DESC, doc_id ASC)
+             AS BIGINT) AS best_id,
+           CAST(MAX(logit_milli) AS BIGINT) AS best_logit_milli
+    FROM s
+    GROUP BY fp
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-keep dedup policy over normalization-fingerprint groups
+    (case/whitespace-insensitive near-exact dedup): each group keeps
+    its highest-quality-logit member, ties to the lowest id — the
+    representative selection real pipelines run instead of
+    keep-lowest-id (``dedup.keep_best_representative``; one grouped
+    max_by, map-side combinable, no window)."""
+    docs = load_table(spark, sf, "documents")
+    scored = text.quality_logit(docs).select("doc_id", "logit_milli")
+    fp = text.fingerprint(docs)
+    return dedup.keep_best_representative(fp, scored)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -4963,7 +5014,7 @@ FIRST_50 = (
     "cube_quantity",
     "grouping_sets_revenue",
     "pivot_status_by_year",
-    "approx_sketches",
+    "quality_select_top",
     "dedup_repeated_spans",
     "dedup_minhash_incremental",
     "dedup_exact",
