@@ -40,34 +40,43 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, id_col)
 
 
-def exploded_shingles(
-    docs: DataFrame, text_col: str, id_col: str, n: int = 3
-) -> DataFrame:
-    """(doc, shingle) rows: word n-grams over lowercase whitespace tokens.
-    NOT deduplicated — callers dedup only when their math needs it.
+def _lead_grams(toks: DataFrame, n: int, out_col: str) -> DataFrame:
+    """Append word n-grams to a (doc, pos, token, ...) frame: the gram
+    at pos p spans tokens p..p+n-1 via lead() windows partitioned by
+    doc — the key upstream ``_spread`` repartitioned on, so no second
+    shuffle. Rows whose gram would run off the document end are
+    dropped. The ONE definition of shingling for every consumer
+    (exploded_shingles, source_overlap_matrix, repeated_span_mask) —
+    edge-case fixes land here once.
 
-    Plan shape (all whole-stage-codegen relational ops — an array
+    Plan shape note: all whole-stage-codegen relational ops — an array
     transform/element_at formulation runs interpreted and measured ~6x
-    slower): posexplode tokens, then shingle = token + next-(n-1) tokens
-    via lead() windows. The window partitions by doc, the same key
-    ``_spread`` just repartitioned on, so no second shuffle.
+    slower.
     """
-    toks = _spread(docs, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-            "pos", "token"
-        ),
-    )
     w = Window.partitionBy("doc").orderBy("pos")
     leads = [F.col("token")] + [
         F.lead("token", j).over(w) for j in range(1, n)
     ]
     return (
         toks.withColumn("_last", leads[-1])
-        .withColumn("shingle", F.concat_ws(" ", *leads))
+        .withColumn(out_col, F.concat_ws(" ", *leads))
         .filter(F.col("_last").isNotNull())
-        .select("doc", "shingle")
+        .drop("_last")
     )
+
+
+def exploded_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, shingle) rows: word n-grams over lowercase whitespace tokens.
+    NOT deduplicated — callers dedup only when their math needs it."""
+    toks = _spread(docs, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    return _lead_grams(toks, n, "shingle").select("doc", "shingle")
 
 
 def exact_duplicates(
@@ -679,15 +688,7 @@ def source_overlap_matrix(
             "pos", "token"
         ),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("token")] + [F.lead("token", j).over(w) for j in range(1, n)]
-    sh = (
-        toks.withColumn("_last", leads[-1])
-        .withColumn("shingle", F.concat_ws(" ", *leads))
-        .filter(F.col("_last").isNotNull())
-        .select("src", "shingle")
-        .distinct()
-    )
+    sh = _lead_grams(toks, n, "shingle").select("src", "shingle").distinct()
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("src").alias("src_a"), "shingle")
     b = sh.select(F.col("src").alias("src_b"), "shingle")
@@ -877,9 +878,17 @@ def incremental_minhash_lsh(
     ``state`` is the previous call's second return value (schema of
     :func:`banded_signatures`) or None for the first batch.
     """
+    # localCheckpoint, not persist: three consumers (both probe sides +
+    # the state union) read the banded batch, and the returned state's
+    # lineage must not chain back through every prior batch's plan — a
+    # persist here would pin one cached table per batch for the
+    # application lifetime (never unpersisted in the designed
+    # once-per-batch loop), while the checkpoint blocks are released by
+    # the ContextCleaner once the state DataFrame they back is dropped
+    # (callers parquet the state between batches anyway, per above).
     banded_new = banded_signatures(
         new_docs, text_col, id_col, n, num_hashes, bands
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
 
     probe_side = (
         banded_new
@@ -978,15 +987,8 @@ def repeated_span_mask(
             "pos", "token"
         ),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("token")] + [
-        F.lead("token", j).over(w) for j in range(1, k)
-    ]
-    grams = (
-        toks.withColumn("_last", leads[-1])
-        .withColumn("gram", F.concat_ws(" ", *leads))
-        .filter(F.col("_last").isNotNull())
-        .select("doc", "pos", F.md5("gram").alias("fp"))
+    grams = _lead_grams(toks, k, "gram").select(
+        "doc", "pos", F.md5("gram").alias("fp")
     )
     hot = (
         grams.groupBy("fp")
@@ -1062,11 +1064,13 @@ def keep_best_representative(
     return j.groupBy(F.col("__g").alias(group_col)).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("__id").alias("min_id"),
-        # best by (score desc, id asc): negate the id inside the
-        # ordering struct, recover it by negating the argmax back
-        (-F.max_by(
-            -F.col("__id"),
-            F.struct(F.col("__s"), (-F.col("__id")).alias("nid")),
-        )).alias("best_id"),
+        # best by (score desc, id asc) = min over (-score, id): the
+        # SCORE is negated (numeric by contract), never the id — a
+        # negated string/uuid id would cast to NULL under ANSI-off and
+        # silently null every representative
+        F.min_by(
+            F.col("__id"),
+            F.struct((-F.col("__s")).alias("ns"), F.col("__id")),
+        ).alias("best_id"),
         F.max("__s").alias(f"best_{score_col}"),
     )

@@ -334,29 +334,32 @@ def quality_select_top(
     from sales_data_warehouse_spark.operators.text import quality_logit
 
     scored = quality_logit(docs, text_col=text_col)
-    hist = scored.groupBy("logit_milli").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # ONE corpus aggregate: the (score, count) histogram is
+    # distinct-score-sized — collect it whole and derive both the total
+    # and the threshold driver-side (a cum-window + second aggregate
+    # here would rescan the corpus once per collect)
+    hist = sorted(
+        (
+            (int(r["logit_milli"]), int(r["cnt"]))
+            for r in scored.groupBy("logit_milli")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ),
+        key=lambda sc: -sc[0],
     )
-    w = (
-        Window.orderBy(F.desc("logit_milli"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    row = cum.agg(
-        F.sum("cnt").alias("n"),
-    ).collect()[0]
-    n = int(row["n"] or 0)
+    n = sum(c for _, c in hist)
     if n == 0:
         return scored.withColumn(
             "threshold_milli", F.lit(0).cast("bigint")
         )
     target = -(-n * keep_permille // 1000)  # ceil
-    trow = (
-        cum.filter(F.col("cum") >= target)
-        .agg(F.max("logit_milli").alias("t"))
-        .collect()[0]
-    )
-    threshold = int(trow["t"])
+    cum = 0
+    threshold = hist[-1][0]
+    for s, c in hist:
+        cum += c
+        if cum >= target:
+            threshold = s
+            break
     return scored.filter(
         F.col("logit_milli") >= threshold
     ).withColumn("threshold_milli", F.lit(threshold).cast("bigint"))

@@ -47,3 +47,19 @@ def test_negative_scores_and_ids_order_correctly(spark):
     )
     assert out["g"]["best_id"] == 11
     assert out["g"]["best_logit_milli"] == -100
+
+
+def test_string_ids_work(spark):
+    # regression: the earlier negate-the-id formulation cast string ids
+    # to numeric NULL under ANSI-off, nulling every representative
+    a = spark.createDataFrame(
+        [("u-1", "g"), ("u-2", "g"), ("u-3", "g")], "doc_id string, fp string"
+    )
+    s = spark.createDataFrame(
+        [("u-1", 10), ("u-2", 99), ("u-3", 50)],
+        "doc_id string, logit_milli long",
+    )
+    out = keep_best_representative(a, s).collect()
+    assert len(out) == 1
+    assert out[0]["best_id"] == "u-2"
+    assert out[0]["min_id"] == "u-1"
