@@ -4942,6 +4942,93 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.keep_best_representative(fp, scored)
 
 
+@query(
+    "corpus_health_report",
+    r"""
+    WITH f AS (
+      SELECT doc_id, source, lang,
+             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS fp,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(LEN(REGEXP_EXTRACT_ALL(
+                    LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, lang, fp, n_tokens,
+             CAST(-500 + 2 * n_tokens
+                  + (-40) * (((n_punct * 1000000) // n_chars) // 1000)
+                  + 90 * (((n_stop * 1000000) // n_tokens) // 1000)
+                  AS BIGINT) AS logit_milli
+      FROM f
+    ),
+    g AS (
+      SELECT fp, COUNT(*) AS copies FROM s GROUP BY fp
+    ),
+    j AS (
+      SELECT s.*, (g.copies > 1) AS is_dup FROM s JOIN g USING (fp)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(logit_milli) AS BIGINT) AS sum_logit_milli,
+           ROUND(CAST(SUM(logit_milli) AS DOUBLE) / COUNT(*), 4)
+             AS avg_logit_milli,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM j
+    GROUP BY source
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health: doc/token volume, mean integer quality
+    logit, near-exact duplicate share (normalization fingerprints), and
+    language spread — the composition dashboard a curator checks before
+    setting mixture weights. One fingerprint groupBy + one join + one
+    per-source aggregate; every metric exact-integer or a single
+    rounded division."""
+    docs = load_table(spark, sf, "documents")
+    scored = text.quality_logit(docs).select("doc_id", "logit_milli")
+    base = (
+        docs.select("doc_id", "source", "lang")
+        .join(text.fingerprint(docs), "doc_id")
+        .join(scored, "doc_id")
+        .join(
+            load_table(spark, sf, "documents").select(
+                "doc_id",
+                F.size(F.split(F.col("text"), r"\s+"))
+                .cast("bigint")
+                .alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+    )
+    g = base.groupBy("fp").agg(F.count(F.lit(1)).alias("copies"))
+    j = base.join(g, "fp").withColumn("is_dup", F.col("copies") > 1)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("logit_milli").alias("sum_logit_milli"),
+        F.round(
+            F.sum("logit_milli") / F.count(F.lit(1)), 4
+        ).alias("avg_logit_milli"),
+        F.sum(F.col("is_dup").cast("bigint")).alias("n_dup_docs"),
+        F.expr(
+            "CAST(sum(CAST(is_dup AS BIGINT)) * 1000000 DIV count(1) "
+            "AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -5019,7 +5106,7 @@ FIRST_50 = (
     "rollup_revenue",
     "cube_quantity",
     "grouping_sets_revenue",
-    "pivot_status_by_year",
+    "dedup_keep_best",
     "quality_select_top",
     "dedup_repeated_spans",
     "dedup_minhash_incremental",
