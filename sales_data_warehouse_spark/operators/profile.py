@@ -14,7 +14,7 @@ share one output schema — the standard profile-table shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,3 +94,97 @@ def approx_frequent_items(
             (F.col("i") + 1).cast("int").alias("rank"),
         )
     )
+
+
+def drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    scale: int = 100,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Distribution drift between two snapshots of the same column —
+    the monitor a warehouse runs between loads (schema unchanged, but
+    did the VALUES move?).
+
+    Both sides histogram into ``buckets`` equal-width bins over a
+    shared integer domain: values scale exactly via
+    ``decimal(18,2) * scale`` (money columns are 2-decimal; no float
+    rounding anywhere), bounds default to snapshot A's min/max (one
+    tiny aggregate), out-of-range B values clamp into the edge bins.
+    Per bin the report carries both counts, per-mille rates, and an
+    integer chi-square-style statistic
+    ``(cnt_a - cnt_b)^2 * 1e6 DIV (cnt_a + cnt_b)`` — all integer
+    arithmetic, so the report is bit-identical across engines and
+    partitionings.
+
+    Cost: one scan + histogram aggregate per side (map-side partial;
+    the shuffle carries <= ``buckets`` rows per task); everything
+    after operates on the bucket table. Row count is always exactly
+    ``buckets`` — gaps are zero-filled from a bucket spine.
+    """
+    spark = a.sparkSession
+
+    def scaled(df: DataFrame) -> DataFrame:
+        return df.select(
+            (F.col(value_col).cast("decimal(18,2)") * scale)
+            .cast("bigint")
+            .alias("v")
+        ).filter(F.col("v").isNotNull())
+
+    sa, sb = scaled(a), scaled(b)
+    if lo is None or hi is None:
+        r = sa.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        lo = int(r["lo"]) if lo is None else lo
+        hi = int(r["hi"]) if hi is None else hi
+    span = max(hi - lo + 1, 1)
+
+    bucket = (
+        f"least({buckets - 1}, greatest(0, "
+        f"CAST(((v - {lo}) * {buckets}) DIV {span} AS INT)))"
+    )
+
+    def hist(s: DataFrame, name: str) -> DataFrame:
+        return s.groupBy(
+            F.expr(bucket).cast("bigint").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias(name))
+
+    spine = spark.range(buckets).select(
+        # bigint: matches both histogram keys (cast below) and the
+        # BIGINT bucket spine a SQL oracle's generate_series produces
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    j = (
+        spine.join(hist(sa, "cnt_a"), "bucket", "left")
+        .join(hist(sb, "cnt_b"), "bucket", "left")
+        .fillna(0, subset=["cnt_a", "cnt_b"])
+    )
+    w = Window.partitionBy(F.lit(1))
+    j = (
+        j.withColumn("n_a", F.sum("cnt_a").over(w))
+        .withColumn("n_b", F.sum("cnt_b").over(w))
+    )
+    return j.select(
+        "bucket",
+        F.lit(lo).cast("bigint").alias("domain_lo"),
+        F.lit(hi).cast("bigint").alias("domain_hi"),
+        F.col("cnt_a").cast("bigint").alias("cnt_a"),
+        F.col("cnt_b").cast("bigint").alias("cnt_b"),
+        F.expr("cnt_a * 1000 DIV greatest(n_a, 1)")
+        .cast("bigint")
+        .alias("rate_a_permille"),
+        F.expr("cnt_b * 1000 DIV greatest(n_b, 1)")
+        .cast("bigint")
+        .alias("rate_b_permille"),
+        F.expr(
+            "CASE WHEN cnt_a + cnt_b > 0 THEN "
+            "(cnt_a - cnt_b) * (cnt_a - cnt_b) * 1000000 "
+            "DIV (cnt_a + cnt_b) ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("chi2_ppm"),
+    ).orderBy("bucket")

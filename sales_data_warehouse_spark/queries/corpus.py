@@ -5029,6 +5029,84 @@ def corpus_health_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "table_drift_report",
+    r"""
+    WITH av AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+    ),
+    bv AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM av),
+    ha AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(((v - b.lo) * 10)
+                    // GREATEST(b.hi - b.lo + 1, 1) AS INT))) AS bucket,
+             COUNT(*) AS cnt
+      FROM av, bounds b GROUP BY 1
+    ),
+    hb AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(((v - b.lo) * 10)
+                    // GREATEST(b.hi - b.lo + 1, 1) AS INT))) AS bucket,
+             COUNT(*) AS cnt
+      FROM bv, bounds b GROUP BY 1
+    ),
+    spine AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bucket),
+    j AS (
+      SELECT s.bucket,
+             CAST(COALESCE(ha.cnt, 0) AS BIGINT) AS cnt_a,
+             CAST(COALESCE(hb.cnt, 0) AS BIGINT) AS cnt_b
+      FROM spine s
+      LEFT JOIN ha ON s.bucket = ha.bucket
+      LEFT JOIN hb ON s.bucket = hb.bucket
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(SUM(cnt_b) AS BIGINT) AS nb
+      FROM j
+    )
+    SELECT j.bucket,
+           CAST(b.lo AS BIGINT) AS domain_lo,
+           CAST(b.hi AS BIGINT) AS domain_hi,
+           j.cnt_a, j.cnt_b,
+           CAST(j.cnt_a * 1000 // GREATEST(t.na, 1) AS BIGINT)
+             AS rate_a_permille,
+           CAST(j.cnt_b * 1000 // GREATEST(t.nb, 1) AS BIGINT)
+             AS rate_b_permille,
+           CAST(CASE WHEN j.cnt_a + j.cnt_b > 0 THEN
+                  (j.cnt_a - j.cnt_b) * (j.cnt_a - j.cnt_b) * 1000000
+                  // (j.cnt_a + j.cnt_b)
+                ELSE 0 END AS BIGINT) AS chi2_ppm
+    FROM j, t, bounds b
+    ORDER BY j.bucket
+    """,
+)
+def table_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift monitor between two snapshots (lineitem split
+    at the 1995-06-01 ship date, extendedprice histogram): exact
+    decimal-scaled integer bins over snapshot A's domain, both counts
+    plus per-mille rates and an integer chi-square-style statistic per
+    bin — bit-identical across engines (``profile.drift_report``)."""
+    from sales_data_warehouse_spark.operators.profile import drift_report
+
+    l = load_table(spark, sf, "lineitem")
+    cut = "l_shipdate < TIMESTAMP'1995-06-01 00:00:00'"
+    return drift_report(
+        l.filter(F.expr(cut)),
+        l.filter(~F.expr(cut)),
+        "l_extendedprice",
+        buckets=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
