@@ -38,8 +38,10 @@ from sales_data_warehouse_spark.streaming.ingest import (
 )
 from sales_data_warehouse_spark.streaming.documents import (
     dedup_documents_batch,
+    near_dedup_documents_batch,
     read_documents_stream,
     start_streaming_doc_dedup,
+    start_streaming_near_dedup,
 )
 from sales_data_warehouse_spark.streaming.stateful import (
     running_user_totals,
@@ -61,4 +63,6 @@ __all__ = [
     "read_documents_stream",
     "dedup_documents_batch",
     "start_streaming_doc_dedup",
+    "near_dedup_documents_batch",
+    "start_streaming_near_dedup",
 ]

@@ -117,3 +117,70 @@ def start_streaming_doc_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def near_dedup_documents_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+) -> None:
+    """Fold one micro-batch through the MinHash band state: emit the
+    near-dup pairs this batch introduces (within-batch + new-vs-seen)
+    under ``pairs/batch_id=N`` and update the persisted band table.
+
+    Replay safety differs from the exact-dedup sink: recomputing a
+    batch whose state already merged is HARMLESS here — the probe side
+    unions new and seen rows, and pair canonicalization dedups, so the
+    replay emits the identical pair set; only the state union would
+    double its rows, which the pre-write ``dropDuplicates`` on
+    (doc, band) makes idempotent (bucket and signature are pure
+    functions of the doc). No skip-detection needed.
+    """
+    from sales_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_lsh,
+    )
+
+    state_path = f"{output_dir}/band_state"
+    prior = (
+        spark.read.parquet(state_path)
+        if fs_exists(spark, state_path)
+        else None
+    )
+    pairs, state = incremental_minhash_lsh(batch_df, prior)
+    pairs.write.mode("overwrite").parquet(
+        f"{output_dir}/pairs/batch_id={batch_id}"
+    )
+    staged_overwrite(
+        spark,
+        state.dropDuplicates(["doc", "band"]).localCheckpoint(),
+        state_path,
+    )
+
+
+def start_streaming_near_dedup(
+    spark: SparkSession,
+    drop_dir: str,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous near-duplicate detection over a document drop
+    directory: each micro-batch is MinHash-banded once and probed
+    against the persisted band state; the unioned ``pairs/`` output
+    equals a full-corpus ``minhash_lsh_pairs`` run over everything
+    drained so far (the incremental operator's property). Returns the
+    StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        near_dedup_documents_batch(spark, batch_df, batch_id, output_dir)
+
+    stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint_dir or f"{output_dir}/_near_dedup_checkpoint",
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

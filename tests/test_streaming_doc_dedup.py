@@ -107,3 +107,65 @@ def test_streamed_drain_matches_batch_dedup(spark, tmp_path):
     fps = spark.read.parquet(f"{out}/fingerprints")
     assert fps.count() == 3
     assert fps.select("fp").distinct().count() == 3
+
+
+def test_near_dedup_stream_matches_batch_lsh(spark, tmp_path):
+    from sales_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from sales_data_warehouse_spark.streaming.documents import (
+        near_dedup_documents_batch,
+        start_streaming_near_dedup,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "sphinx of black quartz judge my vow before sundown",
+    ]
+    rows = []
+    for i in range(18):
+        t = base[i % 3]
+        if i >= 9:
+            t = t.replace("the", "a").replace("my", "our")
+        rows.append((i, t + f" tail{i % 2}"))
+    all_docs = _docs(spark, [(i, t) for i, t in rows])
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "near")
+    for k in range(3):
+        _docs(
+            spark, [(i, t) for i, t in rows if i % 3 == k]
+        ).coalesce(1).write.parquet(str(drop / f"f{k}.parquet"))
+    q = start_streaming_near_dedup(
+        spark, str(drop) + "/*", out, available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in spark.read.parquet(f"{out}/pairs").drop(
+            "batch_id"
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(all_docs).collect()
+    }
+    assert got == want and len(want) > 0
+    state = spark.read.parquet(f"{out}/band_state")
+    assert state.count() == 18 * 8
+
+    # replay the last batch (crash after state commit): pairs dir for
+    # that batch is rewritten identically, state rows do not double
+    last = _docs(spark, [(i, t) for i, t in rows if i % 3 == 2])
+    near_dedup_documents_batch(spark, last, 2, out)
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in spark.read.parquet(f"{out}/pairs").drop(
+            "batch_id"
+        ).collect()
+    }
+    assert got2 == want
+    assert spark.read.parquet(f"{out}/band_state").count() == 18 * 8
