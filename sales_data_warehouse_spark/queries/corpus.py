@@ -5107,6 +5107,40 @@ def table_drift_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "window_frame_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           MAX(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max_last3
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_frame_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit ROWS-frame navigation windows (FIRST_VALUE / NTH_VALUE /
+    bounded moving MAX) — the frame-spec corner of §2.5 the reference
+    never exercises. Order key includes the unique orderkey so frames
+    are total-order deterministic; values pass through unchanged (no
+    arithmetic), so cross-engine compare is exact."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        F.max("o_totalprice").over(w3).alias("max_last3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
