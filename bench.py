@@ -257,6 +257,25 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             round(times["x10"] / times["base"], 2) if times["base"] else -1
         )
         extras[name] = times
+
+    # SemDeDup operator scaling (the corpus ENTRY also computes the
+    # O(n^2) truth set for its property oracle — that is verification
+    # cost, not the operator; time the operator alone here)
+    times = {}
+    for tag, d in (("base", sf_dir), ("x10", sf1_dir)):
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _similarity.semantic_dedup(emb, threshold=0.4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[tag] = round(best, 3)
+    times["ratio"] = (
+        round(times["x10"] / times["base"], 2) if times["base"] else -1
+    )
+    extras["op_semantic_dedup"] = times
     out["__extras__"] = extras
     return out
 
