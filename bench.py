@@ -241,41 +241,35 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
     # are not HEADLINE queries (the headline total must stay
     # round-comparable), so both the base and the 10x timing are
     # measured here, min-of-2 each
+    # one timing protocol (min-of-2, base + 10x, ratio) over a
+    # name -> plan-builder mapping; corpus entries and raw operators
+    # share it. op_semantic_dedup times the OPERATOR alone — its corpus
+    # entry also computes the O(n^2) truth set for the property oracle,
+    # which is verification cost, not the operator.
+    extra_builders = {
+        name: (lambda d, _n=name: QUERIES[_n](spark, d))
+        for name in EXTRA_SCALING
+    }
+    extra_builders["op_semantic_dedup"] = lambda d: (
+        _similarity.semantic_dedup(
+            spark.read.parquet(os.path.join(d, "embeddings.parquet")),
+            threshold=0.4,
+        )
+    )
     extras: dict[str, dict[str, float]] = {}
-    for name in EXTRA_SCALING:
+    for name, make in extra_builders.items():
         times = {}
         for tag, d in (("base", sf_dir), ("x10", sf1_dir)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                make(d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             times[tag] = round(best, 3)
         times["ratio"] = (
             round(times["x10"] / times["base"], 2) if times["base"] else -1
         )
         extras[name] = times
-
-    # SemDeDup operator scaling (the corpus ENTRY also computes the
-    # O(n^2) truth set for its property oracle — that is verification
-    # cost, not the operator; time the operator alone here)
-    times = {}
-    for tag, d in (("base", sf_dir), ("x10", sf1_dir)):
-        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _similarity.semantic_dedup(emb, threshold=0.4).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[tag] = round(best, 3)
-    times["ratio"] = (
-        round(times["x10"] / times["base"], 2) if times["base"] else -1
-    )
-    extras["op_semantic_dedup"] = times
     out["__extras__"] = extras
     return out
 

@@ -139,19 +139,29 @@ def drift_report(
         r = sa.agg(
             F.min("v").alias("lo"), F.max("v").alias("hi")
         ).collect()[0]
-        lo = int(r["lo"]) if lo is None else lo
-        hi = int(r["hi"]) if hi is None else hi
+        if r["lo"] is None:
+            # snapshot A empty / all-null (first load, empty
+            # partition): fall back to B's domain so the report stays
+            # defined — everything in A is zero, B histograms normally
+            r = sb.agg(
+                F.min("v").alias("lo"), F.max("v").alias("hi")
+            ).collect()[0]
+        lo = int(r["lo"] or 0) if lo is None else lo
+        hi = int(r["hi"] or 0) if hi is None else hi
     span = max(hi - lo + 1, 1)
 
+    # clamp in BIGINT, cast after: a far-out-of-domain value over a
+    # narrow domain can push the quotient past INT32, where a pre-clamp
+    # INT cast wraps under ANSI-off and mis-bins the outlier
     bucket = (
-        f"least({buckets - 1}, greatest(0, "
-        f"CAST(((v - {lo}) * {buckets}) DIV {span} AS INT)))"
+        f"CAST(least({buckets - 1}, greatest(0, "
+        f"((v - {lo}) * {buckets}) DIV {span})) AS BIGINT)"
     )
 
     def hist(s: DataFrame, name: str) -> DataFrame:
-        return s.groupBy(
-            F.expr(bucket).cast("bigint").alias("bucket")
-        ).agg(F.count(F.lit(1)).alias(name))
+        return s.groupBy(F.expr(bucket).alias("bucket")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
 
     spine = spark.range(buckets).select(
         # bigint: matches both histogram keys (cast below) and the
@@ -180,10 +190,18 @@ def drift_report(
         F.expr("cnt_b * 1000 DIV greatest(n_b, 1)")
         .cast("bigint")
         .alias("rate_b_permille"),
+        # two-division integer form (same rewrite as bm25's ppm math):
+        # d^2 * 1e6 DIV s = (d^2 DIV s)*1e6 + ((d^2 % s)*1e6) DIV s.
+        # The single-multiply form overflows int64 at |d| > ~3.03e6;
+        # here only d^2 must fit, good through |d| <= ~3.03e9 rows per
+        # bucket (a ~30-billion-row snapshot at 10 bins). Bit-identical
+        # in DuckDB (// and % on non-negative d^2).
         F.expr(
             "CASE WHEN cnt_a + cnt_b > 0 THEN "
-            "(cnt_a - cnt_b) * (cnt_a - cnt_b) * 1000000 "
-            "DIV (cnt_a + cnt_b) ELSE 0 END"
+            "((cnt_a - cnt_b) * (cnt_a - cnt_b) DIV (cnt_a + cnt_b)) "
+            "* 1000000 + "
+            "(((cnt_a - cnt_b) * (cnt_a - cnt_b) % (cnt_a + cnt_b)) "
+            "* 1000000) DIV (cnt_a + cnt_b) ELSE 0 END"
         )
         .cast("bigint")
         .alias("chi2_ppm"),

@@ -4996,20 +4996,15 @@ def corpus_health_report(spark: SparkSession, sf: str) -> DataFrame:
     per-source aggregate; every metric exact-integer or a single
     rounded division."""
     docs = load_table(spark, sf, "documents")
-    scored = text.quality_logit(docs).select("doc_id", "logit_milli")
+    # quality_logit already carries n_tokens (same token_count expr the
+    # oracle mirrors) — no extra scan/join for it
+    scored = text.quality_logit(docs).select(
+        "doc_id", "n_tokens", "logit_milli"
+    )
     base = (
         docs.select("doc_id", "source", "lang")
         .join(text.fingerprint(docs), "doc_id")
         .join(scored, "doc_id")
-        .join(
-            load_table(spark, sf, "documents").select(
-                "doc_id",
-                F.size(F.split(F.col("text"), r"\s+"))
-                .cast("bigint")
-                .alias("n_tokens"),
-            ),
-            "doc_id",
-        )
     )
     g = base.groupBy("fp").agg(F.count(F.lit(1)).alias("copies"))
     j = base.join(g, "fp").withColumn("is_dup", F.col("copies") > 1)
@@ -5046,16 +5041,16 @@ def corpus_health_report(spark: SparkSession, sf: str) -> DataFrame:
     ),
     bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM av),
     ha AS (
-      SELECT LEAST(9, GREATEST(0,
-               CAST(((v - b.lo) * 10)
-                    // GREATEST(b.hi - b.lo + 1, 1) AS INT))) AS bucket,
+      SELECT CAST(LEAST(9, GREATEST(0,
+               ((v - b.lo) * 10)
+                    // GREATEST(b.hi - b.lo + 1, 1))) AS BIGINT) AS bucket,
              COUNT(*) AS cnt
       FROM av, bounds b GROUP BY 1
     ),
     hb AS (
-      SELECT LEAST(9, GREATEST(0,
-               CAST(((v - b.lo) * 10)
-                    // GREATEST(b.hi - b.lo + 1, 1) AS INT))) AS bucket,
+      SELECT CAST(LEAST(9, GREATEST(0,
+               ((v - b.lo) * 10)
+                    // GREATEST(b.hi - b.lo + 1, 1))) AS BIGINT) AS bucket,
              COUNT(*) AS cnt
       FROM bv, bounds b GROUP BY 1
     ),
@@ -5082,8 +5077,11 @@ def corpus_health_report(spark: SparkSession, sf: str) -> DataFrame:
            CAST(j.cnt_b * 1000 // GREATEST(t.nb, 1) AS BIGINT)
              AS rate_b_permille,
            CAST(CASE WHEN j.cnt_a + j.cnt_b > 0 THEN
-                  (j.cnt_a - j.cnt_b) * (j.cnt_a - j.cnt_b) * 1000000
-                  // (j.cnt_a + j.cnt_b)
+                  ((j.cnt_a - j.cnt_b) * (j.cnt_a - j.cnt_b)
+                   // (j.cnt_a + j.cnt_b)) * 1000000
+                  + (((j.cnt_a - j.cnt_b) * (j.cnt_a - j.cnt_b)
+                      % (j.cnt_a + j.cnt_b)) * 1000000)
+                    // (j.cnt_a + j.cnt_b)
                 ELSE 0 END AS BIGINT) AS chi2_ppm
     FROM j, t, bounds b
     ORDER BY j.bucket

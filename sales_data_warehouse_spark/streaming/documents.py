@@ -16,6 +16,14 @@ rename) or is detected as fully-merged and skipped (crash after the
 rename but before the checkpoint commit) — the one case where
 recomputing would wrongly admit nothing and overwrite the batch's
 output with an empty directory.
+
+One shared caveat (inherited from ``staged_overwrite``, see its
+docstring): a crash INSIDE the two-rename swap window can leave the
+state path absent with the previous state preserved at
+``<path>.stage_old``. A restart in that state would rebuild from
+nothing — recover by renaming ``.stage_old`` back before restarting;
+the swap window is two metadata renames, orders of magnitude narrower
+than the batch compute either side of it.
 """
 
 from __future__ import annotations
@@ -130,12 +138,16 @@ def near_dedup_documents_batch(
     under ``pairs/batch_id=N`` and update the persisted band table.
 
     Replay safety differs from the exact-dedup sink: recomputing a
-    batch whose state already merged is HARMLESS here — the probe side
-    unions new and seen rows, and pair canonicalization dedups, so the
-    replay emits the identical pair set; only the state union would
-    double its rows, which the pre-write ``dropDuplicates`` on
-    (doc, band) makes idempotent (bucket and signature are pure
-    functions of the doc). No skip-detection needed.
+    batch whose state already merged is harmless FOR THE
+    CHECKPOINT-DRIVEN REPLAY CASES — the probe side unions new and
+    seen rows, and pair canonicalization dedups, so the replay emits
+    the identical pair set; only the state union would double its
+    rows, which the pre-write ``dropDuplicates`` on (doc, band) makes
+    idempotent (bucket and signature are pure functions of the doc).
+    No skip-detection needed for those. The module docstring's
+    ``staged_overwrite`` swap-window caveat still applies: a crash
+    inside the two-rename window needs the documented ``.stage_old``
+    manual recovery before restart.
     """
     from sales_data_warehouse_spark.operators.dedup import (
         incremental_minhash_lsh,

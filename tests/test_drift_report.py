@@ -65,3 +65,29 @@ def test_explicit_bounds_override(spark):
     ).collect()
     assert {r["domain_lo"] for r in out} == {0}
     assert {r["domain_hi"] for r in out} == {1999}
+
+
+def test_empty_snapshot_a_falls_back_to_b_domain(spark):
+    # regression: defaulted bounds used to int(None)-crash on empty A;
+    # the report must stay defined with all cnt_a = 0
+    empty = spark.createDataFrame([], "price double")
+    b = _df(spark, [5.0, 6.0, 7.0])
+    rows = drift_report(empty, b, "price", buckets=4).collect()
+    assert len(rows) == 4
+    assert sum(r["cnt_a"] for r in rows) == 0
+    assert sum(r["cnt_b"] for r in rows) == 3
+    # both empty: zero domain, zero counts, no crash
+    rows2 = drift_report(empty, empty, "price", buckets=4).collect()
+    assert len(rows2) == 4
+    assert all(r["chi2_ppm"] == 0 for r in rows2)
+
+
+def test_far_outlier_lands_in_top_bucket_not_wrapped(spark):
+    # regression: pre-clamp INT cast wrapped huge quotients under
+    # ANSI-off and mis-binned far outliers into bucket 0
+    a = _df(spark, [1.00, 1.01])  # span of 2 scaled units
+    b = _df(spark, [2.1e7])
+    out = {r["bucket"]: r for r in
+           drift_report(a, b, "price", buckets=4).collect()}
+    assert out[3]["cnt_b"] == 1
+    assert out[0]["cnt_b"] == 0
