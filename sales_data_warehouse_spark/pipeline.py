@@ -1,0 +1,196 @@
+"""Composable corpus-curation pipeline: chain the engine's filter /
+dedup / select / transform operators declaratively and (optionally) get
+a per-stage attrition report.
+
+This is the user-facing shape of the LLM-data surface: instead of
+hand-wiring ``gopher_quality`` into ``line_dedup`` into
+``quality_select_top``, declare the stages and run them::
+
+    from sales_data_warehouse_spark import pipeline as P
+
+    clean, report = P.run_pipeline(
+        docs,
+        [
+            P.gopher_filter(),
+            P.line_dedup_stage(),
+            P.exact_dedup_stage(),
+            P.quality_top_stage(keep_permille=500),
+        ],
+        report=True,
+    )
+
+Design notes (scale-first):
+
+* A stage is ``(name, DataFrame -> DataFrame)`` — pure plan
+  transformations. With ``report=False`` (default) the whole pipeline
+  stays ONE lazy Catalyst plan: no counts, no materialization, stages
+  fuse across whole-stage codegen exactly as if hand-written.
+* ``report=True`` localCheckpoints each stage boundary and counts it —
+  one action per stage. That is the debugging/curation-audit mode; the
+  counts are real (not estimates), and the checkpoint keeps each stage
+  from re-executing its upstream per count.
+* Stages must preserve the document contract: a ``doc_id`` column and
+  a ``text`` column survive every stage (enforced loudly), extra
+  columns may come and go.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Stage = tuple[str, Callable[[DataFrame], DataFrame]]
+
+
+def gopher_filter() -> Stage:
+    """Keep only documents passing the Gopher rule set."""
+    from sales_data_warehouse_spark.operators.text import gopher_quality
+
+    def apply(docs: DataFrame) -> DataFrame:
+        verdicts = gopher_quality(docs).select("doc_id", "passes")
+        return (
+            docs.join(verdicts, "doc_id")
+            .filter(F.col("passes"))
+            .drop("passes")
+        )
+
+    return ("gopher_filter", apply)
+
+
+def quality_logit_filter(threshold_milli: int = 0) -> Stage:
+    """Keep documents whose integer quality logit clears a threshold."""
+    from sales_data_warehouse_spark.operators.text import quality_logit
+
+    def apply(docs: DataFrame) -> DataFrame:
+        keep = (
+            quality_logit(docs)
+            .filter(F.col("logit_milli") >= threshold_milli)
+            .select("doc_id")
+        )
+        return docs.join(keep, "doc_id", "left_semi")
+
+    return ("quality_logit_filter", apply)
+
+
+def line_dedup_stage(
+    max_doc_freq: int = 1, min_line_chars: int = 10
+) -> Stage:
+    """Strip boilerplate lines; text is REWRITTEN (n_chars refreshed),
+    documents left empty by the strip are dropped."""
+    from sales_data_warehouse_spark.operators.dedup import line_dedup
+
+    def apply(docs: DataFrame) -> DataFrame:
+        cleaned = line_dedup(
+            docs, max_doc_freq=max_doc_freq,
+            min_line_chars=min_line_chars,
+        ).select("doc_id", F.col("text_clean"))
+        out = (
+            docs.drop("text")
+            .join(cleaned, "doc_id")
+            .withColumnRenamed("text_clean", "text")
+            .filter(F.length("text") > 0)
+        )
+        if "n_chars" in out.columns:
+            out = out.withColumn(
+                "n_chars", F.length("text").cast("bigint")
+            )
+        return out
+
+    return ("line_dedup", apply)
+
+
+def span_mask_stage(k: int = 10, min_count: int = 2) -> Stage:
+    """Mask repeated k-token spans; text is REWRITTEN, emptied docs
+    dropped."""
+    from sales_data_warehouse_spark.operators.dedup import (
+        repeated_span_mask,
+    )
+
+    def apply(docs: DataFrame) -> DataFrame:
+        masked = repeated_span_mask(
+            docs, k=k, min_count=min_count
+        ).select("doc_id", "text_masked")
+        out = (
+            docs.drop("text")
+            .join(masked, "doc_id")
+            .withColumnRenamed("text_masked", "text")
+            .filter(F.length("text") > 0)
+        )
+        if "n_chars" in out.columns:
+            out = out.withColumn(
+                "n_chars", F.length("text").cast("bigint")
+            )
+        return out
+
+    return ("span_mask", apply)
+
+
+def exact_dedup_stage() -> Stage:
+    """Keep one canonical copy (lowest id) per exact text duplicate."""
+    from sales_data_warehouse_spark.operators.dedup import exact_duplicates
+
+    def apply(docs: DataFrame) -> DataFrame:
+        keep = exact_duplicates(docs).select(
+            F.col("canonical_id").alias("doc_id")
+        )
+        return docs.join(keep, "doc_id", "left_semi")
+
+    return ("exact_dedup", apply)
+
+
+def quality_top_stage(keep_permille: int = 300) -> Stage:
+    """Keep the top keep_permille/1000 by quality logit (histogram
+    threshold — see ``sampling.quality_select_top``)."""
+    from sales_data_warehouse_spark.operators.sampling import (
+        quality_select_top,
+    )
+
+    def apply(docs: DataFrame) -> DataFrame:
+        keep = quality_select_top(
+            docs, keep_permille=keep_permille
+        ).select("doc_id")
+        return docs.join(keep, "doc_id", "left_semi")
+
+    return ("quality_top", apply)
+
+
+def run_pipeline(
+    docs: DataFrame,
+    stages: list[Stage],
+    report: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Apply ``stages`` in order. Returns ``(result, stage_report)``;
+    the report is empty unless ``report=True`` (each entry:
+    {stage, docs_in, docs_out, dropped}). Stages must preserve the
+    ``doc_id``/``text`` contract — violations fail immediately with
+    the offending stage named.
+    """
+    out = docs
+    rows: list[dict] = []
+    n_in = out.localCheckpoint().count() if report else None
+    if report:
+        out = out.localCheckpoint()
+    for name, apply in stages:
+        nxt = apply(out)
+        missing = {"doc_id", "text"} - set(nxt.columns)
+        if missing:
+            raise ValueError(
+                f"pipeline stage {name!r} dropped required "
+                f"column(s) {sorted(missing)}"
+            )
+        if report:
+            nxt = nxt.localCheckpoint()
+            n_out = nxt.count()
+            rows.append(
+                {
+                    "stage": name,
+                    "docs_in": n_in,
+                    "docs_out": n_out,
+                    "dropped": n_in - n_out,
+                }
+            )
+            n_in = n_out
+        out = nxt
+    return out, rows
