@@ -5139,6 +5139,98 @@ def window_frame_first_last(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _curation_pipeline_oracle() -> str:
+    return r"""
+    WITH ql AS (
+      SELECT doc_id,
+             (-500 + 2 * CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
+                              AS BIGINT)
+              + (-40) * (((CAST(LENGTH(text)
+                    - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                    AS BIGINT) * 1000000)
+                   // CAST(LENGTH(text) AS BIGINT)) // 1000)
+              + 90 * (((CAST(LEN(REGEXP_EXTRACT_ALL(
+                       LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                    AS BIGINT) * 1000000)
+                   // CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
+                           AS BIGINT)) // 1000)
+             ) AS logit_milli
+      FROM documents
+    ),
+    s1 AS (
+      SELECT d.* FROM documents d JOIN ql USING (doc_id)
+      WHERE ql.logit_milli >= 0
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY MD5(text)
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1 JOIN canon USING (doc_id)
+    ),
+    t AS (
+      SELECT doc_id, lang, source,
+             STRING_SPLIT(text, CHR(10)) AS ls
+      FROM s2
+    ),
+    ln AS (
+      SELECT doc_id, lang, source,
+             UNNEST(GENERATE_SERIES(1, LEN(ls))) AS i, ls
+      FROM t
+    ),
+    lx AS (
+      SELECT doc_id, lang, source, i - 1 AS pos, ls[i] AS line FROM ln
+    ),
+    hot AS (
+      SELECT line FROM lx
+      WHERE LEN(TRIM(line)) >= 10
+      GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    fl AS (
+      SELECT lx.doc_id, lx.lang, lx.source, lx.pos, lx.line,
+             (hot.line IS NULL OR LEN(TRIM(lx.line)) < 10) AS keep
+      FROM lx LEFT JOIN hot ON lx.line = hot.line
+    ),
+    rebuilt AS (
+      SELECT doc_id, lang, source,
+             COALESCE(
+               STRING_AGG(CASE WHEN keep THEN line END, CHR(10)
+                          ORDER BY pos),
+               '') AS text
+      FROM fl
+      GROUP BY doc_id, lang, source
+    )
+    SELECT doc_id, text, lang, source,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM rebuilt
+    WHERE LENGTH(text) > 0
+    """
+
+
+@query("curation_pipeline", _curation_pipeline_oracle())
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composable pipeline API end-to-end: integer-logit quality
+    filter -> exact dedup (keep lowest id) -> line-level boilerplate
+    strip, chained through ``pipeline.run_pipeline`` as one lazy plan.
+    The oracle replays the same three stages in SQL, so the
+    COMPOSITION (not just each stage) is cross-engine verified. (The
+    logit filter, not the Gopher rules: the synthetic corpus carries
+    no English stopwords, so the Gopher presence rule zeroes it out —
+    an empty result would verify nothing.)"""
+    from sales_data_warehouse_spark import pipeline as P
+
+    docs = load_table(spark, sf, "documents")
+    out, _ = P.run_pipeline(
+        docs,
+        [
+            P.quality_logit_filter(0),
+            P.exact_dedup_stage(),
+            P.line_dedup_stage(),
+        ],
+    )
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
