@@ -1040,3 +1040,52 @@ def bm25_search(
         tf, index.n_docs, index.t_tokens, k, k1_tenths, b_hundredths,
         exact_ppm, index.id_col,
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    (lexical BM25 + vector ANN, or any mix of rankers): each list
+    contributes ``1/(k + rank)`` per document, summed across lists.
+
+    Scored in exact integer millionths — ``1_000_000 DIV (k + rank)``
+    — so fused scores and the resulting order are bit-identical across
+    engines (the float form ties-breaks on representation noise).
+    Final ties break on (fewer lists is worse, then lowest id),
+    documented and deterministic.
+
+    Plan: union the (id, rank) lists (each is top-k-sized, tiny next
+    to any corpus), one groupBy(id) sum — map-side combinable — and
+    one window for the fused rank over the union-of-top-k rows only;
+    the corpora behind the rankers are never touched here.
+    """
+    tagged = [
+        r.select(
+            F.col(id_col).alias("__id"),
+            F.expr(f"1000000 DIV ({k} + {rank_col})")
+            .cast("bigint")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy(F.col("__id").alias(id_col)).agg(
+        F.sum("__c").alias("rrf_ppm"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.orderBy(
+        F.desc("rrf_ppm"), F.desc("n_lists"), F.asc(id_col)
+    )
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("bigint")
+    )
+    if top is not None:
+        out = out.filter(F.col("fused_rank") <= top)
+    return out.select(id_col, "n_lists", "rrf_ppm", "fused_rank")

@@ -4357,9 +4357,9 @@ def basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
 # Lexical retrieval / training-order shuffle / quality classifier
 # ---------------------------------------------------------------------------
 
-@query(
-    "bm25_topk",
-    r"""
+#: BM25 scoring CTEs (tok/stats/tf/dfx/scored/agg) shared by the
+#: bm25_topk oracle and the hybrid-retrieval fusion oracle.
+_BM25_CTES = r"""
     WITH tok AS (
       SELECT doc_id,
              LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS dl,
@@ -4396,6 +4396,12 @@ def basket_affinity(spark: SparkSession, sf: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       FROM scored GROUP BY 1
     )
+"""
+
+
+@query(
+    "bm25_topk",
+    _BM25_CTES + r"""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id)
                 AS BIGINT) AS rank,
            doc_id, n_terms_hit, score_ppm
@@ -5229,6 +5235,76 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    _BM25_CTES + r""",
+    bm AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM agg ORDER BY rank LIMIT 20
+    ),
+    qlt AS (
+      SELECT doc_id,
+             (-500 + 2 * CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
+                              AS BIGINT)
+              + (-40) * (((CAST(LENGTH(text)
+                    - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                    AS BIGINT) * 1000000)
+                   // CAST(LENGTH(text) AS BIGINT)) // 1000)
+              + 90 * (((CAST(LEN(REGEXP_EXTRACT_ALL(
+                       LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                    AS BIGINT) * 1000000)
+                   // CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
+                           AS BIGINT)) // 1000)
+             ) AS logit_milli
+      FROM documents
+    ),
+    qr AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY logit_milli DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM qlt ORDER BY rank LIMIT 20
+    ),
+    u AS (
+      SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM bm
+      UNION ALL
+      SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM qr
+    ),
+    fz AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1
+    )
+    SELECT doc_id, n_lists, rrf_ppm,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY rrf_ppm DESC, n_lists DESC, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM fz
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    top-20 fused with a quality-logit top-20 through
+    ``text.rrf_fuse`` — integer-millionth contributions
+    (``1e6 DIV (60 + rank)``) so the fused ORDER is cross-engine
+    exact. The same fusion call takes ANN top-k lists (LSH/IVF) as
+    additional rankers; this entry uses two SQL-expressible rankers so
+    the fusion itself gets an exact oracle, not a property one."""
+    docs = load_table(spark, sf, "documents")
+    bm = text.bm25_topk(docs, ["spark", "window", "hash"], k=20)
+    w = Window.orderBy(F.desc("logit_milli"), F.asc("doc_id"))
+    qr = (
+        text.quality_logit(docs)
+        .select(
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    return text.rrf_fuse([bm, qr], k=60)
 
 
 # ---------------------------------------------------------------------------

@@ -67,3 +67,25 @@ def test_save_load_roundtrip_and_pruning(spark, docs, index, tmp_path):
 
 def test_stats_match_corpus(docs, index):
     assert index.n_docs == docs.count()
+
+
+def test_rrf_fuse_prefers_docs_in_both_lists(spark):
+    from sales_data_warehouse_spark.operators.text import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(3, 1), (4, 2), (5, 3)], "doc_id long, rank long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([r1, r2], k=60).collect()}
+    # doc 3 appears in both lists: 1e6//63 + 1e6//61 beats any single
+    assert out[3]["fused_rank"] == 1
+    assert out[3]["n_lists"] == 2
+    assert out[3]["rrf_ppm"] == 1_000_000 // 63 + 1_000_000 // 61
+    # rank-1 singles beat rank-2 singles
+    assert out[1]["rrf_ppm"] == 1_000_000 // 61
+    assert out[4]["rrf_ppm"] == 1_000_000 // 62
+    assert out[1]["fused_rank"] < out[4]["fused_rank"]
+    top2 = rrf_fuse([r1, r2], k=60, top=2)
+    assert top2.count() == 2
