@@ -1064,6 +1064,8 @@ def rrf_fuse(
     one window for the fused rank over the union-of-top-k rows only;
     the corpora behind the rankers are never touched here.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking is required")
     tagged = [
         r.select(
             F.col(id_col).alias("__id"),
@@ -1071,6 +1073,12 @@ def rrf_fuse(
             .cast("bigint")
             .alias("__c"),
         )
+        # one contribution per document PER LIST (the documented
+        # contract): a list carrying a duplicate id keeps its best
+        # rank's contribution instead of silently double-counting and
+        # inflating the n_lists tie-break
+        .groupBy("__id")
+        .agg(F.max("__c").alias("__c"))
         for r in rankings
     ]
     u = tagged[0]

@@ -49,12 +49,15 @@ def gopher_filter() -> Stage:
     from sales_data_warehouse_spark.operators.text import gopher_quality
 
     def apply(docs: DataFrame) -> DataFrame:
-        verdicts = gopher_quality(docs).select("doc_id", "passes")
-        return (
-            docs.join(verdicts, "doc_id")
+        # left_semi on ids (same pattern as every filter stage): an
+        # inner join would leak/clash the verdict columns when the
+        # input already carries one with the same name
+        keep = (
+            gopher_quality(docs)
             .filter(F.col("passes"))
-            .drop("passes")
+            .select("doc_id")
         )
+        return docs.join(keep, "doc_id", "left_semi")
 
     return ("gopher_filter", apply)
 
@@ -74,6 +77,24 @@ def quality_logit_filter(threshold_milli: int = 0) -> Stage:
     return ("quality_logit_filter", apply)
 
 
+def _rewrite_text(
+    docs: DataFrame, rewritten: DataFrame, text_col: str
+) -> DataFrame:
+    """Swap the text column for an operator's rewritten version
+    ((doc_id, <text_col>) frame), drop docs the rewrite emptied, and
+    refresh n_chars when present — the one definition of the
+    rewrite-stage plumbing (line dedup + span mask share it)."""
+    out = (
+        docs.drop("text")
+        .join(rewritten.select("doc_id", text_col), "doc_id")
+        .withColumnRenamed(text_col, "text")
+        .filter(F.length("text") > 0)
+    )
+    if "n_chars" in out.columns:
+        out = out.withColumn("n_chars", F.length("text").cast("bigint"))
+    return out
+
+
 def line_dedup_stage(
     max_doc_freq: int = 1, min_line_chars: int = 10
 ) -> Stage:
@@ -85,18 +106,8 @@ def line_dedup_stage(
         cleaned = line_dedup(
             docs, max_doc_freq=max_doc_freq,
             min_line_chars=min_line_chars,
-        ).select("doc_id", F.col("text_clean"))
-        out = (
-            docs.drop("text")
-            .join(cleaned, "doc_id")
-            .withColumnRenamed("text_clean", "text")
-            .filter(F.length("text") > 0)
         )
-        if "n_chars" in out.columns:
-            out = out.withColumn(
-                "n_chars", F.length("text").cast("bigint")
-            )
-        return out
+        return _rewrite_text(docs, cleaned, "text_clean")
 
     return ("line_dedup", apply)
 
@@ -109,20 +120,8 @@ def span_mask_stage(k: int = 10, min_count: int = 2) -> Stage:
     )
 
     def apply(docs: DataFrame) -> DataFrame:
-        masked = repeated_span_mask(
-            docs, k=k, min_count=min_count
-        ).select("doc_id", "text_masked")
-        out = (
-            docs.drop("text")
-            .join(masked, "doc_id")
-            .withColumnRenamed("text_masked", "text")
-            .filter(F.length("text") > 0)
-        )
-        if "n_chars" in out.columns:
-            out = out.withColumn(
-                "n_chars", F.length("text").cast("bigint")
-            )
-        return out
+        masked = repeated_span_mask(docs, k=k, min_count=min_count)
+        return _rewrite_text(docs, masked, "text_masked")
 
     return ("span_mask", apply)
 
@@ -169,9 +168,13 @@ def run_pipeline(
     """
     out = docs
     rows: list[dict] = []
-    n_in = out.localCheckpoint().count() if report else None
+    n_in = None
     if report:
+        # ONE checkpoint of the input, counted from the materialized
+        # copy (a separate count-then-checkpoint would execute the
+        # upstream plan twice and pin two copies)
         out = out.localCheckpoint()
+        n_in = out.count()
     for name, apply in stages:
         nxt = apply(out)
         missing = {"doc_id", "text"} - set(nxt.columns)
@@ -183,6 +186,12 @@ def run_pipeline(
         if report:
             nxt = nxt.localCheckpoint()
             n_out = nxt.count()
+            # nxt is materialized: the previous stage's checkpoint is
+            # no longer referenced — release it so live copies stay
+            # bounded at two however many stages run (but never
+            # unpersist the CALLER's input frame)
+            if out is not docs:
+                out.unpersist()
             rows.append(
                 {
                     "stage": name,

@@ -5145,10 +5145,10 @@ def window_frame_first_last(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _curation_pipeline_oracle() -> str:
-    return r"""
-    WITH ql AS (
-      SELECT doc_id,
+#: Integer quality-logit SQL (mirrors text.QUALITY_LOGIT_WEIGHTS
+#: exactly) — single definition spliced into the curation-pipeline
+#: and hybrid-retrieval oracles; a weight change edits one string.
+_QUALITY_LOGIT_SQL = r"""
              (-500 + 2 * CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
                               AS BIGINT)
               + (-40) * (((CAST(LENGTH(text)
@@ -5160,7 +5160,14 @@ def _curation_pipeline_oracle() -> str:
                     AS BIGINT) * 1000000)
                    // CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
                            AS BIGINT)) // 1000)
-             ) AS logit_milli
+             ) AS logit_milli"""
+
+
+def _curation_pipeline_oracle() -> str:
+    return r"""
+    WITH ql AS (
+      SELECT doc_id,
+{logit}
       FROM documents
     ),
     s1 AS (
@@ -5210,7 +5217,7 @@ def _curation_pipeline_oracle() -> str:
            CAST(LENGTH(text) AS BIGINT) AS n_chars
     FROM rebuilt
     WHERE LENGTH(text) > 0
-    """
+    """.replace("{logit}", _QUALITY_LOGIT_SQL)
 
 
 @query("curation_pipeline", _curation_pipeline_oracle())
@@ -5248,18 +5255,7 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ),
     qlt AS (
       SELECT doc_id,
-             (-500 + 2 * CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
-                              AS BIGINT)
-              + (-40) * (((CAST(LENGTH(text)
-                    - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
-                    AS BIGINT) * 1000000)
-                   // CAST(LENGTH(text) AS BIGINT)) // 1000)
-              + 90 * (((CAST(LEN(REGEXP_EXTRACT_ALL(
-                       LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
-                    AS BIGINT) * 1000000)
-                   // CAST(LEN(STRING_SPLIT_REGEX(text, '\s+'))
-                           AS BIGINT)) // 1000)
-             ) AS logit_milli
+{logit}
       FROM documents
     ),
     qr AS (
@@ -5283,7 +5279,7 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
              ORDER BY rrf_ppm DESC, n_lists DESC, doc_id) AS BIGINT)
              AS fused_rank
     FROM fz
-    """,
+    """.replace("{logit}", _QUALITY_LOGIT_SQL),
 )
 def hybrid_retrieval_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical

@@ -89,3 +89,24 @@ def test_rrf_fuse_prefers_docs_in_both_lists(spark):
     assert out[1]["fused_rank"] < out[4]["fused_rank"]
     top2 = rrf_fuse([r1, r2], k=60, top=2)
     assert top2.count() == 2
+
+
+def test_rrf_fuse_duplicate_ids_within_a_list_count_once(spark):
+    from sales_data_warehouse_spark.operators.text import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 5), (2, 2)], "doc_id long, rank long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([dup], k=60).collect()}
+    # doc 1 contributes once, at its best rank
+    assert out[1]["n_lists"] == 1
+    assert out[1]["rrf_ppm"] == 1_000_000 // 61
+
+
+def test_rrf_fuse_empty_input_raises(spark):
+    import pytest as _pytest
+
+    from sales_data_warehouse_spark.operators.text import rrf_fuse
+
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
