@@ -113,9 +113,32 @@ def test_cleanse_invariants(spark, rows):
     #    unique and strictly exceed every explicit id that survived.
     #    Explicit ids may repeat (full-row DISTINCT keeps distinct lines
     #    of the same order, matching Cleansing.sql:118-122).
+    #
+    #    "Explicit" must count only ids on rows that SURVIVE cleansing:
+    #    the engine seeds its counter with max(id) over VALID rows, so
+    #    an id that only ever appears on a rejected row (e.g. the
+    #    null-quantity "5" fixture) is fair game for assignment — the
+    #    old raw-input derivation misclassified such an assigned id as
+    #    explicit (hypothesis found exactly that collision).
+    def _survives(r) -> bool:
+        if any(x is None for x in r):
+            return False
+        oid, _product, qty, price, date, _addr = r
+        if not qty.lstrip("-").isdigit():
+            return False
+        try:
+            float(price)
+        except ValueError:
+            return False
+        import re as _re
+
+        return bool(_re.fullmatch(r"\d\d/\d\d/\d\d \d\d:\d\d", date))
+
     ids = [r["order_id"] for r in c]
     explicit = {
-        int(r[0]) for r in rows if r[0] is not None and r[0].isdigit()
+        int(r[0])
+        for r in rows
+        if r[0] is not None and r[0].isdigit() and _survives(r)
     }
     assigned = [x for x in ids if x not in explicit]
     assert len(assigned) == len(set(assigned))
