@@ -4,6 +4,7 @@
     python -m sales_data_warehouse_spark query <name> [--sf-dir DIR] [-n 20]
     python -m sales_data_warehouse_spark tables [--sf-dir DIR]
     python -m sales_data_warehouse_spark compact <path> [--sort-cols a,b]
+    python -m sales_data_warehouse_spark explain <name> [--run]
 
 The reference engine is driven by psql invocations of its procedures
 (``MotherProcedure.sql``); this is that surface for the Spark engine —
@@ -43,6 +44,18 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--sort-cols", default=None,
                    help="comma-separated sort columns (range-sorted files)")
     c.add_argument("--target-file-mb", type=int, default=128)
+
+    e = sub.add_parser(
+        "explain",
+        help="physical plan + scale-audit flags for one corpus query",
+    )
+    e.add_argument("name")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument(
+        "--run", action="store_true",
+        help="execute first so AQE's FINAL plan is shown (runtime join "
+        "strategies); default shows the static plan without running",
+    )
     return p
 
 
@@ -93,7 +106,47 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
     spark = get_spark(app_name="sdw-cli")
-    QUERIES[args.name](spark, args.sf_dir).show(args.rows, truncate=False)
+    df = QUERIES[args.name](spark, args.sf_dir)
+
+    if args.cmd == "explain":
+        from sales_data_warehouse_spark.plans import (
+            codegen_stage_count,
+            executed_plan,
+            has_nested_loop_join,
+            pushed_filters,
+            scan_columns,
+        )
+
+        plan = executed_plan(df, finalize=args.run)
+        print(plan)
+        print("--- scale audit " + "-" * 44)
+        filters = pushed_filters(df)
+        print(f"pushed filters     : {filters or '(none — full scan)'}")
+        for i, cols in enumerate(scan_columns(df)):
+            print(f"scan {i} reads       : {len(cols)} cols {cols}")
+        print(
+            "cartesian/BNLJ     : "
+            + ("PRESENT — check it is intentional"
+               if has_nested_loop_join(df, finalized=args.run)
+               else "none")
+        )
+        print(
+            f"codegen stages     : {codegen_stage_count(df, args.run)}"
+            + (
+                ""
+                if args.run
+                else "  (static AQE plan — pass --run for final counts)"
+            )
+        )
+        print(
+            "broadcast joins    : "
+            f"{plan.count('BroadcastHashJoin')}  "
+            f"shuffle joins: {plan.count('SortMergeJoin') + plan.count('ShuffledHashJoin')}  "
+            f"exchanges: {plan.count('Exchange')}"
+        )
+        return 0
+
+    df.show(args.rows, truncate=False)
     return 0
 
 

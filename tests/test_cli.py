@@ -48,3 +48,21 @@ def test_cli_compact(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "20 -> 1 files" in out
     assert spark.read.parquet(path).count() == 5000
+
+
+def test_explain_prints_plan_and_audit(capsys):
+    from sales_data_warehouse_spark.cli import main
+
+    assert main(["explain", "pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "FileScan parquet" in out
+    assert "scale audit" in out
+    assert "pushed filters" in out
+    assert "l_shipdate" in out  # the Q1 bound reached the scan
+    assert "cartesian/BNLJ     : none" in out
+
+
+def test_explain_unknown_query_errors(capsys):
+    from sales_data_warehouse_spark.cli import main
+
+    assert main(["explain", "no_such_query"]) == 2
