@@ -5303,6 +5303,76 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf: str) -> DataFrame:
     return text.rrf_fuse([bm, qr], k=60)
 
 
+@query(
+    "stats_correlation",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS covar_pop,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_qty_price
+    FROM c
+    """,
+)
+def stats_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation/covariance per group — assembled from decimal-EXACT
+    component sums (n, Σx, Σy, Σxy, Σx², Σy²) and one identical final
+    double expression in both engines, instead of the built-in
+    corr/covar aggregates whose internal accumulation orders differ
+    per partitioning. Map-side partial aggregation applies to every
+    component; the statistic itself is a 1-row-per-group projection."""
+    l = load_table(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    c = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxy - sx * sy
+    return c.select(
+        "l_returnflag",
+        "n",
+        F.round(num / nd / nd, 4).alias("covar_pop"),
+        F.round(
+            num
+            / (
+                F.sqrt(nd * sxx - sx * sx)
+                * F.sqrt(nd * syy - sy * sy)
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
