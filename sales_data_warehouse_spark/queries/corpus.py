@@ -5435,21 +5435,25 @@ FIRST_50 = (
     "semantic_dedup",
     # -- last driver row r2; code changed since or non-trivial plans --
     # (rotated out to make room for the 10 above + the late-round
-    # dedup_minhash_incremental / dedup_repeated_spans: time_hierarchy,
-    # cleanse_reject_routing, location_hierarchy, scd2_versions,
-    # tumbling_window_agg, sliding_window_rate, json_props_extract,
-    # sessionize, train_test_split, ntile_buckets, date_spine,
-    # unpivot_lineitem_metrics — all double-green r1+r2 on unchanged
-    # code, re-checked every round by the local parity twin)
+    # additions (incremental minhash, repeated spans, keep-best,
+    # quality select, curation pipeline, drift/health reports, RRF,
+    # correlation): time_hierarchy, cleanse_reject_routing,
+    # location_hierarchy, scd2_versions, tumbling_window_agg,
+    # sliding_window_rate, json_props_extract, sessionize,
+    # train_test_split, ntile_buckets, date_spine,
+    # unpivot_lineitem_metrics, approx_sketches, pivot_status_by_year,
+    # window_dense_rank, window_top1_per_group, rollup_revenue,
+    # cube_quantity, grouping_sets_revenue — all double-green r1+r2 on
+    # unchanged code, re-checked every round by the local parity twin)
     "join_multiway",
     "join_composite_key",
     "dense_cube_crossjoin",
     "asof_join_pricelist",
-    "window_dense_rank",
-    "window_top1_per_group",
-    "rollup_revenue",
-    "cube_quantity",
-    "grouping_sets_revenue",
+    "curation_pipeline",
+    "table_drift_report",
+    "corpus_health_report",
+    "hybrid_retrieval_rrf",
+    "stats_correlation",
     "dedup_keep_best",
     "quality_select_top",
     "dedup_repeated_spans",
