@@ -1074,3 +1074,110 @@ def keep_best_representative(
         ).alias("best_id"),
         F.max("__s").alias(f"best_{score_col}"),
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Exact Jaccard >= t pairs via AllPairs/PPJoin prefix filtering
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08) — same output as
+    :func:`ngram_jaccard_pairs`, different physical plan: only shingle
+    *prefixes* enter the candidate self-join.
+
+    Order every document's shingles by one global canonical order —
+    rarest-first (document frequency asc, shingle asc). If
+    J(A,B) >= t, the canonically-smallest shared shingle provably sits
+    within the first ``|d| - ceil(t*|d|) + 1`` shingles of BOTH
+    documents, so joining prefixes loses no true pair, while the
+    suffixes — which hold exactly the high-df stop-phrase shingles
+    whose k^2 join fan-out melts the shuffle at 100 TB — never enter
+    the join at all. Prefix filtering thus kills hot-key skew as a
+    side effect of pruning: the hotter the shingle, the later the
+    canonical order places it, the fewer prefixes contain it. A size
+    filter (min >= ceil(t*max)) prunes cross-size candidates, then
+    candidates verify against the full shingle sets, so the result is
+    exact — the threshold only prunes, never approximates.
+
+    ``t = threshold_num / threshold_den`` is taken as a RATIONAL:
+    prefix length and size bounds use pure integer arithmetic
+    (``ceil(a/b)`` as ``(a + b - 1) div b``) because float
+    ``ceil(0.3 * size)`` can land on either side of an exact multiple
+    and a one-off-short prefix silently drops true pairs.
+    """
+    tn, td = threshold_num, threshold_den
+    sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
+        ["doc", "shingle"]
+    )
+    # Three consumers (df count, both verify sides); persist the narrow
+    # (doc, shingle) table once, spill-safe.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc").orderBy("df", "shingle")
+    w_doc = Window.partitionBy("doc")
+    ranked = (
+        sh.join(df_tbl, "shingle")
+        .select(
+            "doc",
+            "shingle",
+            F.row_number().over(w_rank).alias("pos"),
+            F.count(F.lit(1)).over(w_doc).alias("size"),
+        )
+    )
+    # prefix length = size - ceil(t*size) + 1, integer-exact
+    ceil_t_size = (F.col("size") * tn + (td - 1)).cast("bigint") / F.lit(
+        td
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("size") - F.floor(ceil_t_size).cast("int") + 1
+    )
+    a = prefix.select(
+        F.col("doc").alias("doc_a"), F.col("size").alias("size_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col("doc").alias("doc_b"), F.col("size").alias("size_b"), "shingle"
+    )
+    big = F.greatest("size_a", "size_b") * tn + (td - 1)
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("size_a", "size_b")
+                >= F.floor(big.cast("bigint") / F.lit(td))
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates against the FULL sets: exact intersection count
+    inter = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = inter.join(
+        sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("size_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("size_b")),
+        "doc_b",
+    )
+    jac = F.col("n_inter") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= F.lit(tn) / F.lit(td))
+        .select("doc_a", "doc_b", "jaccard")
+    )

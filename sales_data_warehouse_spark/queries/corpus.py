@@ -5373,6 +5373,56 @@ def stats_correlation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_jaccard_prefix",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, LEN(shingles) AS n_shingles, UNNEST(shingles) AS shingle
+      FROM sh
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS size_a, b.n_shingles AS size_b,
+             COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter), 6)
+             AS jaccard
+    FROM inter
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (size_a + size_b - n_inter), 6) >= 0.3
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact Jaccard >= 0.3 pairs: only
+    rarest-first shingle prefixes (size - ceil(0.3*size) + 1, integer
+    arithmetic) enter the candidate self-join, pushing high-df
+    stop-phrase shingles — the hot keys that melt the inverted-index
+    shuffle at 100 TB — out of the join entirely; candidates verify
+    against full sets, so the oracle is the plain exact-Jaccard SQL
+    (``dedup.prefix_filtered_jaccard_pairs``)."""
+    return dedup.prefix_filtered_jaccard_pairs(
+        load_table(spark, sf, "documents"),
+        threshold_num=3,
+        threshold_den=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
