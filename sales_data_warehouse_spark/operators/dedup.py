@@ -1103,11 +1103,19 @@ def prefix_filtered_jaccard_pairs(
     candidates verify against the full shingle sets, so the result is
     exact — the threshold only prunes, never approximates.
 
-    ``t = threshold_num / threshold_den`` is taken as a RATIONAL:
-    prefix length and size bounds use pure integer arithmetic
-    (``ceil(a/b)`` as ``(a + b - 1) div b``) because float
-    ``ceil(0.3 * size)`` can land on either side of an exact multiple
-    and a one-off-short prefix silently drops true pairs.
+    ``t = threshold_num / threshold_den`` is taken as a RATIONAL
+    end-to-end: prefix length and size bounds use pure integer
+    arithmetic (``ceil(a/b)`` as ``(a + b - 1) DIV b`` on bigints)
+    because float ``ceil(0.3 * size)`` can land on either side of an
+    exact multiple and a one-off-short prefix silently drops true
+    pairs; the FINAL threshold is the exact rational test
+    ``n_inter * td >= union * tn`` — not a compare against the rounded
+    display value, which would admit pairs a hair below t that the
+    pruning bounds never promised to surface. Output therefore equals
+    :func:`ngram_jaccard_pairs` at the same threshold except for pairs
+    whose true Jaccard lies in the half-ulp rounding window just below
+    t (requires union sizes beyond ~10^6 shingles; ngram keeps them via
+    its round-then-compare, this operator correctly drops them).
     """
     tn, td = threshold_num, threshold_den
     sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
@@ -1128,13 +1136,15 @@ def prefix_filtered_jaccard_pairs(
             F.count(F.lit(1)).over(w_doc).alias("size"),
         )
     )
-    # prefix length = size - ceil(t*size) + 1, integer-exact
-    ceil_t_size = (F.col("size") * tn + (td - 1)).cast("bigint") / F.lit(
-        td
+    # prefix length = size - ceil(t*size) + 1; ceil(a/b) as
+    # (a + b - 1) DIV b in pure bigint arithmetic — no double division
+    # anywhere, so the guarantee holds for any size, not just below
+    # 2^53/td.
+    ceil_t_size = F.expr(
+        f"(CAST(size AS BIGINT) * {tn} + {td - 1}) DIV {td}"
     )
     prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("size") - F.floor(ceil_t_size).cast("int") + 1
+        F.col("pos") <= F.col("size") - ceil_t_size.cast("int") + 1
     )
     a = prefix.select(
         F.col("doc").alias("doc_a"), F.col("size").alias("size_a"), "shingle"
@@ -1142,15 +1152,15 @@ def prefix_filtered_jaccard_pairs(
     b = prefix.select(
         F.col("doc").alias("doc_b"), F.col("size").alias("size_b"), "shingle"
     )
-    big = F.greatest("size_a", "size_b") * tn + (td - 1)
+    size_floor = F.expr(
+        f"(CAST(GREATEST(size_a, size_b) AS BIGINT) * {tn} + {td - 1})"
+        f" DIV {td}"
+    )
     cand = (
         a.join(b, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.least("size_a", "size_b")
-                >= F.floor(big.cast("bigint") / F.lit(td))
-            )
+            & (F.least("size_a", "size_b") >= size_floor)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -1176,8 +1186,13 @@ def prefix_filtered_jaccard_pairs(
     jac = F.col("n_inter") / (
         F.col("size_a") + F.col("size_b") - F.col("n_inter")
     )
+    # Final threshold is the exact rational test
+    # n_inter * td >= union * tn — NOT a compare against round(jac, 6),
+    # which would admit pairs a hair below t (0.2999996 rounds to 0.3)
+    # that the prefix/size pruning never promised to surface.  The
+    # rounded jaccard is display-only.
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("n_inter")
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= F.lit(tn) / F.lit(td))
-        .select("doc_a", "doc_b", "jaccard")
+        pairs.filter(F.col("n_inter") * td >= union_sz * tn)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -820,15 +820,22 @@ def gopher_quality(
 ) -> DataFrame:
     """Gopher-style document quality filter (Rae et al. 2021, published
     rule set): word-count bounds, mean word length in [3, 10], symbol-
-    to-word ratio < 0.1 (hash/ellipsis), < 90% bullet lines, < 30%
-    ellipsis-ended lines, > 80% words containing a letter, and >= 2
-    distinct presence-set stopwords.
+    to-word ratio <= 0.1 (hash/ellipsis), <= 90% bullet lines, <= 30%
+    ellipsis-ended lines, >= 80% words containing a letter, and >= 2
+    distinct presence-set stopwords. Boundary semantics follow the
+    paper: only documents strictly BEYOND a threshold are removed, so
+    a document exactly on a boundary passes.
 
     Every threshold is evaluated in INTEGER arithmetic (e.g. mean word
     length in [3,10] as ``3*n_words <= n_nonspace <= 10*n_words``), so
     the pass verdict is bit-exact across engines and partitionings —
     no double division sits under a comparison. The reported ratio
     columns are rounded doubles for human use only.
+
+    Documented deviation from the paper: "mean word length" is
+    computed as non-space characters / words, which counts punctuation
+    characters in the numerator (the paper's tokenizer is unpublished;
+    this definition is deterministic and tokenizer-free).
 
     One projection over the scan — no joins, no shuffles, no Python;
     at 100 TB this filter runs at parquet-scan speed.
@@ -854,15 +861,20 @@ def gopher_quality(
     n_stop = sum(
         low.rlike(rf"\b{w}\b").cast("bigint") for w in GOPHER_STOPWORDS
     )
+    # Rae et al. remove documents strictly ABOVE each ratio threshold
+    # (resp. strictly below the alpha floor), so a document sitting
+    # exactly on a published boundary (symbol ratio exactly 0.1, 90%
+    # bullet lines, 30% ellipsis lines, 80% alpha words) PASSES —
+    # hence <= / >= at the boundaries, still in pure integer form.
     passes = (
         (n_words >= min_words)
         & (n_words <= max_words)
         & (3 * n_words <= n_nonspace)
         & (n_nonspace <= 10 * n_words)
-        & (10 * n_symbols < n_words)
-        & (10 * n_bullet < 9 * n_lines)
-        & (10 * n_ellipsis < 3 * n_lines)
-        & (5 * n_alpha > 4 * n_words)
+        & (10 * n_symbols <= n_words)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ellipsis <= 3 * n_lines)
+        & (5 * n_alpha >= 4 * n_words)
         & (n_stop >= 2)
     )
     return docs.select(

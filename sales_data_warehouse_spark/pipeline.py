@@ -25,10 +25,12 @@ Design notes (scale-first):
   transformations. With ``report=False`` (default) the whole pipeline
   stays ONE lazy Catalyst plan: no counts, no materialization, stages
   fuse across whole-stage codegen exactly as if hand-written.
-* ``report=True`` localCheckpoints each stage boundary and counts it —
-  one action per stage. That is the debugging/curation-audit mode; the
-  counts are real (not estimates), and the checkpoint keeps each stage
-  from re-executing its upstream per count.
+* ``report=True`` persists each stage boundary and counts it — one
+  action per stage. That is the debugging/curation-audit mode; the
+  counts are real (not estimates), the cache keeps each stage from
+  re-executing its upstream per count, and each boundary's cache is
+  unpersisted as soon as the next stage materializes, so live copies
+  stay bounded at two regardless of pipeline length.
 * Stages must preserve the document contract: a ``doc_id`` column and
   a ``text`` column survive every stage (enforced loudly), extra
   columns may come and go.
@@ -40,6 +42,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 Stage = tuple[str, Callable[[DataFrame], DataFrame]]
 
@@ -170,10 +173,16 @@ def run_pipeline(
     rows: list[dict] = []
     n_in = None
     if report:
-        # ONE checkpoint of the input, counted from the materialized
-        # copy (a separate count-then-checkpoint would execute the
-        # upstream plan twice and pin two copies)
-        out = out.localCheckpoint()
+        # ONE materialization of the input via persist+count. persist
+        # goes through the CacheManager, so each stage boundary can be
+        # RELEASED with unpersist() once the next stage is
+        # materialized — localCheckpoint blocks live on the RDD outside
+        # the CacheManager and unpersist() on the DataFrame is a no-op
+        # there (blocks only free via ContextCleaner after GC).
+        # `.select("*")` gives the pipeline its own plan node, so
+        # unpersisting it can never drop a cache the CALLER placed on
+        # `docs`.
+        out = docs.select("*").persist(StorageLevel.MEMORY_AND_DISK)
         n_in = out.count()
     for name, apply in stages:
         nxt = apply(out)
@@ -184,14 +193,15 @@ def run_pipeline(
                 f"column(s) {sorted(missing)}"
             )
         if report:
-            nxt = nxt.localCheckpoint()
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
             n_out = nxt.count()
-            # nxt is materialized: the previous stage's checkpoint is
-            # no longer referenced — release it so live copies stay
-            # bounded at two however many stages run (but never
-            # unpersist the CALLER's input frame)
-            if out is not docs:
-                out.unpersist()
+            # nxt is materialized: the previous stage's cache is no
+            # longer needed — release it so live copies stay bounded
+            # at two however many stages run.  (`out` is always this
+            # function's own persisted frame here, never the caller's
+            # input.)  If an evicted nxt partition is ever recomputed
+            # it re-runs the stage lineage — standard cache semantics.
+            out.unpersist()
             rows.append(
                 {
                     "stage": name,

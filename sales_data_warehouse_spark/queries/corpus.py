@@ -4646,10 +4646,10 @@ def _gopher_oracle() -> str:
            n_stop AS n_stop_present,
            (n_words >= 50 AND n_words <= 100000
             AND 3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words
-            AND 10 * n_symbols < n_words
-            AND 10 * n_bullet < 9 * n_lines
-            AND 10 * n_ellipsis < 3 * n_lines
-            AND 5 * n_alpha > 4 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet <= 9 * n_lines
+            AND 10 * n_ellipsis <= 3 * n_lines
+            AND 5 * n_alpha >= 4 * n_words
             AND n_stop >= 2) AS passes
     FROM t
     """
@@ -5404,8 +5404,7 @@ def stats_correlation(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter), 6)
              AS jaccard
     FROM inter
-    WHERE ROUND(CAST(n_inter AS DOUBLE)
-                / (size_a + size_b - n_inter), 6) >= 0.3
+    WHERE n_inter * 10 >= (size_a + size_b - n_inter) * 3
     """,
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:

@@ -107,9 +107,16 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
+    # usage: driver_sim.py [SF_DIR] [LO [HI] | --names a,b,c]
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    hi = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    only: list[str] | None = None
+    lo, hi = 0, None
+    if len(sys.argv) > 2:
+        if sys.argv[2] == "--names":
+            only = sys.argv[3].split(",")
+        else:
+            lo = int(sys.argv[2])
+            hi = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     spark = get_spark(app_name="driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
@@ -121,7 +128,14 @@ def main() -> int:
             f"read_parquet('{sf}/{t}.parquet')"
         )
 
-    names = list(qs)[lo:hi]
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        names = only
+    else:
+        names = list(qs)[lo:hi]
     failures = 0
     t_all = time.time()
     for name in names:
