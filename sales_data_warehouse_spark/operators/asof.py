@@ -44,7 +44,15 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' = least
-    ``right_ts`` >= ``left_ts``), matching on equality of ``on`` keys.
+    ``right_ts`` >= ``left_ts``; 'nearest' = smallest absolute
+    ``|right_ts - left_ts|``, equidistant ties preferring the backward
+    row — pandas ``merge_asof``'s tie rule, so both physical plans
+    agree), matching on equality of ``on`` keys.
+
+    'nearest' requires a date/timestamp or numeric ts column (it
+    subtracts them) and cannot use ``envelope_prefilter`` (no version
+    is provably unreachable: a far-away version is still some row's
+    nearest when it is the only one).
 
     Left rows with no qualifying right row are dropped (inner semantics,
     matching the reference's correlated-subquery inner join).
@@ -85,8 +93,15 @@ def asof_join(
     against a multi-year price list); a no-op when versions already sit
     inside the envelope.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
+    if direction == "nearest" and envelope_prefilter:
+        raise ValueError(
+            "asof_join: envelope_prefilter cannot prune for "
+            "direction='nearest' — every version is reachable"
+        )
 
     if broadcast_right and broadcast_row_limit is not None:
         sc_app = left.sparkSession.sparkContext.applicationId
@@ -128,11 +143,16 @@ def asof_join(
         group_keys = [F.col(f"l.{lid}")]
     rgt = F.broadcast(right) if broadcast_right else right
 
-    cond = (
-        (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
-        if direction == "backward"
-        else (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
-    )
+    if direction == "backward":
+        cond = F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+    elif direction == "forward":
+        cond = F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+    else:
+        # nearest: no ts inequality can prune a candidate version —
+        # join every version per key and let the min_by pick; the
+        # candidate set per left row is versions-per-key, same bound
+        # as the directional joins' worst case
+        cond = F.lit(True)
     for k in on:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
 
@@ -145,15 +165,36 @@ def asof_join(
     # ALL join candidates and sort them within each partition. Ties on
     # right_ts pick an arbitrary version — same contract as the
     # reference's ORDER BY ... LIMIT 1 (FactTable.sql:25-26).
-    pick = F.max_by if direction == "backward" else F.min_by
     right_cols = [c for c in right.columns if c not in on]
+    if direction == "nearest":
+        # order key = (|Δts|, forward?) — equidistant ties prefer the
+        # backward version, pandas merge_asof's documented tie rule,
+        # keeping this plan and asof_join_grouped bit-identical
+        from pyspark.sql import types as T
+
+        def _num(col: F.Column, dtype: T.DataType) -> F.Column:
+            if isinstance(
+                dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)
+            ):
+                return col.cast("timestamp").cast("double")
+            return col.cast("double")
+
+        l_num = _num(F.col(f"l.{left_ts}"), left.schema[left_ts].dataType)
+        r_num = _num(F.col(f"r.{right_ts}"), right.schema[right_ts].dataType)
+        pick, order_key = F.min_by, F.struct(
+            F.abs(l_num - r_num).alias("__dist"),
+            (r_num > l_num).cast("int").alias("__fwd"),
+        )
+    else:
+        pick = F.max_by if direction == "backward" else F.min_by
+        order_key = F.col(f"r.{right_ts}")
     best = joined.groupBy(*group_keys).agg(
         F.first(
             F.struct(*[F.col(f"l.{c}").alias(c) for c in left.columns])
         ).alias("__l"),
         pick(
             F.struct(*[F.col(f"r.{c}").alias(c) for c in right_cols]),
-            F.col(f"r.{right_ts}"),
+            order_key,
         ).alias("__r"),
     )
     return best.select(
@@ -177,15 +218,19 @@ def asof_join_grouped(
     (``pandas.merge_asof``) per key group in Arrow batches. Per-group
     work is O(n log n) in that key's rows only, so the plan scales with
     the largest key, not the table. Semantics match ``asof_join``
-    (inner: left rows with no qualifying version are dropped).
+    (inner: left rows with no qualifying version are dropped), for all
+    three directions — 'nearest' is native to ``merge_asof``, whose
+    equidistant-tie rule (prefer backward) the broadcast plan mirrors.
 
     Requires the ``on`` + ts columns to have distinct names across
     sides, and ``right_ts`` values unique per key-group tie (pandas
     merge_asof picks the last sorted row on exact ties — same arbitrary-
     on-ties contract as the reference's LIMIT 1).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
 
     import pandas as pd
 

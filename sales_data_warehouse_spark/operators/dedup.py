@@ -1196,3 +1196,136 @@ def prefix_filtered_jaccard_pairs(
         pairs.filter(F.col("n_inter") * td >= union_sz * tn)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Doc pairs by shingle CONTAINMENT (overlap coefficient): pairs
+    where ``|A ∩ B| / min(|A|, |B|)`` meets the threshold.
+
+    Jaccard misses the quote/subset shape of duplication — a short
+    document wholly embedded in a long one scores
+    ``|A| / |B| ≈ 0`` Jaccard but containment 1.0. This is the
+    doc-pair twin of :func:`source_overlap_matrix` (which works at
+    source granularity) and the standard complement to
+    :func:`ngram_jaccard_pairs` in a curation pass.
+
+    The threshold is an exact rational ``num/den`` tested as
+    ``n_inter * den >= min(size_a, size_b) * num`` — pure int64
+    arithmetic, so the kept set is bit-identical across engines (a
+    float compare would flap at the boundary). ``containment`` in the
+    output is display-only (rounded to 6).
+
+    Plan: identical inverted-index skeleton to
+    :func:`ngram_jaccard_pairs` — distinct (doc, shingle), optional
+    ``max_df`` stop-shingle cap (containment is then over the capped
+    universe, sizes recounted post-cap), shingle-keyed self-join with
+    one reused exchange, sizes joined onto the (far smaller) pair
+    table. Same 100 TB posture: run with ``max_df`` on; a shingle in k
+    docs contributes k^2 join rows and carries no subset signal.
+    """
+    if shingles is None:
+        shingles = exploded_shingles(docs, text_col, id_col, n)
+    distinct_sh = shingles.dropDuplicates(["doc", "shingle"])
+    if max_df is not None:
+        keep = (
+            distinct_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        distinct_sh = distinct_sh.join(keep, "shingle", "left_semi")
+    distinct_sh = distinct_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = distinct_sh.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = distinct_sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = distinct_sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = inter.join(
+        sizes.select(
+            F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")
+        ),
+        "doc_a",
+    ).join(
+        sizes.select(
+            F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")
+        ),
+        "doc_b",
+    )
+    min_sz = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        pairs.filter(
+            F.col("n_inter") * F.lit(threshold_den)
+            >= min_sz * F.lit(threshold_num)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(F.col("n_inter") / min_sz, 6).alias("containment"),
+        )
+    )
+
+
+def duplicate_ratio_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group duplication health report: for each group (source,
+    crawl, shard), how many of its documents are copies of a text that
+    appears more than once in the WHOLE corpus — the first number a
+    curation run checks per source before setting mixture weights
+    (a mirror-site source shows up here before any near-dup pass).
+
+    Output per group: ``n_docs``, ``n_dup_docs`` (docs whose exact
+    text occurs >= 2 times corpus-wide), ``n_distinct_texts`` (within
+    the group), and ``dup_permille = 1000 * n_dup_docs DIV n_docs``
+    (integer per-mille — exact across engines where a float ratio
+    would flap).
+
+    Plan: one md5-fingerprint groupBy for global copy counts
+    (map-side combinable), re-join docs->counts co-keyed on the
+    fingerprint, then a group-keyed aggregate whose partials combine
+    map-side. Two shuffles total, both on keys the data supports; the
+    fingerprint table is |distinct texts|, never corpus-sized state.
+    """
+    fp = F.md5(F.col(text_col))
+    tagged = docs.select(
+        F.col(group_col).alias("grp"), fp.alias("fp")
+    )
+    counts = tagged.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        tagged.join(counts, "fp")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_copies") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.count_distinct(F.col("fp")).cast("bigint").alias(
+                "n_distinct_texts"
+            ),
+        )
+        .withColumn(
+            "dup_permille",
+            F.expr("1000 * n_dup_docs DIV n_docs").cast("bigint"),
+        )
+    )

@@ -830,6 +830,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_cell_rows: int | None = 16_384,
+    oversize: str = "warn",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
     the corpus into k-means cells, compare cosine similarity only WITHIN
@@ -854,6 +856,18 @@ def semantic_dedup(
     scale) to keep cells bounded. The k-means fit itself is Spark ML's
     distributed Lloyd's — no driver-side data; only the tiny codebook
     is collected and rebroadcast.
+
+    ``max_cell_rows`` is the RUNTIME guard for that prescription: before
+    the gram stage, one cell-size count (over the persisted assignment
+    table, so the Arrow kernel isn't re-run) checks whether any cell
+    exceeds the bound; ``oversize='warn'`` (default) raises a
+    ``ResourceWarning`` naming the hottest cells and the fix,
+    ``oversize='error'`` refuses to run. The default 16,384 caps the
+    per-task gram + verdict matrices near 16384^2 * 8 B ≈ 2.1 GiB
+    (plus two bool masks ≈ 0.5 GiB) — a skewed k-means cell fails
+    LOUDLY here instead of as an executor OOM three stages in. Pass
+    ``None`` to skip the guard (and its one count job) when cell sizes
+    are already known.
 
     Returns one row per vector: (id, cell, n_dup_neighbors, kept) with
     ``cell`` the rank-0 assignment and ``n_dup_neighbors`` the largest
@@ -884,6 +898,40 @@ def semantic_dedup(
     ).select(
         "id", "v", F.posexplode(near_cells(F.col("v"))).alias("rank", "cell")
     )
+
+    if max_cell_rows is not None:
+        if oversize not in ("warn", "error"):
+            raise ValueError(f"oversize must be warn|error: {oversize}")
+        import warnings
+
+        from pyspark import StorageLevel as _SL
+
+        # persist so the guard's count and the gram stage share ONE run
+        # of the assignment kernel; MEMORY_AND_DISK spills at scale
+        tagged = tagged.persist(_SL.MEMORY_AND_DISK)
+        hot = (
+            tagged.groupBy("cell")
+            .count()
+            .filter(F.col("count") > max_cell_rows)
+            .orderBy(F.col("count").desc())
+            .limit(5)
+            .collect()
+        )  # bounded driver pull: top-5 offenders only
+        if hot:
+            detail = ", ".join(
+                f"cell {r['cell']}={r['count']:,} rows" for r in hot
+            )
+            msg = (
+                f"semantic_dedup: k-means cell(s) exceed max_cell_rows="
+                f"{max_cell_rows} ({detail}). Each cell builds an "
+                "O(rows^2) gram matrix in one task — raise "
+                "num_centroids (SemDeDup guidance: ~sqrt(n) cells) or "
+                "raise max_cell_rows if executors have the memory."
+            )
+            if oversize == "error":
+                tagged.unpersist()
+                raise ValueError(msg)
+            warnings.warn(msg, ResourceWarning, stacklevel=2)
 
     id_t = corpus.schema[id_col].dataType
     out_schema = T.StructType(

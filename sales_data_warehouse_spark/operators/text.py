@@ -936,6 +936,61 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM commonness score — the conditional-context step up
+    from :func:`unigram_surprisal` (the CCNet/KenLM quality-filter
+    shape: a document of individually-common words in never-seen
+    combinations scores low here but high on unigrams).
+
+    Each adjacent token pair contributes
+    ``floor(log2(corpus_bigram_frequency))`` — exact integers in both
+    engines for the same reason as the unigram scorer — and documents
+    aggregate sum/mean over their ``n_tokens - 1`` bigrams. Documents
+    with fewer than two tokens emit zero bigrams and drop out (no
+    0/0 row).
+
+    Plan: bigrams are built ARRAY-SIDE in the scan stage (one
+    ``transform`` over the token array — no positional self-join and
+    no window shuffle), then the same vocabulary-sized frequency
+    groupBy + co-keyed rejoin as the unigram path. The bigram
+    vocabulary is larger than the unigram one but still collapses
+    under map-side partial aggregation; nothing is quadratic.
+    """
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+    # guard size>=2: Spark's sequence(0, -1) generates a DESCENDING
+    # sequence rather than an empty one
+    bigram_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(bigram_arr).alias("bigram"),
+    )
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bg.join(freq, "bigram")
+        .withColumn("bits", F.floor(F.log2(F.col("cnt"))).cast("bigint"))
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("sum_log2_freq"),
+            F.round(F.sum("bits") / F.count(F.lit(1)), 4).alias(
+                "avg_log2_freq"
+            ),
+        )
+    )
+
+
 class TextIndex:
     """A built BM25 index: full-vocabulary postings + corpus stats.
 

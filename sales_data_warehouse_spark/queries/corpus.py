@@ -5423,98 +5423,582 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 5: driver rows for formerly driver-invisible operators
+# (index persistence, incremental/streaming batch contracts, the
+# approx-sketch exactness regime) + new operator surface (containment
+# pairs, bigram LM, per-source dup health, MERGE upsert, forward as-of)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, LEN(shingles) AS n_shingles, UNNEST(shingles) AS shingle
+      FROM sh
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS size_a, b.n_shingles AS size_b,
+             COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / LEAST(size_a, size_b), 6)
+             AS containment
+    FROM inter
+    -- exact rational threshold, mirroring the Spark side's integer
+    -- compare (n_inter * den >= min_size * num); the rounded
+    -- containment column is display-only
+    WHERE n_inter * 2 >= LEAST(size_a, size_b) * 1
+    """,
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Subset/quote duplication: doc pairs whose shingle OVERLAP
+    COEFFICIENT ``|A ∩ B| / min(|A|,|B|)`` is >= 1/2 — the shape
+    Jaccard misses (a short doc wholly embedded in a long one is
+    near-zero Jaccard but containment 1.0). Same inverted-index +
+    optional df-cap plan as the Jaccard family; threshold tested in
+    exact int64 arithmetic (``dedup.containment_pairs``)."""
+    return dedup.containment_pairs(
+        load_table(spark, sf, "documents"),
+        threshold_num=1,
+        threshold_den=2,
+    )
+
+
+@query(
+    "bigram_surprisal",
+    r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1]
+             )) AS bigram
+      FROM t
+    ),
+    freq AS (
+      SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(LOG2(f.cnt)) AS BIGINT)) AS BIGINT)
+             AS sum_log2_freq,
+           ROUND(CAST(SUM(CAST(FLOOR(LOG2(f.cnt)) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_log2_freq
+    FROM bg b JOIN freq f USING (bigram)
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM commonness — the conditional-context quality score one
+    step up from ``unigram_surprisal`` (common words in never-seen
+    combinations now score low). Bigrams build array-side in the scan
+    stage (no positional self-join, no window shuffle); token scores
+    stay exact integers (``floor(log2(freq))``), so per-doc sums are
+    partitioning-independent (``text.bigram_surprisal``)."""
+    return text.bigram_surprisal(load_table(spark, sf, "documents"))
+
+
+@query(
+    "source_dup_ratio",
+    """
+    WITH fp AS (SELECT source, MD5(text) AS fp FROM documents),
+    cnt AS (SELECT fp, COUNT(*) AS n_copies FROM fp GROUP BY fp)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_distinct_texts,
+           CAST(1000 * SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS dup_permille
+    FROM fp f JOIN cnt USING (fp)
+    GROUP BY source
+    """,
+)
+def source_dup_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplication health: share of each source's documents
+    whose exact text occurs >= 2 times CORPUS-WIDE — the first report a
+    curation run reads before setting mixture weights. One fingerprint
+    groupBy + one co-keyed rejoin + one source-keyed aggregate, integer
+    per-mille ratio (``dedup.duplicate_ratio_by_group``)."""
+    return dedup.duplicate_ratio_by_group(
+        load_table(spark, sf, "documents")
+    )
+
+
+@query(
+    "snapshot_upsert",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             'D' AS op
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100,
+             'UPDATED', 'U'
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, 'New' || c_name, c_nationkey,
+             CAST(0.0 AS DOUBLE), c_mktsegment, 'I'
+      FROM customer WHERE c_custkey % 10 = 2
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM changes WHERE op != 'D'
+    """,
+)
+def snapshot_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics on a keyed snapshot: one change batch
+    carrying deletes (keys % 10 = 0), updates (% 10 = 1: balance + 100,
+    segment rewritten) and inserts (% 10 = 2 cloned to key + 1M) is
+    applied set-based — anti-join for untouched rows, union with the
+    surviving upserts; no MERGE statement, no row loop
+    (``upsert.apply_changes``)."""
+    from sales_data_warehouse_spark.operators.upsert import apply_changes
+
+    c = load_table(spark, sf, "customer")
+    deletes = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 1)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100))
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 10 == 2)
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(1_000_000))
+        .withColumn("c_name", F.concat(F.lit("New"), F.col("c_name")))
+        .withColumn("c_acctbal", F.lit(0.0).cast("double"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return apply_changes(c, changes, keys=["c_custkey"])
+
+
+#: Forward-looking price schedule for the forward as-of entry: versions
+#: at 1998-01-01 and 2000-01-01 straddle the shipdate range
+#: (1995..2001), so early lines must PICK between two qualifying
+#: versions (min_by chooses 1998) and post-2000 lines drop under inner
+#: semantics — both forward-specific behaviors exercised, where the
+#: backward entry's 1995/1998 history would collapse forward matches
+#: into one group.
+_FWD_PRICE_HISTORY_SQL = """
+      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS eff_price,
+             DATE '1998-01-01' AS eff_date FROM part
+      UNION ALL
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.2 AS DECIMAL(2,1))
+                  AS DECIMAL(18,2)) AS eff_price,
+             DATE '2000-01-01' AS eff_date FROM part
+"""
+
+
+def _fwd_price_history(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    v1 = F.struct(
+        _money("p_retailprice").alias("eff_price"),
+        F.lit("1998-01-01").cast("date").alias("eff_date"),
+    )
+    v2 = F.struct(
+        (_money("p_retailprice") * F.lit(1.2).cast("decimal(2,1)"))
+        .cast("decimal(18,2)")
+        .alias("eff_price"),
+        F.lit("2000-01-01").cast("date").alias("eff_date"),
+    )
+    return p.select(
+        "p_partkey", F.explode(F.array(v1, v2)).alias("__v")
+    ).select("p_partkey", "__v.eff_price", "__v.eff_date")
+
+
+@query(
+    "asof_join_forward",
+    f"""
+    WITH price_history AS ({_FWD_PRICE_HISTORY_SQL}),
+    best AS (
+      SELECT li.l_partkey, li.ship_date, MIN(ph.eff_date) AS eff_date
+      FROM (SELECT DISTINCT l_partkey, CAST(l_shipdate AS DATE) AS ship_date
+            FROM lineitem) li
+      JOIN price_history ph
+        ON ph.p_partkey = li.l_partkey AND ph.eff_date >= li.ship_date
+      GROUP BY 1, 2
+    )
+    SELECT b.eff_date, COUNT(*) AS n_lines,
+           CAST(SUM(ph.eff_price) AS DOUBLE) AS sum_eff_price
+    FROM lineitem l
+    JOIN best b
+      ON b.l_partkey = l.l_partkey AND b.ship_date = CAST(l.l_shipdate AS DATE)
+    JOIN price_history ph
+      ON ph.p_partkey = l.l_partkey AND ph.eff_date = b.eff_date
+    GROUP BY b.eff_date
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join — each lineitem matched to the EARLIEST price
+    version effective on/after its ship date (the next-scheduled-price
+    lookup; lines shipping after the last version drop out under inner
+    semantics). Same pre-aggregated (partkey, ship_date) grain and
+    broadcast + ``min_by`` plan as the backward entry — only the
+    inequality direction and the pick aggregate flip
+    (``asof.asof_join(direction='forward')``)."""
+    l = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    ph = _fwd_price_history(spark, sf)
+    per_key = l.groupBy("p_partkey", "ship_date").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = asof_join(
+        per_key,
+        ph,
+        on=["p_partkey"],
+        left_ts="ship_date",
+        right_ts="eff_date",
+        direction="forward",
+        unique_left=True,
+        broadcast_row_limit=50_000_000,
+    )
+    return best.groupBy("eff_date").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("eff_price") * F.col("cnt")).cast("double").alias(
+            "sum_eff_price"
+        ),
+    )
+
+
+@query(
+    "asof_join_nearest",
+    f"""
+    WITH price_history AS ({_FWD_PRICE_HISTORY_SQL}),
+    grain AS (
+      SELECT DISTINCT l_partkey, CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT g.l_partkey, g.ship_date, ph.eff_date, ph.eff_price,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.l_partkey, g.ship_date
+               ORDER BY ABS(DATEDIFF('day', ph.eff_date, g.ship_date)),
+                        CASE WHEN ph.eff_date > g.ship_date
+                             THEN 1 ELSE 0 END
+             ) AS rn
+      FROM grain g
+      JOIN price_history ph ON ph.p_partkey = g.l_partkey
+    )
+    SELECT r.eff_date, COUNT(*) AS n_lines,
+           CAST(SUM(r.eff_price) AS DOUBLE) AS sum_eff_price
+    FROM lineitem l
+    JOIN ranked r
+      ON r.l_partkey = l.l_partkey
+     AND r.ship_date = CAST(l.l_shipdate AS DATE)
+     AND r.rn = 1
+    GROUP BY r.eff_date
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST as-of join — each lineitem matched to the price version
+    with the smallest absolute date distance, equidistant ties
+    preferring the backward version (pandas ``merge_asof``'s tie rule,
+    shared by both physical plans). On the 1998/2000 two-version
+    schedule, ship dates through 1999-01-01 resolve to the 1998 version
+    (the midpoint itself is a 365/365-day tie, broken backward) and
+    later dates to 2000 — and unlike the directional entries NO line
+    drops out: every row has a nearest version
+    (``asof.asof_join(direction='nearest')``)."""
+    l = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    ph = _fwd_price_history(spark, sf)
+    per_key = l.groupBy("p_partkey", "ship_date").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = asof_join(
+        per_key,
+        ph,
+        on=["p_partkey"],
+        left_ts="ship_date",
+        right_ts="eff_date",
+        direction="nearest",
+        unique_left=True,
+        broadcast_row_limit=50_000_000,
+    )
+    return best.groupBy("eff_date").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("eff_price") * F.col("cnt")).cast("double").alias(
+            "sum_eff_price"
+        ),
+    )
+
+
+@query(
+    "dedup_exact_incremental",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY MD5(text) ORDER BY doc_id % 3, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-over-batch EXACT dedup (``dedup.incremental_exact_dedup``):
+    the corpus arrives in 3 batches (doc_id % 3 in batch order); each
+    batch admits only first-seen texts against the carried fingerprint
+    state — prior batches are never re-read. Exact oracle: the admitted
+    set is precisely one doc per distinct text, the min-id doc of the
+    EARLIEST batch containing that text, which SQL pins with one window
+    ordered by (batch, id)."""
+    docs = load_table(spark, sf, "documents")
+    state = None
+    admitted = []
+    for b in range(3):
+        fresh, state = dedup.incremental_exact_dedup(
+            docs.filter(F.col("doc_id") % 3 == b), state
+        )
+        admitted.append(fresh.select("doc_id"))
+    return admitted[0].unionByName(admitted[1]).unionByName(admitted[2])
+
+
+@query(
+    "approx_frequent_items_exact",
+    """
+    WITH cnt AS (
+      SELECT CAST(event_type AS VARCHAR) AS item,
+             CAST(COUNT(*) AS BIGINT) AS count
+      FROM events GROUP BY event_type
+    )
+    SELECT item, count,
+           CAST(ROW_NUMBER() OVER (ORDER BY count DESC, item) AS BIGINT)
+             AS rank
+    FROM cnt
+    """,
+)
+def approx_frequent_items_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """The heavy-hitters sketch in its exactness regime
+    (``profile.approx_frequent_items``): while a column's cardinality
+    stays within ``max_items_tracked``, ``approx_top_k`` degenerates to
+    exact counting — here event_type's full distribution must equal the
+    exact GROUP BY. Ranks are re-derived with a deterministic
+    (count DESC, item) tie-break so the comparison never hinges on the
+    sketch's unspecified equal-count ordering."""
+    from sales_data_warehouse_spark.operators.profile import (
+        approx_frequent_items,
+    )
+
+    out = approx_frequent_items(
+        load_table(spark, sf, "events"), "event_type", k=100
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("item"))
+    return out.select(
+        "item", "count", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+@query(
+    "bm25_search_persisted",
+    ORACLE["bm25_topk"],
+)
+def bm25_search_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 through the build/save/load/search lifecycle
+    (``text.build_text_index`` -> ``save_text_index`` ->
+    ``load_text_index`` -> ``bm25_search``): postings persist parquet
+    PARTITIONED BY the 64-way term-hash bucket, so the reopened
+    search's bucket filter becomes partition pruning and reads <= 3 of
+    64 directories for this 3-term query. Must reproduce the one-shot
+    ``bm25_topk`` ranking bit-identically — the oracle is shared
+    verbatim."""
+    import tempfile
+
+    idx = text.build_text_index(load_table(spark, sf, "documents"))
+    path = tempfile.mkdtemp(prefix="sdw_bm25_idx_")
+    text.save_text_index(idx, path)
+    reopened = text.load_text_index(spark, path)
+    return text.bm25_search(reopened, ["spark", "window", "hash"], k=10)
+
+
+@query(
+    "ann_ivf_persisted",
+    """
+    SELECT TRUE AS persisted_equals_memory,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+                AS BIGINT) AS n_queries
+    """,
+)
+def ann_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index persistence parity: the saved-and-reopened index
+    (cell assignments parquet PARTITIONED BY cell + centroid codebook)
+    must answer searches EXACTLY like the in-memory index it was saved
+    from — doubles round-trip parquet losslessly and the rerank picks
+    deterministically, so this is equality, not recall
+    (``similarity.save_ivf_index`` / ``load_ivf_index``)."""
+    import tempfile
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = similarity.build_ivf_index(emb)
+    path = tempfile.mkdtemp(prefix="sdw_ivf_idx_")
+    similarity.save_ivf_index(idx, path)
+    reopened = similarity.load_ivf_index(spark, path)
+    mem = similarity.ivf_search(idx, q, k=5)
+    per = similarity.ivf_search(reopened, q, k=5)
+    missing = per.exceptAll(mem).count()
+    extra = mem.exceptAll(per).count()
+    idx.assigned.unpersist()
+    return spark.createDataFrame(
+        [(missing == 0 and extra == 0, q.count())],
+        "persisted_equals_memory boolean, n_queries long",
+    )
+
+
+@query(
+    "streaming_dedup_batch_contract",
+    """
+    SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch_id FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY MD5(text) ORDER BY doc_id % 3, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def streaming_dedup_batch_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming doc-dedup sink's batch contract, pinned end-to-end
+    through its REAL persistence path: 3 micro-batches fold through
+    ``streaming.documents.dedup_documents_batch`` (the exact function
+    the ``foreachBatch`` sink calls — per-batch admitted parquet under
+    ``admitted/batch_id=N``, fingerprint state via staged overwrite),
+    then the admitted directory is read back. Exact oracle: each
+    distinct text is admitted exactly once, in the first batch that
+    carries it, by its min-id doc — and the batch_id partition column
+    must equal that doc's own batch."""
+    import tempfile
+
+    from sales_data_warehouse_spark.streaming.documents import (
+        dedup_documents_batch,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="sdw_stream_dedup_")
+    for b in range(3):
+        dedup_documents_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == b), b, out
+        )
+    admitted = spark.read.parquet(f"{out}/admitted")
+    return admitted.select(
+        "doc_id", F.col("batch_id").cast("bigint").alias("batch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
-# (CORRECTNESS_r01-r03 all equal registration positions 0-49).  Round-4
-# window, closing the book on full-corpus driver coverage:
+# (CORRECTNESS_r01-r04 all equal registration positions 0-49).  Round-5
+# window — after r4, every one of the 132 previously-registered entries
+# with a driver row is GREEN, so this rotation finishes full-corpus
+# hard coverage:
 #
-# * slots 0-5: the six r3 red rows, fixed this round at the harness
-#   interface (array outputs exploded to rows; two oracle SUMs cast to
-#   BIGINT) — they need hard green confirmation;
-# * slots 6-18: the 13 entries that have NEVER had a driver row
-#   (registered after the r3 rotation froze);
-# * slots 19-28: the 10 operators ADDED during round 4 (bm25, epoch
-#   shuffle, quality logit, mixture, leakage split, cogrouped asof,
-#   line dedup, gopher filter, unigram surprisal, semantic dedup) —
-#   no driver row exists for them yet;
-# * slots 29-49: the 21 least-recently-verified entries whose last
-#   driver row is r2, preferring those whose implementation changed
-#   since (asof price-history rewrite, ngram df-cap, pinned
-#   composite-key join strategy, dedup family) — entries left out are
-#   the simplest pure-SQL scan/agg/window/set entries, double-green in
-#   r1+r2 and still pinned by the local parity twin every round.
+# * slots 0-1: the only 2 entries that have NEVER had a driver row
+#   (registered after the r4 window froze; driver_sim-verified in the
+#   r4 review, promoted here for hard rows);
+# * slots 2-11: the 10 entries ADDED in round 5 — driver rows for the
+#   formerly driver-invisible operators (BM25 index persistence, IVF
+#   save/load parity, incremental exact dedup, the streaming sink's
+#   batch contract, the heavy-hitter sketch's exactness regime) plus
+#   the new round-5 surface (containment pairs, bigram LM surprisal,
+#   per-source dup health, MERGE upsert, forward as-of);
+# * slots 12-49: ALL 38 remaining entries whose last hard driver row
+#   is r2 (code around several has evolved since; the rest re-prove
+#   stability) — after this round every corpus entry's latest hard row
+#   is r3+ and none is stale beyond two rounds.
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    # -- r3 red rows, fixed this round -------------------------------
-    "multimodal_features",
-    "embedding_normalize",
-    "embedding_quantize",
-    "embedding_truncate",
-    "doc_sequence_packing",
-    "table_profile",
-    # -- never driver-checked ----------------------------------------
-    "embedding_centroids",
-    "semantic_outliers",
-    "source_overlap_matrix",
-    "window_cume_dist",
-    "topk_rank_ties",
-    "full_outer_join",
-    "union_by_name_missing",
-    "session_funnel",
-    "rolling_active_users",
-    "user_paths",
-    "rfm_segmentation",
-    "cohort_ltv",
-    "basket_affinity",
-    # -- registered mid-round-4, no driver row yet --------------------
-    "asof_join_grouped_pricelist",
-    "bm25_topk",
-    "epoch_shuffle",
-    "quality_logit",
-    "temperature_mixture",
-    "leakage_safe_split",
-    "dedup_lines",
-    "gopher_quality_filter",
-    "unigram_surprisal",
-    "semantic_dedup",
-    # -- last driver row r2; code changed since or non-trivial plans --
-    # (rotated out to make room for the 10 above + the late-round
-    # additions (incremental minhash, repeated spans, keep-best,
-    # quality select, curation pipeline, drift/health reports, RRF,
-    # correlation): time_hierarchy, cleanse_reject_routing,
-    # location_hierarchy, scd2_versions, tumbling_window_agg,
-    # sliding_window_rate, json_props_extract, sessionize,
-    # train_test_split, ntile_buckets, date_spine,
-    # unpivot_lineitem_metrics, approx_sketches, pivot_status_by_year,
-    # window_dense_rank, window_top1_per_group, rollup_revenue,
-    # cube_quantity, grouping_sets_revenue — all double-green r1+r2 on
-    # unchanged code, re-checked every round by the local parity twin)
-    "join_multiway",
-    "join_composite_key",
-    "dense_cube_crossjoin",
-    "asof_join_pricelist",
-    "curation_pipeline",
-    "table_drift_report",
-    "corpus_health_report",
-    "hybrid_retrieval_rrf",
-    "stats_correlation",
-    "dedup_keep_best",
-    "quality_select_top",
-    "dedup_repeated_spans",
-    "dedup_minhash_incremental",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_clusters_star",
+    # -- never driver-checked (registered after the r4 freeze) --------
+    "window_frame_first_last",
+    "dedup_jaccard_prefix",
+    # -- added in round 5, no driver row yet --------------------------
+    "dedup_containment",
+    "bigram_surprisal",
+    "source_dup_ratio",
+    "snapshot_upsert",
+    "asof_join_forward",
+    "dedup_exact_incremental",
+    "approx_frequent_items_exact",
+    "bm25_search_persisted",
+    "ann_ivf_persisted",
+    "streaming_dedup_batch_contract",
+    # -- all 38 entries whose last hard driver row is r2 --------------
+    "anti_join",
+    "approx_sketches",
+    "case_when_classify",
+    "cleanse_reject_routing",
+    "cube_quantity",
+    "date_functions",
+    "date_spine",
+    "distinct_dedup",
+    "filter_projection",
+    "group_having",
+    "grouping_sets_revenue",
+    "json_props_extract",
+    "left_join_coalesce",
+    "location_hierarchy",
+    "ntile_buckets",
+    "percentile_quantity",
+    "pivot_status_by_year",
+    "pricing_summary",
+    "rollup_revenue",
+    "scalar_aggregates",
+    "scd2_versions",
+    "semi_join_having",
+    "sessionize",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sliding_window_rate",
+    "string_functions",
+    "time_hierarchy",
+    "topk_global_sort",
+    "topk_revenue_orders",
+    "train_test_split",
+    "tumbling_window_agg",
+    "unpivot_lineitem_metrics",
+    "window_dense_rank",
+    "window_lag_gap",
+    "window_running_total",
+    "window_top1_per_group",
 )
 
 

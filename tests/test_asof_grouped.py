@@ -54,7 +54,7 @@ def _key_rows(df):
     )
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_grouped_matches_broadcast(spark, sides, direction):
     l, ph = sides
     want = asof_join(
@@ -67,6 +67,51 @@ def test_grouped_matches_broadcast(spark, sides, direction):
     )
     assert sorted(got.columns) == sorted(want.columns)
     assert _key_rows(got) == _key_rows(want)
+
+
+def test_nearest_tie_prefers_backward_and_never_drops(spark):
+    """direction='nearest': equidistant ties pick the BACKWARD version
+    (pandas merge_asof's rule), and every left row matches — no inner
+    drop — as long as its key has any version at all."""
+    left = spark.createDataFrame(
+        [
+            (1, "2020-06-15"),  # equidistant: 14d to both versions
+            (1, "2020-06-02"),  # nearer the 06-01 version
+            (1, "2020-06-28"),  # nearer the 06-29 version
+            (2, "1990-01-01"),  # only a far-future version: still kept
+        ],
+        "k int, ts string",
+    ).selectExpr("k", "CAST(ts AS DATE) AS ts")
+    right = spark.createDataFrame(
+        [
+            (1, "2020-06-01", 10.0),
+            (1, "2020-06-29", 20.0),
+            (2, "2030-01-01", 30.0),
+        ],
+        "k int, vts string, price double",
+    ).selectExpr("k", "CAST(vts AS DATE) AS vts", "price")
+    for fn in (asof_join, asof_join_grouped):
+        got = {
+            (r.k, str(r.ts)): r.price
+            for r in fn(
+                left, right, ["k"], "ts", "vts", direction="nearest"
+            ).collect()
+        }
+        assert got == {
+            (1, "2020-06-15"): 10.0,  # tie -> backward
+            (1, "2020-06-02"): 10.0,
+            (1, "2020-06-28"): 20.0,
+            (2, "1990-01-01"): 30.0,  # forward-only key kept
+        }, fn.__name__
+
+
+def test_nearest_rejects_envelope_prefilter(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, ts int")
+    with pytest.raises(ValueError, match="envelope_prefilter"):
+        asof_join(
+            df, df, ["k"], "ts", "ts",
+            direction="nearest", envelope_prefilter=True,
+        )
 
 
 def test_envelope_prefilter_preserves_results(spark):

@@ -93,3 +93,39 @@ def test_soft_assignment_catches_more_than_single(spark):
     n_soft = soft.filter(~F.col("kept")).count()
     assert n_soft >= n_single
     assert n_soft >= 50  # nearly every pair has an exact twin
+
+
+def test_cell_size_guard_warns_on_skewed_corpus(spark):
+    # every vector identical -> k-means piles (nearly) all of them
+    # into one cell; a tiny bound must trip the guard
+    skew = _corpus(spark, [(i, [1.0, 0.0, 0.0]) for i in range(40)])
+    with pytest.warns(ResourceWarning, match="max_cell_rows"):
+        out = semantic_dedup(
+            skew, num_centroids=2, max_cell_rows=10
+        ).collect()
+    # guard warns but the run still completes with correct semantics:
+    # all vectors are exact duplicates, only vec 0 survives
+    kept = sorted(r["vec_id"] for r in out if r["kept"])
+    assert kept == [0]
+
+
+def test_cell_size_guard_error_mode_refuses(spark):
+    skew = _corpus(spark, [(i, [1.0, 0.0, 0.0]) for i in range(40)])
+    with pytest.raises(ValueError, match="num_centroids"):
+        semantic_dedup(
+            skew, num_centroids=2, max_cell_rows=10, oversize="error"
+        )
+
+
+def test_cell_size_guard_disabled_and_quiet_when_bounded(spark):
+    import warnings
+
+    skew = _corpus(spark, [(i, [1.0, 0.0, 0.0]) for i in range(40)])
+    # None disables the guard entirely
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        semantic_dedup(skew, num_centroids=2, max_cell_rows=None).collect()
+        # and a generous bound stays quiet
+        semantic_dedup(
+            skew, num_centroids=2, max_cell_rows=1_000_000
+        ).collect()
