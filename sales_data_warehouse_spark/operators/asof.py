@@ -84,6 +84,17 @@ def asof_join(
     broadcasting a too-big side without the guard fails at Spark's own
     broadcast limits rather than silently succeeding.
 
+    Choosing between this plan and :func:`asof_join_grouped`: this
+    broadcast + ``max_by`` plan wins whenever the versioned side fits
+    in a broadcast (measured: 2.09 s vs the cogroup plan's 25.65 s on
+    the same 6 M-fact / 8 k-version oracle at sf1 — BENCH_r05; Arrow
+    cogroup overhead dominates at that shape). Prefer the grouped plan
+    only when the versioned side is too big to broadcast — rule of
+    thumb: past ~10-50 M version rows or wherever
+    ``broadcast_row_limit`` / Spark's broadcast threshold fires — where
+    this plan stops being available at all; the cogroup plan's cost is
+    two co-keyed shuffles and stays bounded by the largest single key.
+
     ``envelope_prefilter=True`` prunes right-side versions that cannot
     match ANY left row before the join: for backward joins, versions
     effective after the left's global max ``left_ts`` (for forward,
@@ -151,8 +162,15 @@ def asof_join(
         # nearest: no ts inequality can prune a candidate version —
         # join every version per key and let the min_by pick; the
         # candidate set per left row is versions-per-key, same bound
-        # as the directional joins' worst case
-        cond = F.lit(True)
+        # as the directional joins' worst case. The NULL guards keep
+        # the inner contract the directional joins get for free from
+        # their ts inequality: a NULL-ts left row must DROP, not emit
+        # NULL right columns (and the grouped plan's merge_asof
+        # outright errors on null merge keys).
+        cond = (
+            F.col(f"l.{left_ts}").isNotNull()
+            & F.col(f"r.{right_ts}").isNotNull()
+        )
     for k in on:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
 
@@ -173,10 +191,21 @@ def asof_join(
         from pyspark.sql import types as T
 
         def _num(col: F.Column, dtype: T.DataType) -> F.Column:
-            if isinstance(
-                dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)
-            ):
-                return col.cast("timestamp").cast("double")
+            # Timezone-independent integer microseconds. A cast
+            # through plain ``timestamp`` would pin dates to midnight
+            # in the SESSION timezone, so under a DST zone two date
+            # distances can skew by ±1h and flip a near-tie against
+            # the grouped plan's exact day arithmetic.
+            if isinstance(dtype, T.DateType):
+                return F.unix_date(col).cast("bigint") * F.lit(
+                    86_400_000_000
+                ).cast("bigint")
+            if isinstance(dtype, T.TimestampType):
+                return F.unix_micros(col)  # instant micros
+            if isinstance(dtype, T.TimestampNTZType):
+                # interpret the naive value at fixed UTC: same wall
+                # clock Arrow hands the grouped plan's pandas path
+                return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
             return col.cast("double")
 
         l_num = _num(F.col(f"l.{left_ts}"), left.schema[left_ts].dataType)
@@ -226,6 +255,23 @@ def asof_join_grouped(
     sides, and ``right_ts`` values unique per key-group tie (pandas
     merge_asof picks the last sorted row on exact ties — same arbitrary-
     on-ties contract as the reference's LIMIT 1).
+
+    Crossover vs :func:`asof_join`: measured at sf1 (6 M facts, 8 k
+    versions) this plan costs 25.65 s where broadcast + ``max_by``
+    costs 2.09 s (BENCH_r05) — the Arrow cogroup overhead is pure loss
+    while the versioned side still broadcasts. Reach for this plan
+    only PAST the broadcast limit (~10-50 M version rows, or when
+    ``broadcast_row_limit`` fires): it is the shape that survives a
+    both-sides-huge 100 TB join, not a faster small-scale alternative.
+
+    Timezone parity note: Arrow hands this plan session-LOCAL naive
+    timestamps for ``TimestampType`` columns. The repo pins
+    ``spark.sql.session.timeZone=UTC``, under which both plans are
+    bit-identical in all three directions (tested); under a non-UTC
+    DST zone, instant-based distances (the broadcast plan) and naive
+    wall-clock distances (this plan) can disagree on near-ties within
+    DST transitions. ``DateType`` columns are immune — both plans use
+    exact day arithmetic.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(

@@ -68,7 +68,13 @@ def apply_changes(
     untouched = snapshot.join(
         changes.select(*keys).distinct(), keys, "left_anti"
     )
-    drop_cols = [op_col] + ([version_col] if version_col else [])
+    # op_col is batch metadata, never part of the snapshot;
+    # version_col is only metadata when the snapshot doesn't carry it
+    # — an SCD-ish snapshot with its own version column keeps it on
+    # the upsert leg (dropping it there would break the unionByName).
+    drop_cols = [op_col]
+    if version_col is not None and version_col not in snapshot.columns:
+        drop_cols.append(version_col)
     upserts = changes.filter(F.col(op_col) != F.lit(delete_op)).drop(
         *drop_cols
     )
