@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -63,6 +64,14 @@ HEADLINE = [
 # measures verification work, not the operator. The operators themselves
 # are timed below as op_minhash_lsh_pairs / op_simhash_pairs.
 
+#: Timed at BASE scale alongside HEADLINE but NOT summed into value
+#: (the headline total must stay round-comparable). Gives the cogroup
+#: as-of plan a base point so its sf1 number has a denominator — the
+#: broadcast-vs-cogroup crossover claim needs both ends of the curve.
+BASE_EXTRA = [
+    "asof_join_grouped_pricelist",
+]
+
 
 #: sf1 scaling set: one per headline shape family.
 SF1_SET = [
@@ -98,9 +107,13 @@ EXTRA_SCALING = [
     "gopher_quality_filter",
     "unigram_surprisal",
     # round-5 ops: bigram LM join (vocab is bigger than unigram's) and
-    # the containment inverted-index self-join
+    # the df-CAPPED containment self-join — the 100 TB configuration.
+    # The uncapped dedup_containment entry is the exact truth-set twin
+    # (measured 40x at 10x data in BENCH_r05: quadratic in hot-shingle
+    # df, which is what the cap exists to bound) and is deliberately
+    # NOT the measured scaling row.
     "bigram_surprisal",
-    "dedup_containment",
+    "dedup_containment_capped",
 ]
 
 
@@ -245,6 +258,55 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
     ).write.format("noop").mode("overwrite").save()
     out["op_lsh_topk"] = round(time.perf_counter() - t0, 3)
 
+    # Bucketed-write path for the repeated-read composite join
+    # (join_composite_key's 100 TB answer): pay the composite-key
+    # shuffle ONCE at write time via bucketBy, then every groupBy+join
+    # on that key is exchange-free. The write cost is reported
+    # separately — it amortizes across every later read, which is the
+    # case bucketing exists for (sources/bucketed.py).
+    from sales_data_warehouse_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS bench_lineitem_bucketed")
+    li10 = spark.read.parquet(os.path.join(sf1_dir, "lineitem.parquet"))
+    t0 = time.perf_counter()
+    write_bucketed(
+        li10,
+        "bench_lineitem_bucketed",
+        ["l_orderkey", "l_partkey"],
+        num_buckets=32,
+        path=os.path.join(sf1_dir, "lineitem_bucketed"),
+    )
+    out["join_composite_key_bucket_write"] = round(
+        time.perf_counter() - t0, 3
+    )
+    best = float("inf")
+    for _ in range(2):
+        lb = read_bucketed(spark, "bench_lineitem_bucketed")
+        opb = lb.groupBy("l_orderkey", "l_partkey").agg(
+            _SF.count(_SF.lit(1)).alias("n_lines"),
+            _SF.sum(_SF.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        plan = (
+            lb.join(opb, on=["l_orderkey", "l_partkey"])
+            .filter(_SF.col("n_lines") > 1)
+            .select(
+                "l_orderkey",
+                "l_partkey",
+                "l_linenumber",
+                "n_lines",
+                "total_qty",
+            )
+        )
+        t0 = time.perf_counter()
+        plan.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    out["join_composite_key_bucketed"] = round(best, 3)
+
     # additive scaling evidence for the round-4 text/dedup ops: these
     # are not HEADLINE queries (the headline total must stay
     # round-comparable), so both the base and the 10x timing are
@@ -303,7 +365,7 @@ def main() -> None:
     # order; the min is the steady-state per-query cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + BASE_EXTRA:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(runs):
@@ -504,12 +566,16 @@ def main() -> None:
     # calibration, metric, unit, sf, value — go LAST so truncation can
     # never lose them. value = sum over HEADLINE corpus queries only;
     # op_* rows time raw dedup/ANN operators (their corpus twins are
-    # property-gate queries that also compute oracle truth sets), and
+    # property-gate queries that also compute oracle truth sets),
+    # BASE_EXTRA rows give non-headline plans a base point, and
     # run_etl / dense_fact / streaming_etl are end-to-end pipeline
-    # timings — reported in "queries" but not summed.
-    print(
-        json.dumps(
-            {
+    # timings — all reported in "queries" but not summed.
+    #
+    # The COMPLETE payload is also written to BENCH_full_r{N}.json in
+    # the repo BEFORE printing: the r5 headline regression was
+    # unattributable because the per-query base block fell outside the
+    # driver's 2 KB tail — the file makes every number durable.
+    payload = {
                 "queries": timings,
                 # measured scaling curve: same queries at 10x fact rows
                 # (dims constant); ratio ~<= 10 = at-worst-linear
@@ -559,9 +625,22 @@ def main() -> None:
                     round(value / probe, 1) if probe > 0 else None
                 ),
                 "value": value,
-            }
-        )
-    )
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    existing = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    rnd = (max(existing) if existing else 0) + 1
+    full_path = os.path.join(repo, f"BENCH_full_r{rnd:02d}.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout must not kill the stdout contract
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -86,14 +86,16 @@ def asof_join(
 
     Choosing between this plan and :func:`asof_join_grouped`: this
     broadcast + ``max_by`` plan wins whenever the versioned side fits
-    in a broadcast (measured: 2.09 s vs the cogroup plan's 25.65 s on
-    the same 6 M-fact / 8 k-version oracle at sf1 — BENCH_r05; Arrow
-    cogroup overhead dominates at that shape). Prefer the grouped plan
-    only when the versioned side is too big to broadcast — rule of
-    thumb: past ~10-50 M version rows or wherever
-    ``broadcast_row_limit`` / Spark's broadcast threshold fires — where
-    this plan stops being available at all; the cogroup plan's cost is
-    two co-keyed shuffles and stays bounded by the largest single key.
+    in a broadcast. Measured on the same pricing oracle
+    (BENCH_full_r06): this plan 1.75 s at 600 k facts -> 1.98 s at
+    6 M; the cogroup plan 26.6 s -> 26.8 s — FLAT, because its cost is
+    per-group Python/Arrow invocation over the constant ~20 k keys,
+    not data volume. Prefer the grouped plan only when the versioned
+    side is too big to broadcast — rule of thumb: past ~10-50 M
+    version rows or wherever ``broadcast_row_limit`` / Spark's
+    broadcast threshold fires — where this plan stops being available
+    at all; the cogroup plan's cost is two co-keyed shuffles and stays
+    bounded by the largest single key.
 
     ``envelope_prefilter=True`` prunes right-side versions that cannot
     match ANY left row before the join: for backward joins, versions
@@ -256,13 +258,16 @@ def asof_join_grouped(
     merge_asof picks the last sorted row on exact ties — same arbitrary-
     on-ties contract as the reference's LIMIT 1).
 
-    Crossover vs :func:`asof_join`: measured at sf1 (6 M facts, 8 k
-    versions) this plan costs 25.65 s where broadcast + ``max_by``
-    costs 2.09 s (BENCH_r05) — the Arrow cogroup overhead is pure loss
-    while the versioned side still broadcasts. Reach for this plan
-    only PAST the broadcast limit (~10-50 M version rows, or when
-    ``broadcast_row_limit`` fires): it is the shape that survives a
-    both-sides-huge 100 TB join, not a faster small-scale alternative.
+    Crossover vs :func:`asof_join`: measured on the same pricing
+    oracle (BENCH_full_r06), this plan costs 26.6 s at 600 k facts and
+    26.8 s at 6 M — FLAT, dominated by per-group Python/Arrow call
+    overhead over the constant ~20 k part keys — where broadcast +
+    ``max_by`` costs 1.75 s / 1.98 s. The Arrow cogroup overhead is
+    pure loss while the versioned side still broadcasts. Reach for
+    this plan only PAST the broadcast limit (~10-50 M version rows, or
+    when ``broadcast_row_limit`` fires): it is the shape that survives
+    a both-sides-huge 100 TB join, not a faster small-scale
+    alternative.
 
     Timezone parity note: Arrow hands this plan session-LOCAL naive
     timestamps for ``TimestampType`` columns. The repo pins

@@ -858,9 +858,12 @@ def semantic_dedup(
     is collected and rebroadcast.
 
     ``max_cell_rows`` is the RUNTIME guard for that prescription: before
-    the gram stage, one cell-size count (over the persisted assignment
-    table, so the Arrow kernel isn't re-run) checks whether any cell
-    exceeds the bound; ``oversize='warn'`` (default) raises a
+    the gram stage, one cell-size count (over a locally-checkpointed
+    assignment table, so the Arrow kernel runs once and the blocks are
+    released with the result, not pinned in the CacheManager) checks
+    whether any cell exceeds the bound — which makes the call EAGER:
+    k-means and the assignment kernel execute at call time, not at the
+    first action on the result; ``oversize='warn'`` (default) raises a
     ``ResourceWarning`` naming the hottest cells and the fix,
     ``oversize='error'`` refuses to run. The default 16,384 caps the
     per-task gram + verdict matrices near 16384^2 * 8 B ≈ 2.1 GiB
@@ -904,11 +907,15 @@ def semantic_dedup(
             raise ValueError(f"oversize must be warn|error: {oversize}")
         import warnings
 
-        from pyspark import StorageLevel as _SL
-
-        # persist so the guard's count and the gram stage share ONE run
-        # of the assignment kernel; MEMORY_AND_DISK spills at scale
-        tagged = tagged.persist(_SL.MEMORY_AND_DISK)
+        # localCheckpoint materializes the assignment table ONCE for
+        # the guard's count AND the downstream gram stage — and unlike
+        # persist(), the blocks are released by the ContextCleaner
+        # when the result DataFrame is garbage-collected, not pinned
+        # in the CacheManager for the application lifetime (the
+        # cross-call cache-leak class removed from the other
+        # operators). The trade: the guard makes this call EAGER (the
+        # assignment kernel + k-means run here, at call time).
+        tagged = tagged.localCheckpoint(eager=True)
         hot = (
             tagged.groupBy("cell")
             .count()
@@ -929,7 +936,6 @@ def semantic_dedup(
                 "raise max_cell_rows if executors have the memory."
             )
             if oversize == "error":
-                tagged.unpersist()
                 raise ValueError(msg)
             warnings.warn(msg, ResourceWarning, stacklevel=2)
 

@@ -5473,11 +5473,76 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard misses (a short doc wholly embedded in a long one is
     near-zero Jaccard but containment 1.0). Same inverted-index +
     optional df-cap plan as the Jaccard family; threshold tested in
-    exact int64 arithmetic (``dedup.containment_pairs``)."""
+    exact int64 arithmetic (``dedup.containment_pairs``). This entry
+    runs UNCAPPED — the exact truth-set twin, quadratic in hot-shingle
+    df by construction; ``dedup_containment_capped`` is the measured
+    100 TB configuration."""
     return dedup.containment_pairs(
         load_table(spark, sf, "documents"),
         threshold_num=1,
         threshold_den=2,
+    )
+
+
+@query(
+    "dedup_containment_capped",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    exploded0 AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ),
+    kept AS (
+      SELECT shingle FROM exploded0 GROUP BY shingle HAVING COUNT(*) <= 5
+    ),
+    exploded AS (
+      SELECT doc_id, shingle FROM exploded0 JOIN kept USING (shingle)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / LEAST(sa.n_shingles, sb.n_shingles), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    -- exact rational threshold over the CAPPED universe (sizes
+    -- recounted post-cap); the rounded containment is display-only
+    WHERE n_inter * 2 >= LEAST(sa.n_shingles, sb.n_shingles) * 1
+    """,
+)
+def dedup_containment_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB-safe containment configuration: shingles in more
+    than ``max_df`` documents are dropped BEFORE the inverted-index
+    self-join — a shingle in k docs contributes k^2 join rows and
+    carries no subset signal, the exact quadratic blowup the uncapped
+    twin measured at 40x cost for 10x data (BENCH_r05). Containment is
+    then over the capped universe, sizes recounted post-cap, same as
+    ``dedup_ngram_jaccard_capped``. max_df=5 provably bites at sf0.01
+    (max shingle df there is 7). The uncapped ``dedup_containment``
+    entry stays registered as the exact truth-set twin."""
+    return dedup.containment_pairs(
+        load_table(spark, sf, "documents"),
+        threshold_num=1,
+        threshold_den=2,
+        max_df=5,
     )
 
 
@@ -5922,83 +5987,84 @@ def streaming_dedup_batch_contract(spark: SparkSession, sf: str) -> DataFrame:
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
-# (CORRECTNESS_r01-r04 all equal registration positions 0-49).  Round-5
-# window — after r4, every one of the 132 previously-registered entries
-# with a driver row is GREEN, so this rotation finishes full-corpus
-# hard coverage:
+# (CORRECTNESS_r01-r05 all equal registration positions 0-49).  Round-6
+# window — across r1-r5 every entry's LATEST driver row is green; the
+# only entry with no hard row ever is asof_join_nearest.  This rotation:
 #
-# * slots 0-1: the only 2 entries that have NEVER had a driver row
-#   (registered after the r4 window froze; driver_sim-verified in the
-#   r4 review, promoted here for hard rows);
-# * slots 2-11: the 10 entries ADDED in round 5 — driver rows for the
-#   formerly driver-invisible operators (BM25 index persistence, IVF
-#   save/load parity, incremental exact dedup, the streaming sink's
-#   batch contract, the heavy-hitter sketch's exactness regime) plus
-#   the new round-5 surface (containment pairs, bigram LM surprisal,
-#   per-source dup health, MERGE upsert, forward as-of);
-# * slots 12-49: ALL 38 remaining entries whose last hard driver row
-#   is r2 (code around several has evolved since; the rest re-prove
-#   stability) — after this round every corpus entry's latest hard row
-#   is r3+ and none is stale beyond two rounds.
+# * slot 0: asof_join_nearest — the last of the 146 entries without a
+#   hard driver row (registered after the r5 freeze; local parity
+#   tests only until now);
+# * slot 1: dedup_containment_capped — NEW in round 6, the df-capped
+#   100 TB containment configuration (the bench's measured scaling row
+#   now points here; the uncapped entry stays as truth-set twin);
+# * slots 2-4: entries whose OPERATOR CODE changed this round and so
+#   need fresh hard rows: bigram_surprisal (zip_with rewrite +
+#   min-count floor), semantic_dedup (localCheckpoint guard),
+#   snapshot_upsert (version-column retention on the upsert leg);
+# * slots 5-48: ALL 44 entries whose last hard driver row is r3 (the
+#   two-round staleness boundary: ANN trio, multimodal, subquery
+#   family, funnel/retention/LOCF, text-quality set, ...);
+# * slot 49: join_composite_key — the round's perf-focus join shape,
+#   re-proven alongside its new bucketed bench row.
+#
+# Staleness after this round: no entry's latest hard row is older than
+# r4, and the 48 remaining r4 entries are the natural r7 window.
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    # -- never driver-checked (registered after the r4 freeze) --------
-    "window_frame_first_last",
-    "dedup_jaccard_prefix",
-    # -- added in round 5, no driver row yet --------------------------
-    "dedup_containment",
+    "asof_join_nearest",
+    "dedup_containment_capped",
     "bigram_surprisal",
-    "source_dup_ratio",
+    "semantic_dedup",
     "snapshot_upsert",
-    "asof_join_forward",
-    "dedup_exact_incremental",
-    "approx_frequent_items_exact",
-    "bm25_search_persisted",
-    "ann_ivf_persisted",
-    "streaming_dedup_batch_contract",
-    # -- all 38 entries whose last hard driver row is r2 --------------
-    "anti_join",
-    "approx_sketches",
-    "case_when_classify",
-    "cleanse_reject_routing",
-    "cube_quantity",
-    "date_functions",
-    "date_spine",
-    "distinct_dedup",
-    "filter_projection",
-    "group_having",
-    "grouping_sets_revenue",
-    "json_props_extract",
-    "left_join_coalesce",
-    "location_hierarchy",
-    "ntile_buckets",
-    "percentile_quantity",
-    "pivot_status_by_year",
-    "pricing_summary",
-    "rollup_revenue",
-    "scalar_aggregates",
-    "scd2_versions",
-    "semi_join_having",
-    "sessionize",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sliding_window_rate",
-    "string_functions",
-    "time_hierarchy",
-    "topk_global_sort",
-    "topk_revenue_orders",
-    "train_test_split",
-    "tumbling_window_agg",
-    "unpivot_lineitem_metrics",
-    "window_dense_rank",
-    "window_lag_gap",
-    "window_running_total",
-    "window_top1_per_group",
+    "text_quality",
+    "language_id",
+    "doc_fingerprint",
+    "token_counting",
+    "corpus_filter_pipeline",
+    "doc_winnowing",
+    "token_frequencies",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_stats",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "doc_chunking",
+    "doc_pii_scrub",
+    "stratified_sample",
+    "mixture_interleave",
+    "bpe_pair_counts",
+    "range_join_weeks",
+    "hypertable_rollup",
+    "sketch_union_rollup",
+    "scalar_subquery_share",
+    "exists_subquery_orders",
+    "in_subquery_big_orders",
+    "not_exists_customers",
+    "multimodal_audio_windows",
+    "funnel_conversion",
+    "retention_cohorts",
+    "gap_fill_locf",
+    "value_histogram",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "decontaminate_ngrams",
+    "token_budget_select",
+    "rolling_range_avg",
+    "zscore_outliers",
+    "set_except_all",
+    "set_intersect_all",
+    "fuzzy_name_match",
+    "topk_unshipped_revenue",
+    "session_stats",
+    "attribution_last_touch",
+    "skew_salted_join",
+    "trend_slope_per_user",
+    "join_composite_key",
 )
 
 

@@ -12,6 +12,7 @@ from sales_data_warehouse_spark.operators.asof import (
     asof_join,
     asof_join_grouped,
 )
+from sales_data_warehouse_spark.operators.text import bigram_surprisal
 from sales_data_warehouse_spark.operators.upsert import apply_changes
 
 
@@ -100,6 +101,24 @@ def test_nearest_timestamp_parity_between_plans(spark):
     )
     assert [r.tag for r in b.collect()] == ["fwd"]
     assert [r.tag for r in g.collect()] == ["fwd"]
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal min_count floor
+# ---------------------------------------------------------------------------
+
+def test_bigram_min_count_floor(spark):
+    # "a b" x3 (1 bit each) + "b a" x2 (1 bit each) -> 5 bits exact;
+    # at min_count=4 both fall below the floor and default to 0 (the
+    # documented approximation); at the default min_count=2 results
+    # are exact (singletons are already 0 bits)
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    exact = bigram_surprisal(docs).collect()[0]
+    assert exact.n_bigrams == 5 and exact.sum_log2_freq == 5
+    floored = bigram_surprisal(docs, min_count=4).collect()[0]
+    assert floored.n_bigrams == 5 and floored.sum_log2_freq == 0
 
 
 # ---------------------------------------------------------------------------
