@@ -140,6 +140,44 @@ def incremental_exact_dedup(
     return fresh.drop("fp", f"__canon_{id_col}"), state
 
 
+def canonical_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strip_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Formatting-insensitive exact dedup: texts that agree after
+    canonicalization — lowercase, every run of non-alphanumeric
+    characters collapsed to one space, outer whitespace trimmed — form
+    one duplicate group.
+
+    Catches the near-universal web-corpus case :func:`exact_duplicates`
+    misses: re-crawls of the same page differing only in casing,
+    whitespace, or punctuation (C4 and RefinedWeb normalize before
+    hashing for exactly this reason).
+
+    Physical plan is identical to :func:`exact_duplicates` — ONE
+    shuffle on ``md5(canonical)`` with map-side partial aggregation;
+    the normalization is a whole-stage-codegen per-row projection, so
+    the 100 TB cost matches raw exact dedup. ``n_variants`` counts
+    distinct RAW texts inside each group via a distinct-agg on
+    ``md5(text)`` (32-byte digests, never full documents, cross the
+    shuffle); ``n_variants > 1`` flags formatting-only duplicate
+    clusters that raw fingerprinting would have admitted.
+
+    Output: (fp, canonical_id, n_copies, n_variants) with the
+    :func:`exact_duplicates` canonical rule ``canonical_id = min(id)``.
+    """
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), strip_pattern, " ")
+    )
+    return docs.groupBy(F.md5(canon).alias("fp")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_variants"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

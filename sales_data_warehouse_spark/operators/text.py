@@ -333,6 +333,62 @@ def repetition_stats(
     )
 
 
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group vocabulary-health statistics: token count, type
+    (distinct-token) count, hapax count (types occurring exactly once
+    in the group), and integer per-mille type-token / hapax-token
+    ratios.
+
+    Corpus-curation signal the per-document filters can't see: a source
+    whose group-level TTR collapses is template- or boilerplate-heavy
+    even when no single document trips :func:`repetition_stats`; an
+    abnormally high hapax share flags OCR noise or mojibake (every
+    garbled word is unique).
+
+    Plan: two cascaded aggregations — ``groupBy(group, token)`` counts,
+    then ``groupBy(group)``. Both enjoy map-side partial aggregation;
+    the only shuffle that matters carries distinct (group, token)
+    partial counts, never corpus text, so 100 TB cost is bounded by
+    |vocabulary| x |groups|, not corpus size. Ratios are pure-bigint
+    ``(1000 * x) DIV tokens`` — no floating point, so both engines are
+    bit-identical. Empty text still yields one empty-string token
+    (``split`` semantics, shared with the oracle), so the divisor is
+    never zero.
+    """
+    per_tok = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_tok.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("CAST((1000 * n_types) DIV n_tokens AS BIGINT)").alias(
+                "ttr_permille"
+            ),
+            F.expr("CAST((1000 * n_hapax) DIV n_tokens AS BIGINT)").alias(
+                "hapax_permille"
+            ),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

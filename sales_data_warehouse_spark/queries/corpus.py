@@ -5983,6 +5983,63 @@ def streaming_dedup_batch_contract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_canonical_text",
+    r"""
+    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT MD5(text)) AS n_variants
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_canonical_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Formatting-insensitive exact dedup (round 6): group documents by
+    md5 of the canonical form (lowercase, non-alphanumeric runs -> one
+    space, trimmed) — the normalize-before-hash pass C4/RefinedWeb run
+    ahead of exact dedup. ``n_variants`` > 1 marks groups raw
+    fingerprinting would have let through. Same one-shuffle plan as
+    ``dedup_exact``; see ``dedup.canonical_duplicates``."""
+    return dedup.canonical_duplicates(load_table(spark, sf, "documents"))
+
+
+@query(
+    "source_lexical_diversity",
+    r"""
+    WITH per_tok AS (
+      SELECT source, token, COUNT(*) AS c
+      FROM (
+        SELECT source,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS token
+        FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST((1000 * COUNT(*)) // CAST(SUM(c) AS BIGINT) AS BIGINT)
+             AS ttr_permille,
+           CAST((1000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT))
+                // CAST(SUM(c) AS BIGINT) AS BIGINT)
+             AS hapax_permille
+    FROM per_tok
+    GROUP BY source
+    """,
+)
+def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source vocabulary health (round 6): group-level type-token
+    and hapax ratios in exact per-mille integers — the corpus-mix
+    signal that catches boilerplate-heavy or OCR-noisy sources whose
+    individual documents all pass the per-doc filters. Two cascaded
+    map-side-combinable aggregations; see ``text.lexical_diversity``."""
+    return text.lexical_diversity(load_table(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6004,11 +6061,22 @@ def streaming_dedup_batch_contract(spark: SparkSession, sf: str) -> DataFrame:
 # * slots 5-48: ALL 44 entries whose last hard driver row is r3 (the
 #   two-round staleness boundary: ANN trio, multimodal, subquery
 #   family, funnel/retention/LOCF, text-quality set, ...);
-# * slot 49: join_composite_key — the round's perf-focus join shape,
-#   re-proven alongside its new bucketed bench row.
+# * slot 49: dedup_canonical_text — NEW in round 6 (one of the 2
+#   entries this round adds; promoted so the new operator lands with a
+#   hard driver row immediately).
+#
+# Round 6 adds 2 entries total (148). The other one,
+# source_lexical_diversity, is DELIBERATELY deferred: it is covered by
+# the local oracle-parity suite this round and is first in line for the
+# r7 window. join_composite_key (displaced from slot 49; last hard row
+# r4 — still within the two-round policy at r6) joins it there.
 #
 # Staleness after this round: no entry's latest hard row is older than
-# r4, and the 48 remaining r4 entries are the natural r7 window.
+# r4. The natural r7 window is exactly 50 entries: the 48 r4 entries +
+# join_composite_key + source_lexical_diversity — at 148 total entries
+# the 50-slot rotation remains sustainable (capacity 150 under the
+# two-round policy; further additions must displace, so they are now
+# deliberate).
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
@@ -6064,7 +6132,7 @@ FIRST_50 = (
     "attribution_last_touch",
     "skew_salted_join",
     "trend_slope_per_user",
-    "join_composite_key",
+    "dedup_canonical_text",
 )
 
 
