@@ -18,6 +18,42 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _ts_micros(col: F.Column, dtype: T.DataType) -> F.Column:
+    """Timezone-independent orderable number for an as-of key column.
+
+    Dates and timestamps become integer microseconds since the epoch; a
+    cast through plain ``timestamp`` would pin dates to midnight in the
+    SESSION timezone, so under a DST zone two date distances can skew by
+    ±1h and flip a near-tie between physical plans (round-6 fix).
+    TimestampNTZ is decomposed field-by-field (date part + time-of-day)
+    because ``to_utc_timestamp`` takes TimestampType and the implicit
+    NTZ→LTZ cast reintroduces the session timezone (round-7 fix, r6
+    ADVICE #1). Numerics pass through as double.
+    """
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(col).cast("bigint") * F.lit(
+            86_400_000_000
+        ).cast("bigint")
+    if isinstance(dtype, T.TimestampNTZType):
+        # field extraction on NTZ is timezone-free: cast→date takes the
+        # literal date part, hour/minute read the wall clock,
+        # date_part('SECOND') carries the fractional seconds
+        return (
+            F.unix_date(col.cast("date")).cast("bigint")
+            * F.lit(86_400_000_000).cast("bigint")
+            + F.hour(col).cast("bigint") * F.lit(3_600_000_000).cast("bigint")
+            + F.minute(col).cast("bigint") * F.lit(60_000_000).cast("bigint")
+            + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast(
+                "bigint"
+            )
+        )
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)  # instant micros
+    return col.cast("double")
 
 #: (applicationId, plan semanticHash) -> right-side row count. The
 #: broadcast guard's count is pure plan metadata within one Spark
@@ -86,16 +122,15 @@ def asof_join(
 
     Choosing between this plan and :func:`asof_join_grouped`: this
     broadcast + ``max_by`` plan wins whenever the versioned side fits
-    in a broadcast. Measured on the same pricing oracle
-    (BENCH_full_r06): this plan 1.75 s at 600 k facts -> 1.98 s at
-    6 M; the cogroup plan 26.6 s -> 26.8 s — FLAT, because its cost is
-    per-group Python/Arrow invocation over the constant ~20 k keys,
-    not data volume. Prefer the grouped plan only when the versioned
-    side is too big to broadcast — rule of thumb: past ~10-50 M
-    version rows or wherever ``broadcast_row_limit`` / Spark's
-    broadcast threshold fires — where this plan stops being available
-    at all; the cogroup plan's cost is two co-keyed shuffles and stays
-    bounded by the largest single key.
+    in a broadcast (1.75 s at 600 k facts -> 1.98 s at 6 M on the
+    pricing oracle, BENCH_full_r06). Past the broadcast limit — rule
+    of thumb ~10-50 M version rows, or wherever
+    ``broadcast_row_limit`` / Spark's broadcast threshold fires —
+    use :func:`asof_join_grouped`: since round 7 its default union
+    engine is pure JVM (one co-keyed shuffle + sort + running-last
+    window, ~1.8 s warm on the same oracle at sf0.1, vs the retired
+    pandas-cogroup default's flat ~26 s Arrow tax) and stays bounded
+    by the largest single key.
 
     ``envelope_prefilter=True`` prunes right-side versions that cannot
     match ANY left row before the join: for backward joins, versions
@@ -190,28 +225,12 @@ def asof_join(
         # order key = (|Δts|, forward?) — equidistant ties prefer the
         # backward version, pandas merge_asof's documented tie rule,
         # keeping this plan and asof_join_grouped bit-identical
-        from pyspark.sql import types as T
-
-        def _num(col: F.Column, dtype: T.DataType) -> F.Column:
-            # Timezone-independent integer microseconds. A cast
-            # through plain ``timestamp`` would pin dates to midnight
-            # in the SESSION timezone, so under a DST zone two date
-            # distances can skew by ±1h and flip a near-tie against
-            # the grouped plan's exact day arithmetic.
-            if isinstance(dtype, T.DateType):
-                return F.unix_date(col).cast("bigint") * F.lit(
-                    86_400_000_000
-                ).cast("bigint")
-            if isinstance(dtype, T.TimestampType):
-                return F.unix_micros(col)  # instant micros
-            if isinstance(dtype, T.TimestampNTZType):
-                # interpret the naive value at fixed UTC: same wall
-                # clock Arrow hands the grouped plan's pandas path
-                return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
-            return col.cast("double")
-
-        l_num = _num(F.col(f"l.{left_ts}"), left.schema[left_ts].dataType)
-        r_num = _num(F.col(f"r.{right_ts}"), right.schema[right_ts].dataType)
+        l_num = _ts_micros(
+            F.col(f"l.{left_ts}"), left.schema[left_ts].dataType
+        )
+        r_num = _ts_micros(
+            F.col(f"r.{right_ts}"), right.schema[right_ts].dataType
+        )
         pick, order_key = F.min_by, F.struct(
             F.abs(l_num - r_num).alias("__dist"),
             (r_num > l_num).cast("int").alias("__fwd"),
@@ -242,50 +261,69 @@ def asof_join_grouped(
     right_ts: str,
     *,
     direction: str = "backward",
+    engine: str = "union",
 ) -> DataFrame:
     """As-of join for when NEITHER side broadcasts (billion-row versioned
-    side): cogroup both sides by the ``on`` keys — one shuffle each, the
-    same cost as any co-partitioned join — and run a sorted merge
-    (``pandas.merge_asof``) per key group in Arrow batches. Per-group
-    work is O(n log n) in that key's rows only, so the plan scales with
-    the largest key, not the table. Semantics match ``asof_join``
-    (inner: left rows with no qualifying version are dropped), for all
-    three directions — 'nearest' is native to ``merge_asof``, whose
-    equidistant-tie rule (prefer backward) the broadcast plan mirrors.
+    side). Default ``engine='union'`` is a PURE-JVM plan (round 7,
+    SURVEY §2 J8 option (b)): union-tag both sides into one relation
+    keyed on the ``on`` columns, sort each key group once on the
+    timestamp, and carry the most recent version forward with
+    ``last(..., ignorenulls=True)`` over a running row frame — ONE
+    shuffle on the keys plus an in-partition sort, no Python anywhere.
+    State per window frame is a single right-side struct, so the plan
+    scales with the largest key's row count (sort) and never
+    materializes the join candidates the broadcast plan's max_by
+    reduces. The same semantics as :func:`asof_join` (inner: left rows
+    with no qualifying version are dropped; NULL-ts rows on either side
+    drop) for all three directions — 'nearest' runs the forward and
+    backward running windows over the same shuffle (one exchange, two
+    sorts) and picks the smaller distance, preferring the backward
+    version on equidistant ties (pandas merge_asof's rule, so all three
+    physical plans agree).
 
-    Requires the ``on`` + ts columns to have distinct names across
-    sides, and ``right_ts`` values unique per key-group tie (pandas
-    merge_asof picks the last sorted row on exact ties — same arbitrary-
-    on-ties contract as the reference's LIMIT 1).
+    ``engine='cogroup'`` keeps the round-4 verification twin: cogroup
+    both sides by the ``on`` keys and run ``pandas.merge_asof`` per key
+    group in Arrow batches. Measured on the same pricing oracle
+    (BENCH_full_r06) it costs a FLAT ~26.6 s at 600 k facts and 26.8 s
+    at 6 M — the cost is per-group Python/Arrow invocation over the
+    constant ~20 k keys, not data volume — which is why it is no longer
+    the default. It remains the independent implementation the parity
+    tests (tests/test_asof_grouped.py) check the union plan against.
+    The cogroup engine additionally requires the ``on`` + ts columns to
+    have distinct names across sides and errors on NULL merge keys
+    (the union engine drops them, matching :func:`asof_join`).
 
-    Crossover vs :func:`asof_join`: measured on the same pricing
-    oracle (BENCH_full_r06), this plan costs 26.6 s at 600 k facts and
-    26.8 s at 6 M — FLAT, dominated by per-group Python/Arrow call
-    overhead over the constant ~20 k part keys — where broadcast +
-    ``max_by`` costs 1.75 s / 1.98 s. The Arrow cogroup overhead is
-    pure loss while the versioned side still broadcasts. Reach for
-    this plan only PAST the broadcast limit (~10-50 M version rows, or
-    when ``broadcast_row_limit`` fires): it is the shape that survives
-    a both-sides-huge 100 TB join, not a faster small-scale
-    alternative.
+    Ties on ``right_ts`` within a key pick an arbitrary version under
+    both engines — the same contract as the reference's
+    ``ORDER BY ... LIMIT 1`` (FactTable.sql:25-26).
 
-    Timezone parity note: Arrow hands this plan session-LOCAL naive
-    timestamps for ``TimestampType`` columns. The repo pins
-    ``spark.sql.session.timeZone=UTC``, under which both plans are
-    bit-identical in all three directions (tested); under a non-UTC
-    DST zone, instant-based distances (the broadcast plan) and naive
-    wall-clock distances (this plan) can disagree on near-ties within
-    DST transitions. ``DateType`` columns are immune — both plans use
-    exact day arithmetic.
+    Crossover vs :func:`asof_join`: broadcast + ``max_by`` wins while
+    the versioned side fits in a broadcast (~1.8-2.0 s on the pricing
+    oracle); reach for this plan past the broadcast limit (~10-50 M
+    version rows, or when ``broadcast_row_limit`` fires). The union
+    engine's cost is one co-keyed shuffle + sort of left+right, the
+    same shape as any co-partitioned join, so it stays cheap on the
+    whole curve instead of paying the cogroup engine's flat Arrow tax.
+
+    Timezone parity note: the union engine orders on the same
+    timezone-independent integer microseconds as the broadcast plan
+    (``_ts_micros``), so it is immune to session-timezone skew. The
+    cogroup engine receives session-LOCAL naive timestamps from Arrow
+    for ``TimestampType``; the repo pins
+    ``spark.sql.session.timeZone=UTC``, under which all plans are
+    bit-identical in all three directions (tested). ``DateType``
+    columns are immune everywhere — exact day arithmetic.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest: {direction}"
         )
+    if engine == "union":
+        return _asof_union_plan(left, right, on, left_ts, right_ts, direction)
+    if engine != "cogroup":
+        raise ValueError(f"engine must be union|cogroup: {engine}")
 
     import pandas as pd
-
-    from pyspark.sql import types as T
 
     right_cols = [c for c in right.columns if c not in on]
     out_fields = list(left.schema.fields) + [
@@ -332,4 +370,113 @@ def asof_join_grouped(
         left.groupBy(*on)
         .cogroup(right.groupBy(*on))
         .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def _asof_union_plan(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str,
+) -> DataFrame:
+    """Pure-JVM both-sides-huge as-of join (SURVEY §2 J8 option (b)).
+
+    Union-tag both sides (left rows carry a NULL right-struct, right
+    rows a NULL left-struct), shuffle ONCE on the ``on`` keys, sort each
+    key group by (ts, side) and carry the latest right struct forward
+    with ``last(ignorenulls=True)`` over a running row frame. The
+    reference computes the same relation with a correlated
+    ``ORDER BY ... LIMIT 1`` subquery per fact row (FactTable.sql:18-27).
+
+    Sort-order details that carry the semantics:
+    * right rows sort BEFORE left rows at equal ts (``__lft`` 0 < 1), so
+      a version effective exactly at the fact's ts is visible to it —
+      the inclusive <= / >= bound of the directional joins;
+    * 'forward' runs the same running ``last`` over the descending sort;
+    * 'nearest' evaluates both windows over ONE exchange (the second
+      window adds only a sort) and picks the smaller integer-micros
+      distance, preferring backward on equidistant ties — pandas
+      merge_asof's rule, so all three physical plans agree;
+    * NULL-ts rows on either side are filtered up front: a NULL-ts fact
+      must DROP (inner contract) and a NULL-ts version can never be
+      anyone's match.
+
+    The running frame means per-row state is one struct, not the
+    versions-per-key candidate set, and nothing here leaves the JVM.
+    """
+    right_cols = [c for c in right.columns if c not in on]
+    l_struct_t = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in left.schema.fields]
+    )
+    r_struct_t = T.StructType(
+        [
+            T.StructField(c, right.schema[c].dataType, True)
+            for c in right_cols
+        ]
+    )
+
+    l_num = _ts_micros(F.col(left_ts), left.schema[left_ts].dataType)
+    r_num = _ts_micros(F.col(right_ts), right.schema[right_ts].dataType)
+
+    lt = left.where(F.col(left_ts).isNotNull()).select(
+        *on,
+        l_num.alias("__ts"),
+        F.lit(1).alias("__lft"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_struct_t).alias("__r"),
+    )
+    rt = right.where(F.col(right_ts).isNotNull()).select(
+        *on,
+        r_num.alias("__ts"),
+        F.lit(0).alias("__lft"),
+        F.lit(None).cast(l_struct_t).alias("__l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    u = lt.unionByName(rt)
+
+    # candidate = (right ts, right struct); NULL on left rows so the
+    # running last(ignorenulls) skips them
+    cand = F.when(
+        F.col("__lft") == 0,
+        F.struct(F.col("__ts").alias("__rts"), F.col("__r").alias("__rv")),
+    )
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__lft").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__lft").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    if direction == "backward":
+        m = F.last(cand, ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        m = F.last(cand, ignorenulls=True).over(w_fwd)
+    else:
+        b = F.last(cand, ignorenulls=True).over(w_back)
+        f = F.last(cand, ignorenulls=True).over(w_fwd)
+        # distances are non-negative by construction of each window
+        m = F.when(
+            b.isNotNull()
+            & (
+                f.isNull()
+                | (
+                    (F.col("__ts") - b["__rts"])
+                    <= (f["__rts"] - F.col("__ts"))
+                )
+            ),
+            b,
+        ).otherwise(f)
+
+    matched = u.select("__lft", "__l", m.alias("__m")).where(
+        (F.col("__lft") == 1) & F.col("__m").isNotNull()
+    )
+    return matched.select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[F.col("__m")["__rv"][c].alias(c) for c in right_cols],
     )

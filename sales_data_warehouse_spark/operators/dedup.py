@@ -27,6 +27,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _multi_consumer_cache(df: DataFrame) -> DataFrame:
+    """Materialize-once for a table read by several plan consumers,
+    WITHOUT the application-lifetime CacheManager pin of ``persist()``:
+    a LAZY ``localCheckpoint`` computes the partitions at the first
+    action exactly like persist(MEMORY_AND_DISK) would, but — unlike
+    ``persist``, which stays registered in the SQL CacheManager until
+    an explicit ``unpersist`` that a DataFrame-returning API has no
+    place to call — the blocks are released by the ContextCleaner as
+    soon as the result DataFrame is garbage-collected. This is the
+    uniform r7 policy for the pair-join family (the cross-call
+    cache-leak class already removed from ``semantic_dedup`` and
+    ``incremental_minhash_lsh`` in r5/r6).
+
+    Trade (same wherever the repo local-checkpoints): lineage is
+    truncated at materialization, so losing an executor mid-job makes
+    the stored partitions unrecoverable and fails the job — where
+    ``persist`` would recompute from lineage. For long multi-hour runs
+    on preemptible executors, write the intermediate to parquet
+    instead and join from there.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Spread CPU-heavy per-row work across all cores.
 
@@ -178,6 +201,55 @@ def canonical_duplicates(
     )
 
 
+def shingle_df_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top: int = 5,
+) -> list:
+    """Top-``top`` shingle document frequencies — the number every
+    ``max_df`` choice should be based on. One groupBy-count over the
+    distinct (doc, shingle) table, map-side combinable; the driver pull
+    is bounded at ``top`` rows. A shingle with df=k contributes k^2
+    rows to the uncapped pair self-joins, so the hottest df here IS the
+    quadratic constant :func:`ngram_jaccard_pairs` /
+    :func:`containment_pairs` warn about when run uncapped.
+    """
+    sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
+        ["doc", "shingle"]
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle"))
+        .limit(top)
+        .collect()
+    )
+
+
+def _warn_uncapped(op: str) -> None:
+    """Loud default for the uncapped pair self-joins (r6 VERDICT #6):
+    a zero-cost ResourceWarning at plan-build time, instead of an
+    in-line df-count job that would make every call eager and tax the
+    headline truth-set twins — the actual profile is one explicit
+    :func:`shingle_df_profile` call away."""
+    import warnings
+
+    warnings.warn(
+        f"{op}: max_df is None — the shingle self-join is QUADRATIC in "
+        "the hottest shingle's document frequency (a shingle in k docs "
+        "emits k^2 candidate rows; the uncapped config measured 40x "
+        "cost at 10x data, BENCH_r05). Pass max_df for any production "
+        "corpus (high-df shingles carry no near-dup signal); "
+        "dedup.shingle_df_profile(docs) shows the hottest shingles. "
+        "Pass warn_uncapped=False to acknowledge a deliberate exact "
+        "truth-set run.",
+        ResourceWarning,
+        stacklevel=3,
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -186,6 +258,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
     max_df: int | None = None,
     shingles: DataFrame | None = None,
+    warn_uncapped: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingles.
 
@@ -208,6 +281,8 @@ def ngram_jaccard_pairs(
     shingles carry no near-dup signal (they match everything) and are
     exactly the ones that melt the shuffle.
     """
+    if max_df is None and warn_uncapped:
+        _warn_uncapped("ngram_jaccard_pairs")
     if shingles is None:
         shingles = exploded_shingles(docs, text_col, id_col, n)
     distinct_sh = shingles.dropDuplicates(["doc", "shingle"])
@@ -223,10 +298,12 @@ def ngram_jaccard_pairs(
         )
         distinct_sh = distinct_sh.join(keep, "shingle", "left_semi")
     # The shingle table feeds three consumers (both self-join sides +
-    # sizes); without persistence Spark recomputes the whole
+    # sizes); without materialization Spark recomputes the whole
     # tokenize/window pipeline for each (alias renames defeat
-    # ReusedExchange). MEMORY_AND_DISK spills gracefully at scale.
-    distinct_sh = distinct_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # ReusedExchange). Lazy localCheckpoint, not persist: blocks
+    # release with the result instead of pinning the CacheManager
+    # (see _multi_consumer_cache).
+    distinct_sh = _multi_consumer_cache(distinct_sh)
     sizes = distinct_sh.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -358,9 +435,10 @@ def minhash_lsh_pairs(
     banded = banded_signatures(
         docs, text_col, id_col, n, num_hashes, bands, shingles=shingles
     )
-    # Both self-join sides read `banded`; persist so the shingle->minhash
-    # aggregation (the expensive part) runs once.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # Both self-join sides read `banded`; materialize once so the
+    # shingle->minhash aggregation (the expensive part) runs once,
+    # release-safe (see _multi_consumer_cache).
+    banded = _multi_consumer_cache(banded)
 
     a = banded.select(
         F.col("doc").alias("doc_a"),
@@ -671,13 +749,13 @@ def simhash_near_pairs(
         + ")"
     )
     sh = simhash(docs, text_col, id_col)
-    # Both self-join sides read the bucketed table; persist so the
-    # 65-aggregate simhash groupBy runs once (alias renames defeat
-    # exchange reuse, as elsewhere in this module).
-    bucketed = (
+    # Both self-join sides read the bucketed table; materialize once so
+    # the 65-aggregate simhash groupBy runs once (alias renames defeat
+    # exchange reuse, as elsewhere in this module), release-safe (see
+    # _multi_consumer_cache).
+    bucketed = _multi_consumer_cache(
         sh.select("doc", "simhash", F.explode(tables).alias("bk"))
         .select("doc", "simhash", "bk.tbl", "bk.key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = bucketed.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"),
@@ -1159,9 +1237,10 @@ def prefix_filtered_jaccard_pairs(
     sh = exploded_shingles(docs, text_col, id_col, n).dropDuplicates(
         ["doc", "shingle"]
     )
-    # Three consumers (df count, both verify sides); persist the narrow
-    # (doc, shingle) table once, spill-safe.
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # Three consumers (df count, both verify sides); materialize the
+    # narrow (doc, shingle) table once, release-safe (see
+    # _multi_consumer_cache).
+    sh = _multi_consumer_cache(sh)
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc").orderBy("df", "shingle")
     w_doc = Window.partitionBy("doc")
@@ -1245,6 +1324,7 @@ def containment_pairs(
     threshold_den: int = 2,
     max_df: int | None = None,
     shingles: DataFrame | None = None,
+    warn_uncapped: bool = True,
 ) -> DataFrame:
     """Doc pairs by shingle CONTAINMENT (overlap coefficient): pairs
     where ``|A ∩ B| / min(|A|, |B|)`` meets the threshold.
@@ -1269,7 +1349,11 @@ def containment_pairs(
     one reused exchange, sizes joined onto the (far smaller) pair
     table. Same 100 TB posture: run with ``max_df`` on; a shingle in k
     docs contributes k^2 join rows and carries no subset signal.
+    Uncapped calls warn by default (``warn_uncapped`` — see
+    :func:`_warn_uncapped` / :func:`shingle_df_profile`).
     """
+    if max_df is None and warn_uncapped:
+        _warn_uncapped("containment_pairs")
     if shingles is None:
         shingles = exploded_shingles(docs, text_col, id_col, n)
     distinct_sh = shingles.dropDuplicates(["doc", "shingle"])
@@ -1281,7 +1365,7 @@ def containment_pairs(
             .select("shingle")
         )
         distinct_sh = distinct_sh.join(keep, "shingle", "left_semi")
-    distinct_sh = distinct_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    distinct_sh = _multi_consumer_cache(distinct_sh)
     sizes = distinct_sh.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )

@@ -872,6 +872,16 @@ def semantic_dedup(
     ``None`` to skip the guard (and its one count job) when cell sizes
     are already known.
 
+    Fault-tolerance trade of the guard's ``localCheckpoint`` (vs the
+    CacheManager-pinning ``persist`` it replaced): lineage is truncated
+    at materialization and the blocks live only on executors, so losing
+    an executor mid-job makes them unrecoverable and FAILS the job
+    where a persist would recompute from lineage. On a long run over
+    preemptible/spot executors, either pass ``max_cell_rows=None``
+    (skips the checkpoint entirely) and pre-validate cell sizes, or
+    materialize the assignment table to parquet yourself and run the
+    guard + gram stage from that read.
+
     Returns one row per vector: (id, cell, n_dup_neighbors, kept) with
     ``cell`` the rank-0 assignment and ``n_dup_neighbors`` the largest
     in-cell duplicate count observed across assignments.

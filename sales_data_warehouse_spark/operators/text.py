@@ -992,6 +992,52 @@ def unigram_surprisal(
     )
 
 
+def _exploded_bigrams(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc, bigram) rows, built ARRAY-SIDE: the token array is
+    materialized in its own projection, then one ``zip_with`` of the
+    array against its own tail — no positional self-join, no window
+    shuffle, and no per-element ``element_at`` over an inlined split
+    (the O(tokens^2) trap in the ``shingles_from_tokens`` PERF note)."""
+    # guard size>=2: slice() with non-positive length and
+    # sequence(0, -1) both misbehave on shorter docs
+    bigram_arr = F.when(
+        F.size("_w") >= 2,
+        F.zip_with(
+            F.slice("_w", 1, F.size("_w") - 1),
+            F.slice("_w", 2, F.size("_w") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("_w"),
+    ).select("doc", F.explode(bigram_arr).alias("bigram"))
+
+
+def bigram_freq_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    _bg: DataFrame | None = None,
+) -> DataFrame:
+    """The floored (bigram, cnt) frequency table
+    :func:`bigram_surprisal` LEFT-JOINs back onto the corpus. Exposed
+    so the bench can track its ROW COUNT across scales: the join stays
+    a broadcast only while this table is small, and the bigram vocab
+    grows with the corpus — recording the count makes the
+    broadcast-to-shuffle crossover visible before it hurts
+    (r6 VERDICT #8)."""
+    bg = _bg if _bg is not None else _exploded_bigrams(docs, text_col, id_col)
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
 def bigram_surprisal(
     docs: DataFrame,
     text_col: str = "text",
@@ -1026,25 +1072,8 @@ def bigram_surprisal(
     ``min_count > 2`` trades exactness (scores in
     ``[1, log2(min_count))`` collapse to 0) for a smaller table.
     """
-    # guard size>=2: slice() with non-positive length and
-    # sequence(0, -1) both misbehave on shorter docs
-    bigram_arr = F.when(
-        F.size("_w") >= 2,
-        F.zip_with(
-            F.slice("_w", 1, F.size("_w") - 1),
-            F.slice("_w", 2, F.size("_w") - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("_w"),
-    ).select("doc", F.explode(bigram_arr).alias("bigram"))
-    freq = (
-        bg.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-    )
+    bg = _exploded_bigrams(docs, text_col, id_col)
+    freq = bigram_freq_table(docs, text_col, id_col, min_count, _bg=bg)
     zero = F.lit(0).cast("bigint")
     return (
         bg.join(freq, "bigram", "left")

@@ -630,10 +630,12 @@ def asof_join_pricelist(spark: SparkSession, sf: str) -> DataFrame:
 @query("asof_join_grouped_pricelist", ORACLE["asof_join_pricelist"])
 def asof_join_grouped_pricelist(spark: SparkSession, sf: str) -> DataFrame:
     """The SAME as-of semantics through the both-sides-huge path:
-    ``asof_join_grouped`` cogroups both sides on the key and runs a
-    sorted ``merge_asof`` per key group in Arrow batches — one shuffle
-    per side, state bounded by the largest key. Must reproduce the
-    broadcast+max_by plan's results exactly (oracle shared verbatim)."""
+    ``asof_join_grouped`` (round-7 pure-JVM union engine) union-tags
+    both sides, shuffles ONCE on the key, and carries the latest
+    version forward with a running ``last(ignorenulls)`` window — no
+    Python anywhere (was the pandas-cogroup plan's flat ~26 s Arrow
+    tax; now ~1.8 s warm at sf0.1). Must reproduce the broadcast+max_by
+    plan's results exactly (oracle shared verbatim)."""
     from sales_data_warehouse_spark.operators.asof import asof_join_grouped
 
     l = load_table(spark, sf, "lineitem").select(
@@ -1569,8 +1571,11 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # deliberate exact truth-set twin: uncapped by design, quarantined
+    # from the bench scaling rows; warn_uncapped=False acknowledges it
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), threshold=0.1
+        load_table(spark, sf, "documents"), threshold=0.1,
+        warn_uncapped=False,
     )
 
 
@@ -1710,7 +1715,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # is ~20% SLOWER here than recomputing (the raw shingle cache is
     # bigger than the deduped one, and reading it back beats neither
     # side's pipelined codegen) — so each side shingles independently.
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, warn_uncapped=False  # deliberate truth set
+    )
     cand = dedup.minhash_lsh_pairs(docs)
     return _pair_recall_stats(
         truth, cand, {"recall": 0.9, "precision": 0.8}
@@ -1737,7 +1744,9 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     regression out. No precision claim: Hamming-near pairs below
     Jaccard 0.3 are correct simhash output, not false positives."""
     docs = load_table(spark, sf, "documents")
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, warn_uncapped=False  # deliberate truth set
+    )
     cand = dedup.simhash_near_pairs(docs, max_hamming=5, blocks=8)
     return _pair_recall_stats(truth, cand, {"recall": 0.85})
 
@@ -5481,6 +5490,7 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "documents"),
         threshold_num=1,
         threshold_den=2,
+        warn_uncapped=False,  # deliberate exact truth-set twin
     )
 
 
@@ -6044,95 +6054,100 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
-# (CORRECTNESS_r01-r05 all equal registration positions 0-49).  Round-6
-# window — across r1-r5 every entry's LATEST driver row is green; the
-# only entry with no hard row ever is asof_join_nearest.  This rotation:
+# (CORRECTNESS_r01-r06 all equal registration positions 0-49).  Round-7
+# window — after r6, every one of the 148 entries' LATEST driver row is
+# green; 147 hold a hard row (50 from r6, 48 from r5, 49 from r4) and
+# the single entry with no hard row ever is source_lexical_diversity
+# (registered after the r6 freeze; local parity tests only until now).
+# This rotation is the FORCED window pre-computed in round 6:
 #
-# * slot 0: asof_join_nearest — the last of the 146 entries without a
-#   hard driver row (registered after the r5 freeze; local parity
-#   tests only until now);
-# * slot 1: dedup_containment_capped — NEW in round 6, the df-capped
-#   100 TB containment configuration (the bench's measured scaling row
-#   now points here; the uncapped entry stays as truth-set twin);
-# * slots 2-4: entries whose OPERATOR CODE changed this round and so
-#   need fresh hard rows: bigram_surprisal (zip_with rewrite +
-#   min-count floor), semantic_dedup (localCheckpoint guard),
-#   snapshot_upsert (version-column retention on the upsert leg);
-# * slots 5-48: ALL 44 entries whose last hard driver row is r3 (the
-#   two-round staleness boundary: ANN trio, multimodal, subquery
-#   family, funnel/retention/LOCF, text-quality set, ...);
-# * slot 49: dedup_canonical_text — NEW in round 6 (one of the 2
-#   entries this round adds; promoted so the new operator lands with a
-#   hard driver row immediately).
+# * slot 0: source_lexical_diversity — first-ever hard driver row;
+# * slot 1: asof_join_grouped_pricelist — r4-stale AND its engine
+#   changed this round (pure-JVM union-tag/window plan replaces the
+#   pandas cogroup as the default both-sides-huge path), so the fresh
+#   hard row re-verifies the new engine against the shared oracle;
+# * slots 2-49: the remaining 48 entries whose last hard driver row is
+#   r4 (the two-round staleness boundary: the minhash/simhash/CC dedup
+#   family, embedding ops, bm25/hybrid retrieval, gopher/unigram
+#   quality, profile/drift, join_composite_key, join_multiway,
+#   dense_cube_crossjoin, ...).
 #
-# Round 6 adds 2 entries total (148). The other one,
-# source_lexical_diversity, is DELIBERATELY deferred: it is covered by
-# the local oracle-parity suite this round and is first in line for the
-# r7 window. join_composite_key (displaced from slot 49; last hard row
-# r4 — still within the two-round policy at r6) joins it there.
+# Round 7 adds no corpus entries: the window has zero free slots.
 #
 # Staleness after this round: no entry's latest hard row is older than
-# r4. The natural r7 window is exactly 50 entries: the 48 r4 entries +
-# join_composite_key + source_lexical_diversity — at 148 total entries
-# the 50-slot rotation remains sustainable (capacity 150 under the
-# two-round policy; further additions must displace, so they are now
-# deliberate).
+# r5 (the 48 r5 entries become the natural r8 window, + 2 free slots).
+#
+# CAPACITY POLICY (effective round 7, at 148 entries / capacity 150
+# under the strict two-round staleness rule): when registration #151
+# arrives, proven-stable entries move to a THREE-round cadence to make
+# room. An entry qualifies as proven-stable when it has >= 3
+# consecutive green hard driver rows AND its operator code is untouched
+# since its last row; candidates are drawn from the exact truth-set
+# twins first (dedup_containment, dedup_embedding_cosine,
+# dedup_ngram_jaccard — their capped/approximate production twins keep
+# the two-round cadence and the shared oracle already re-verifies the
+# semantics). Off-rotation rounds stay covered by the local
+# tests/test_oracle_parity.py run, which re-verifies ALL entries
+# type-strictly every round regardless of the driver window. Every
+# entry must still take a hard driver row at least every three rounds —
+# the window composer treats the three-round boundary exactly as it
+# treats the two-round one today. (Mirrored in OPERATORS.md.)
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    "asof_join_nearest",
-    "dedup_containment_capped",
-    "bigram_surprisal",
-    "semantic_dedup",
-    "snapshot_upsert",
-    "text_quality",
-    "language_id",
-    "doc_fingerprint",
-    "token_counting",
-    "corpus_filter_pipeline",
-    "doc_winnowing",
-    "token_frequencies",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_stats",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "doc_chunking",
-    "doc_pii_scrub",
-    "stratified_sample",
-    "mixture_interleave",
-    "bpe_pair_counts",
-    "range_join_weeks",
-    "hypertable_rollup",
-    "sketch_union_rollup",
-    "scalar_subquery_share",
-    "exists_subquery_orders",
-    "in_subquery_big_orders",
-    "not_exists_customers",
-    "multimodal_audio_windows",
-    "funnel_conversion",
-    "retention_cohorts",
-    "gap_fill_locf",
-    "value_histogram",
-    "repetition_quality",
-    "tfidf_top_terms",
-    "decontaminate_ngrams",
-    "token_budget_select",
-    "rolling_range_avg",
-    "zscore_outliers",
-    "set_except_all",
-    "set_intersect_all",
-    "fuzzy_name_match",
-    "topk_unshipped_revenue",
-    "session_stats",
-    "attribution_last_touch",
-    "skew_salted_join",
-    "trend_slope_per_user",
-    "dedup_canonical_text",
+    "source_lexical_diversity",
+    "asof_join_grouped_pricelist",
+    "asof_join_pricelist",
+    "basket_affinity",
+    "bm25_topk",
+    "cohort_ltv",
+    "corpus_health_report",
+    "curation_pipeline",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_lines",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_repeated_spans",
+    "dedup_simhash",
+    "dense_cube_crossjoin",
+    "doc_sequence_packing",
+    "embedding_centroids",
+    "embedding_normalize",
+    "embedding_quantize",
+    "embedding_truncate",
+    "epoch_shuffle",
+    "full_outer_join",
+    "gopher_quality_filter",
+    "hybrid_retrieval_rrf",
+    "join_composite_key",
+    "join_multiway",
+    "leakage_safe_split",
+    "multimodal_features",
+    "quality_logit",
+    "quality_select_top",
+    "rfm_segmentation",
+    "rolling_active_users",
+    "semantic_outliers",
+    "session_funnel",
+    "source_overlap_matrix",
+    "stats_correlation",
+    "table_drift_report",
+    "table_profile",
+    "temperature_mixture",
+    "topk_rank_ties",
+    "unigram_surprisal",
+    "union_by_name_missing",
+    "user_paths",
+    "window_cume_dist",
 )
 
 

@@ -54,8 +54,9 @@ def _key_rows(df):
     )
 
 
+@pytest.mark.parametrize("engine", ["union", "cogroup"])
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
-def test_grouped_matches_broadcast(spark, sides, direction):
+def test_grouped_matches_broadcast(spark, sides, direction, engine):
     l, ph = sides
     want = asof_join(
         l, ph, on=["p_partkey"], left_ts="ship_date", right_ts="eff_date",
@@ -63,7 +64,7 @@ def test_grouped_matches_broadcast(spark, sides, direction):
     )
     got = asof_join_grouped(
         l, ph, on=["p_partkey"], left_ts="ship_date", right_ts="eff_date",
-        direction=direction,
+        direction=direction, engine=engine,
     )
     assert sorted(got.columns) == sorted(want.columns)
     assert _key_rows(got) == _key_rows(want)
@@ -90,7 +91,15 @@ def test_nearest_tie_prefers_backward_and_never_drops(spark):
         ],
         "k int, vts string, price double",
     ).selectExpr("k", "CAST(vts AS DATE) AS vts", "price")
-    for fn in (asof_join, asof_join_grouped):
+    plans = [
+        ("broadcast", lambda *a, **k: asof_join(*a, **k)),
+        ("union", lambda *a, **k: asof_join_grouped(*a, **k, engine="union")),
+        (
+            "cogroup",
+            lambda *a, **k: asof_join_grouped(*a, **k, engine="cogroup"),
+        ),
+    ]
+    for name, fn in plans:
         got = {
             (r.k, str(r.ts)): r.price
             for r in fn(
@@ -102,7 +111,72 @@ def test_nearest_tie_prefers_backward_and_never_drops(spark):
             (1, "2020-06-02"): 10.0,
             (1, "2020-06-28"): 20.0,
             (2, "1990-01-01"): 30.0,  # forward-only key kept
-        }, fn.__name__
+        }, name
+
+
+def test_union_engine_drops_null_ts_and_keeps_duplicates(spark):
+    """The union engine matches asof_join's inner contract where the
+    cogroup engine errors: NULL-ts facts drop, NULL-ts versions never
+    match, and duplicate left rows each produce their own output row."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 10)),
+            (1, dt.date(2024, 1, 10)),  # exact duplicate fact row
+            (1, None),
+            (2, dt.date(2024, 1, 5)),
+        ],
+        "k long, ts date",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), "v1"), (2, None, "bad")],
+        "k long, vts date, tag string",
+    )
+    for direction in ("backward", "nearest"):
+        out = asof_join_grouped(
+            left, right, ["k"], "ts", "vts",
+            direction=direction, engine="union",
+        )
+        rows = sorted((r.k, str(r.ts), r.tag) for r in out.collect())
+        assert rows == [
+            (1, "2024-01-10", "v1"),
+            (1, "2024-01-10", "v1"),
+        ], direction
+
+
+def test_union_engine_ntz_micros_are_session_tz_independent(spark):
+    """TimestampNTZ distances must come from the naive wall clock, not
+    an implicit NTZ->LTZ cast through the session timezone (r6 ADVICE
+    #1): a sub-second nearest tie must resolve identically under UTC
+    and a DST zone, in both the broadcast and union plans."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 10, 1, 59, 59)  # inside US spring-forward
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(microseconds=500_001))],
+        "k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, base, "back"), (1, base + dt.timedelta(seconds=1), "fwd")],
+        "k long, vts timestamp_ntz, tag string",
+    )
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for zone in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            b = asof_join(
+                left, right, ["k"], "ts", "vts", direction="nearest"
+            )
+            u = asof_join_grouped(
+                left, right, ["k"], "ts", "vts",
+                direction="nearest", engine="union",
+            )
+            # 500_001 us back vs 499_999 us forward -> fwd, in any zone
+            assert [r.tag for r in b.collect()] == ["fwd"], zone
+            assert [r.tag for r in u.collect()] == ["fwd"], zone
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
 
 
 def test_nearest_rejects_envelope_prefilter(spark):

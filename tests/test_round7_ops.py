@@ -1,0 +1,77 @@
+"""Round-7 changes: uniform release-safe caching for the pair-join
+family (no CacheManager pin after an action), the uncapped-pair-join
+loud default, and the shingle df profile helper."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_pair_family_leaves_cache_manager_empty(spark):
+    """r6 VERDICT defect #1: the five pair-join materialization sites
+    must not pin entries in the SQL CacheManager for the application
+    lifetime. persist() registers there until an explicit unpersist no
+    DataFrame-returning API gets to call; the lazy-localCheckpoint
+    policy keeps the CacheManager untouched (blocks are RDD-level and
+    ContextCleaner-released on GC)."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    docs = _docs(spark)
+    plans = [
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3, warn_uncapped=False),
+        dedup.minhash_lsh_pairs(docs),
+        dedup.simhash_near_pairs(docs, max_hamming=5, blocks=8),
+        dedup.prefix_filtered_jaccard_pairs(
+            docs, threshold_num=3, threshold_den=10
+        ),
+        dedup.containment_pairs(docs, warn_uncapped=False),
+    ]
+    for df in plans:
+        df.write.format("noop").mode("overwrite").save()
+        assert cm.isEmpty(), "pair-join op pinned the CacheManager"
+
+
+@pytest.mark.parametrize("fn", ["ngram_jaccard_pairs", "containment_pairs"])
+def test_uncapped_pair_join_warns_by_default(spark, fn):
+    docs = _docs(spark).limit(5)
+    with pytest.warns(ResourceWarning, match="max_df is None"):
+        getattr(dedup, fn)(docs)
+
+
+@pytest.mark.parametrize("fn", ["ngram_jaccard_pairs", "containment_pairs"])
+def test_capped_or_acknowledged_pair_join_is_silent(spark, fn):
+    docs = _docs(spark).limit(5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        getattr(dedup, fn)(docs, max_df=5)          # capped: silent
+        getattr(dedup, fn)(docs, warn_uncapped=False)  # acknowledged
+
+
+def test_shingle_df_profile_matches_manual_count(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox sleeps"),
+            (3, "the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    prof = dedup.shingle_df_profile(docs, top=2)
+    # "the quick brown" and "quick brown fox" appear in all 3 docs;
+    # tie-broken by shingle ascending
+    assert [(r.shingle, r.df) for r in prof] == [
+        ("quick brown fox", 3),
+        ("the quick brown", 3),
+    ]

@@ -75,6 +75,80 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
 
 
+def test_bucketed_composite_key_groupby_join_has_no_exchange(
+    spark, tmp_path
+):
+    """Pin the bench's 100 TB composite-key answer (r6 VERDICT #7): a
+    table bucketed on (l_orderkey, l_partkey) must serve BOTH the
+    group-by aggregate and the join back to itself with ZERO exchanges
+    — a Spark upgrade or config drift that silently reintroduces the
+    shuffle would forfeit what the one-time bucket write paid for."""
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    write_bucketed(
+        l, "t_lineitem_ck", ["l_orderkey", "l_partkey"], 8,
+        path=str(tmp_path / "ck"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb = read_bucketed(spark, "t_lineitem_ck")
+        agg = lb.groupBy("l_orderkey", "l_partkey").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        joined = (
+            lb.join(agg, on=["l_orderkey", "l_partkey"])
+            .filter(F.col("n_lines") > 1)
+            .select(
+                "l_orderkey", "l_partkey", "l_linenumber",
+                "n_lines", "total_qty",
+            )
+        )
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_ck")
+
+
+def test_asof_union_plan_is_pure_jvm_single_shuffle(spark):
+    """Pin the round-7 both-sides-huge as-of engine: the union-tag +
+    running-last plan must contain NO Python/Arrow operator and exactly
+    one hash exchange + one sort per direction pass (two sorts for
+    'nearest', which shares the single exchange)."""
+    from sales_data_warehouse_spark.operators.asof import asof_join_grouped
+
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("eff_price"),
+        F.lit("1995-01-01").cast("date").alias("eff_date"),
+    )
+    for direction, n_sorts in (("backward", 1), ("nearest", 2)):
+        df = asof_join_grouped(
+            l, p, on=["p_partkey"], left_ts="ship_date",
+            right_ts="eff_date", direction=direction,
+        )
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        for bad in ("Python", "ArrowEval", "FlatMapCoGroups"):
+            assert bad not in final, (direction, final[:2000])
+        assert final.count("Exchange hashpartitioning") == 1, (
+            direction, final[:2000],
+        )
+        assert final.count("Sort ") == n_sorts, (direction, final[:2000])
+
+
 def test_approx_frequent_items_exact_under_tracked_limit(spark):
     from sales_data_warehouse_spark.operators.profile import (
         approx_frequent_items,
