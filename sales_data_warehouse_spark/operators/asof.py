@@ -55,6 +55,35 @@ def _ts_micros(col: F.Column, dtype: T.DataType) -> F.Column:
         return F.unix_micros(col)  # instant micros
     return col.cast("double")
 
+
+def _tolerance_in_ts_units(tolerance, dtype: T.DataType):
+    """Validate and convert ``tolerance`` into the :func:`_ts_micros`
+    number domain: integer microseconds for date/timestamp keys (a
+    ``datetime.timedelta`` is required — a bare number would be
+    ambiguous), a plain non-negative number for numeric keys."""
+    if tolerance is None:
+        return None
+    import datetime as _dt
+
+    temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
+    if isinstance(dtype, temporal):
+        if not isinstance(tolerance, _dt.timedelta):
+            raise TypeError(
+                "asof_join: tolerance must be a datetime.timedelta for "
+                f"date/timestamp keys, got {type(tolerance).__name__}"
+            )
+        micros = tolerance // _dt.timedelta(microseconds=1)
+    else:
+        if isinstance(tolerance, _dt.timedelta):
+            raise TypeError(
+                "asof_join: numeric ts keys take a numeric tolerance, "
+                "not a timedelta"
+            )
+        micros = tolerance
+    if micros < 0:
+        raise ValueError(f"asof_join: tolerance must be >= 0: {tolerance}")
+    return micros
+
 #: (applicationId, plan semanticHash) -> right-side row count. The
 #: broadcast guard's count is pure plan metadata within one Spark
 #: application (same files-immutable assumption as the corpus table
@@ -77,6 +106,8 @@ def asof_join(
     unique_left: bool = False,
     broadcast_row_limit: int | None = None,
     envelope_prefilter: bool = False,
+    tolerance=None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' = least
@@ -140,6 +171,19 @@ def asof_join(
     history extends past the fact window (e.g. pricing a January batch
     against a multi-year price list); a no-op when versions already sit
     inside the envelope.
+
+    ``tolerance`` (round 7; pandas merge_asof's knob) bounds how far a
+    match may sit from the fact row: a ``datetime.timedelta`` for
+    date/timestamp keys, a number for numeric keys. A left row whose
+    nearest qualifying version exceeds the bound DROPS (inner
+    semantics) — a stale price list stops silently pricing far-future
+    facts. ``allow_exact_matches=False`` makes the directional bound
+    strict (``<`` / ``>``) and excludes same-instant versions from
+    'nearest' — the lookup-must-strictly-precede contract of leakage-
+    safe feature joins. Both knobs are honored identically by all
+    three physical plans (tested in ``tests/test_asof_grouped.py``);
+    tolerance additionally tightens this plan's join condition, so it
+    PRUNES candidates rather than adding work.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -191,23 +235,45 @@ def asof_join(
         group_keys = [F.col(f"l.{lid}")]
     rgt = F.broadcast(right) if broadcast_right else right
 
+    l_num = _ts_micros(F.col(f"l.{left_ts}"), left.schema[left_ts].dataType)
+    r_num = _ts_micros(
+        F.col(f"r.{right_ts}"), right.schema[right_ts].dataType
+    )
+    tol = _tolerance_in_ts_units(tolerance, left.schema[left_ts].dataType)
+
     if direction == "backward":
-        cond = F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+        cond = (
+            F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+            if allow_exact_matches
+            else F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}")
+        )
+        if tol is not None:
+            cond = cond & (l_num - r_num <= F.lit(tol))
     elif direction == "forward":
-        cond = F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+        cond = (
+            F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+            if allow_exact_matches
+            else F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}")
+        )
+        if tol is not None:
+            cond = cond & (r_num - l_num <= F.lit(tol))
     else:
-        # nearest: no ts inequality can prune a candidate version —
-        # join every version per key and let the min_by pick; the
-        # candidate set per left row is versions-per-key, same bound
-        # as the directional joins' worst case. The NULL guards keep
-        # the inner contract the directional joins get for free from
-        # their ts inequality: a NULL-ts left row must DROP, not emit
-        # NULL right columns (and the grouped plan's merge_asof
-        # outright errors on null merge keys).
+        # nearest: without a tolerance no ts inequality can prune a
+        # candidate version — join every version per key and let the
+        # min_by pick; the candidate set per left row is
+        # versions-per-key, same bound as the directional joins' worst
+        # case. The NULL guards keep the inner contract the directional
+        # joins get for free from their ts inequality: a NULL-ts left
+        # row must DROP, not emit NULL right columns (and the grouped
+        # cogroup plan's merge_asof outright errors on null merge keys).
         cond = (
             F.col(f"l.{left_ts}").isNotNull()
             & F.col(f"r.{right_ts}").isNotNull()
         )
+        if not allow_exact_matches:
+            cond = cond & (l_num != r_num)
+        if tol is not None:
+            cond = cond & (F.abs(l_num - r_num) <= F.lit(tol))
     for k in on:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
 
@@ -225,12 +291,6 @@ def asof_join(
         # order key = (|Δts|, forward?) — equidistant ties prefer the
         # backward version, pandas merge_asof's documented tie rule,
         # keeping this plan and asof_join_grouped bit-identical
-        l_num = _ts_micros(
-            F.col(f"l.{left_ts}"), left.schema[left_ts].dataType
-        )
-        r_num = _ts_micros(
-            F.col(f"r.{right_ts}"), right.schema[right_ts].dataType
-        )
         pick, order_key = F.min_by, F.struct(
             F.abs(l_num - r_num).alias("__dist"),
             (r_num > l_num).cast("int").alias("__fwd"),
@@ -262,6 +322,8 @@ def asof_join_grouped(
     *,
     direction: str = "backward",
     engine: str = "union",
+    tolerance=None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join for when NEITHER side broadcasts (billion-row versioned
     side). Default ``engine='union'`` is a PURE-JVM plan (round 7,
@@ -319,9 +381,14 @@ def asof_join_grouped(
             f"direction must be backward|forward|nearest: {direction}"
         )
     if engine == "union":
-        return _asof_union_plan(left, right, on, left_ts, right_ts, direction)
+        return _asof_union_plan(
+            left, right, on, left_ts, right_ts, direction,
+            tolerance=tolerance, allow_exact_matches=allow_exact_matches,
+        )
     if engine != "cogroup":
         raise ValueError(f"engine must be union|cogroup: {engine}")
+    # fail on a bad tolerance here, not inside the Arrow workers
+    _tolerance_in_ts_units(tolerance, left.schema[left_ts].dataType)
 
     import pandas as pd
 
@@ -332,6 +399,7 @@ def asof_join_grouped(
     out_schema = T.StructType(out_fields)
     left_names = list(left.columns)
     l_ts, r_ts, dirn = left_ts, right_ts, direction
+    tol_arg, exact_arg = tolerance, allow_exact_matches
 
     l_is_date = isinstance(left.schema[left_ts].dataType, T.DateType)
     r_is_date = isinstance(right.schema[right_ts].dataType, T.DateType)
@@ -356,6 +424,11 @@ def asof_join_grouped(
             right_on=r_ts,
             direction=dirn,
             suffixes=("", "__r"),
+            # merge_asof takes these natively; a date key was already
+            # promoted to datetime64 above, so a timedelta tolerance
+            # applies to both temporal families
+            tolerance=tol_arg,
+            allow_exact_matches=exact_arg,
         )
         # inner semantics: drop left rows with no qualifying version
         r_ts_out = r_ts if r_ts != l_ts else f"{r_ts}__r"
@@ -380,6 +453,8 @@ def _asof_union_plan(
     left_ts: str,
     right_ts: str,
     direction: str,
+    tolerance=None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Pure-JVM both-sides-huge as-of join (SURVEY §2 J8 option (b)).
 
@@ -393,7 +468,16 @@ def _asof_union_plan(
     Sort-order details that carry the semantics:
     * right rows sort BEFORE left rows at equal ts (``__lft`` 0 < 1), so
       a version effective exactly at the fact's ts is visible to it —
-      the inclusive <= / >= bound of the directional joins;
+      the inclusive <= / >= bound of the directional joins; under
+      ``allow_exact_matches=False`` the tie order FLIPS (left before
+      right), which excludes same-instant versions from the running
+      frame while keeping the strictly-earlier/later ones — strictness
+      with fallback, not a post-filter (a post-filter would drop the
+      row instead of falling back to the previous version);
+    * ``tolerance`` IS a post-filter on the carried candidate's
+      distance, which is correct for running extremes: the carried
+      version is the closest qualifying one, so if IT exceeds the
+      bound every other candidate on that side does too;
     * 'forward' runs the same running ``last`` over the descending sort;
     * 'nearest' evaluates both windows over ONE exchange (the second
       window adds only a sort) and picks the smaller integer-micros
@@ -436,42 +520,53 @@ def _asof_union_plan(
     )
     u = lt.unionByName(rt)
 
+    tol = _tolerance_in_ts_units(tolerance, left.schema[left_ts].dataType)
+
     # candidate = (right ts, right struct); NULL on left rows so the
     # running last(ignorenulls) skips them
     cand = F.when(
         F.col("__lft") == 0,
         F.struct(F.col("__ts").alias("__rts"), F.col("__r").alias("__rv")),
     )
+    # equal-ts tie order carries the exact-match contract: inclusive
+    # bounds need same-instant right rows INSIDE the left row's frame
+    # (right first), strict bounds need them outside (left first)
+    tie = F.col("__lft").asc() if allow_exact_matches else F.col(
+        "__lft"
+    ).desc()
     w_back = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__lft").asc())
+        .orderBy(F.col("__ts").asc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").desc(), F.col("__lft").asc())
+        .orderBy(F.col("__ts").desc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
+    def _ok(c: F.Column, dist: F.Column) -> F.Column:
+        v = c.isNotNull()
+        if tol is not None:
+            v = v & (dist <= F.lit(tol))
+        return v
+
     if direction == "backward":
-        m = F.last(cand, ignorenulls=True).over(w_back)
+        b = F.last(cand, ignorenulls=True).over(w_back)
+        m = F.when(_ok(b, F.col("__ts") - b["__rts"]), b)
     elif direction == "forward":
-        m = F.last(cand, ignorenulls=True).over(w_fwd)
+        f = F.last(cand, ignorenulls=True).over(w_fwd)
+        m = F.when(_ok(f, f["__rts"] - F.col("__ts")), f)
     else:
         b = F.last(cand, ignorenulls=True).over(w_back)
         f = F.last(cand, ignorenulls=True).over(w_fwd)
         # distances are non-negative by construction of each window
+        dist_b = F.col("__ts") - b["__rts"]
+        dist_f = f["__rts"] - F.col("__ts")
+        b_ok, f_ok = _ok(b, dist_b), _ok(f, dist_f)
         m = F.when(
-            b.isNotNull()
-            & (
-                f.isNull()
-                | (
-                    (F.col("__ts") - b["__rts"])
-                    <= (f["__rts"] - F.col("__ts"))
-                )
-            ),
-            b,
-        ).otherwise(f)
+            b_ok & (~f_ok | (dist_b <= dist_f)), b
+        ).otherwise(F.when(f_ok, f))
 
     matched = u.select("__lft", "__l", m.alias("__m")).where(
         (F.col("__lft") == 1) & F.col("__m").isNotNull()

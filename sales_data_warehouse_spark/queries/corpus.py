@@ -658,6 +658,67 @@ def asof_join_grouped_pricelist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_tolerance",
+    f"""
+    WITH price_history AS ({_PRICE_HISTORY_SQL}),
+    best AS (
+      SELECT li.l_partkey, li.ship_date, MAX(ph.eff_date) AS eff_date
+      FROM (SELECT DISTINCT l_partkey, CAST(l_shipdate AS DATE) AS ship_date
+            FROM lineitem) li
+      JOIN price_history ph
+        ON ph.p_partkey = li.l_partkey AND ph.eff_date <= li.ship_date
+       AND DATEDIFF('day', ph.eff_date, li.ship_date) <= 400
+      GROUP BY 1, 2
+    )
+    SELECT b.eff_date, COUNT(*) AS n_lines,
+           CAST(SUM(ph.eff_price) AS DOUBLE) AS sum_eff_price
+    FROM lineitem l
+    JOIN best b
+      ON b.l_partkey = l.l_partkey AND b.ship_date = CAST(l.l_shipdate AS DATE)
+    JOIN price_history ph
+      ON ph.p_partkey = l.l_partkey AND ph.eff_date = b.eff_date
+    GROUP BY b.eff_date
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """J8 extension (round 7): bounded-staleness as-of — each line is
+    priced at the latest version effective on its ship date ONLY if
+    that version is at most 400 days old; staler matches DROP (pandas
+    merge_asof's ``tolerance``, here a ``timedelta``). The bound
+    provably bites on this data: versions sit at 1995-01-01/1998-01-01
+    while ship dates span multiple years, so far-from-version lines
+    fall out instead of being silently priced off a years-old list.
+    Runs through the pure-JVM union engine, so the driver row covers
+    the round-7 plan AND the new knob; all three physical plans are
+    pinned bit-identical on tolerance/strictness in
+    ``tests/test_asof_grouped.py``. Registered after the frozen r7
+    window — first in line for an r8 hard row (capacity policy: this
+    is entry #149 of 150)."""
+    import datetime as dt
+
+    from sales_data_warehouse_spark.operators.asof import asof_join_grouped
+
+    l = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    ph = _price_history(spark, sf)
+    per_key = l.groupBy("p_partkey", "ship_date").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = asof_join_grouped(
+        per_key, ph, on=["p_partkey"], left_ts="ship_date",
+        right_ts="eff_date", tolerance=dt.timedelta(days=400),
+    )
+    return best.groupBy("eff_date").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("eff_price") * F.col("cnt")).cast("double").alias(
+            "sum_eff_price"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sorts (SURVEY W1-W3, O1-O3)
 # ---------------------------------------------------------------------------
@@ -6072,12 +6133,17 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 #   quality, profile/drift, join_composite_key, join_multiway,
 #   dense_cube_crossjoin, ...).
 #
-# Round 7 adds no corpus entries: the window has zero free slots.
+# Round 7 adds ONE corpus entry — asof_join_tolerance (#149), the
+# bounded-staleness as-of through the union engine. The r7 window has
+# zero free slots, so it registers after position 50 (local
+# oracle-parity coverage this round) and is FIRST IN LINE for an r8
+# hard row, exactly like source_lexical_diversity was for r7.
 #
 # Staleness after this round: no entry's latest hard row is older than
-# r5 (the 48 r5 entries become the natural r8 window, + 2 free slots).
+# r5 (the 48 r5 entries + asof_join_tolerance become the natural r8
+# window, + 1 free slot).
 #
-# CAPACITY POLICY (effective round 7, at 148 entries / capacity 150
+# CAPACITY POLICY (effective round 7, at 149 entries / capacity 150
 # under the strict two-round staleness rule): when registration #151
 # arrives, proven-stable entries move to a THREE-round cadence to make
 # room. An entry qualifies as proven-stable when it has >= 3

@@ -179,6 +179,94 @@ def test_union_engine_ntz_micros_are_session_tz_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", tz)
 
 
+def _tol_sides(spark):
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, dt.date(2020, 6, 10)),  # same-instant as version B
+            (1, dt.date(2020, 6, 15)),
+            (1, dt.date(2020, 9, 1)),   # backward gap 83d; forward 9d
+        ],
+        "k long, ts date",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.date(2020, 6, 1), "A"),
+            (1, dt.date(2020, 6, 10), "B"),
+            (1, dt.date(2020, 9, 10), "C"),
+        ],
+        "k long, vts date, tag string",
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.parametrize("tol_days", [None, 20])
+def test_tolerance_and_strictness_all_plans_agree(
+    spark, direction, exact, tol_days
+):
+    """tolerance + allow_exact_matches must be honored bit-identically
+    by the broadcast plan, the pure-JVM union engine, and the pandas
+    cogroup engine (whose merge_asof implements both knobs natively —
+    an independent oracle)."""
+    import datetime as dt
+
+    left, right = _tol_sides(spark)
+    tol = dt.timedelta(days=tol_days) if tol_days else None
+    kw = dict(direction=direction, tolerance=tol, allow_exact_matches=exact)
+    outs = {
+        "broadcast": asof_join(left, right, ["k"], "ts", "vts", **kw),
+        "union": asof_join_grouped(
+            left, right, ["k"], "ts", "vts", engine="union", **kw
+        ),
+        "cogroup": asof_join_grouped(
+            left, right, ["k"], "ts", "vts", engine="cogroup", **kw
+        ),
+    }
+    rows = {
+        name: sorted((r.k, str(r.ts), r.tag) for r in df.collect())
+        for name, df in outs.items()
+    }
+    assert rows["broadcast"] == rows["union"] == rows["cogroup"], rows
+
+
+def test_tolerance_strict_semantics_pinned(spark):
+    """Pin the concrete contract, not just cross-plan agreement:
+    strictness FALLS BACK to the previous version (not a drop), and an
+    out-of-tolerance nearest-qualifying version drops the row."""
+    import datetime as dt
+
+    left, right = _tol_sides(spark)
+    got = {
+        str(r.ts): r.tag
+        for r in asof_join(
+            left, right, ["k"], "ts", "vts",
+            direction="backward",
+            tolerance=dt.timedelta(days=20),
+            allow_exact_matches=False,
+        ).collect()
+    }
+    # 06-10: same-instant B excluded (strict) -> falls back to A (9d);
+    # 06-15: B at 5d; 09-01: closest strict-backward is B at 83d > 20d
+    # tolerance -> row drops
+    assert got == {"2020-06-10": "A", "2020-06-15": "B"}
+
+
+def test_tolerance_type_validation(spark):
+    import datetime as dt
+
+    left, right = _tol_sides(spark)
+    with pytest.raises(TypeError, match="timedelta"):
+        asof_join(left, right, ["k"], "ts", "vts", tolerance=20)
+    with pytest.raises(ValueError, match=">= 0"):
+        asof_join(
+            left, right, ["k"], "ts", "vts",
+            tolerance=dt.timedelta(days=-1),
+        )
+
+
 def test_nearest_rejects_envelope_prefilter(spark):
     df = spark.createDataFrame([(1, 1)], "k int, ts int")
     with pytest.raises(ValueError, match="envelope_prefilter"):
