@@ -18,29 +18,40 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
-def test_pair_family_leaves_cache_manager_empty(spark):
+def test_pair_family_releases_cache_with_result(spark):
     """r6 VERDICT defect #1: the five pair-join materialization sites
     must not pin entries in the SQL CacheManager for the application
-    lifetime. persist() registers there until an explicit unpersist no
-    DataFrame-returning API gets to call; the lazy-localCheckpoint
-    policy keeps the CacheManager untouched (blocks are RDD-level and
-    ContextCleaner-released on GC)."""
+    lifetime. The policy: the shingle/band/bucket cache stays columnar
+    (persist — measured 2.2-2.4x faster to re-read than a local
+    checkpoint, and lineage-backed) WHILE the returned DataFrame is
+    alive, and is unpersisted when the caller's last reference to the
+    result is garbage-collected (weakref release hook). So: non-empty
+    is allowed during use; empty is REQUIRED after the result dies."""
+    import gc
+
     spark.catalog.clearCache()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty()
     docs = _docs(spark)
-    plans = [
-        dedup.ngram_jaccard_pairs(docs, threshold=0.3, warn_uncapped=False),
-        dedup.minhash_lsh_pairs(docs),
-        dedup.simhash_near_pairs(docs, max_hamming=5, blocks=8),
-        dedup.prefix_filtered_jaccard_pairs(
+    makers = [
+        lambda: dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, warn_uncapped=False
+        ),
+        lambda: dedup.minhash_lsh_pairs(docs),
+        lambda: dedup.simhash_near_pairs(docs, max_hamming=5, blocks=8),
+        lambda: dedup.prefix_filtered_jaccard_pairs(
             docs, threshold_num=3, threshold_den=10
         ),
-        dedup.containment_pairs(docs, warn_uncapped=False),
+        lambda: dedup.containment_pairs(docs, warn_uncapped=False),
     ]
-    for df in plans:
+    for make in makers:
+        df = make()
         df.write.format("noop").mode("overwrite").save()
-        assert cm.isEmpty(), "pair-join op pinned the CacheManager"
+        del df
+        gc.collect()  # finalizers run synchronously in CPython
+        assert cm.isEmpty(), (
+            "pair-join cache survived its result's garbage collection"
+        )
 
 
 @pytest.mark.parametrize("fn", ["ngram_jaccard_pairs", "containment_pairs"])
