@@ -78,6 +78,80 @@ def test_asof_matches_bruteforce_oracle(spark, evts, vers):
         assert rows == want, impl.__name__
 
 
+def _oracle_tol(evts, vers, tol_days, exact):
+    """Brute force with bounded staleness and optional strict bound."""
+    out = []
+    for i, (k, d) in enumerate(evts):
+        cands = [
+            (vd, price)
+            for vk, vd, price in vers
+            if vk == k
+            and (vd <= d if exact else vd < d)
+            and d - vd <= tol_days
+        ]
+        if cands:
+            vd, price = max(cands)
+            out.append((i, k, d, vd, price))
+    return sorted(out)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evts=events,
+    vers=versions,
+    tol_days=st.integers(0, 30),
+    exact=st.booleans(),
+)
+def test_asof_tolerance_matches_bruteforce_oracle(
+    spark, evts, vers, tol_days, exact
+):
+    """Random tolerance + strictness: all three physical plans must
+    equal the brute-force python oracle."""
+    left = spark.createDataFrame(
+        [
+            (i, k, BASE + dt.timedelta(days=d))
+            for i, (k, d) in enumerate(evts)
+        ],
+        "event_id int, key int, ts date",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(days=d), p) for k, d, p in vers],
+        "key int, vts date, price int",
+    )
+    want = _oracle_tol(evts, vers, tol_days, exact)
+    kw = dict(
+        on=["key"], left_ts="ts", right_ts="vts",
+        tolerance=dt.timedelta(days=tol_days), allow_exact_matches=exact,
+    )
+    impls = [
+        ("broadcast", lambda: asof_join(left, right, **kw)),
+        (
+            "union",
+            lambda: asof_join_grouped(left, right, engine="union", **kw),
+        ),
+        (
+            "cogroup",
+            lambda: asof_join_grouped(left, right, engine="cogroup", **kw),
+        ),
+    ]
+    for name, make in impls:
+        rows = sorted(
+            (
+                r["event_id"],
+                r["key"],
+                (r["ts"] - BASE).days,
+                (r["vts"] - BASE).days,
+                r["price"],
+            )
+            for r in make().collect()
+        )
+        assert rows == want, name
+
+
 def test_asof_broadcast_guard_rejects_huge_right(spark):
     # broadcast_right=True must not silently broadcast a giant
     # versioned side: over the row guard it raises and points at the
