@@ -27,45 +27,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _multi_consumer_cache(df: DataFrame) -> DataFrame:
-    """Columnar cache for a table read by several plan consumers.
-    MUST be paired with :func:`_release_cache_with` on the operator's
-    result — persist alone pins the SQL CacheManager for the
-    application lifetime (the r6 VERDICT #1 cache-leak class).
-
-    Why persist and not ``localCheckpoint``: measured at sf0.1, the
-    pair self-joins read an InMemoryRelation (columnar, codegen-fused)
-    2.2-2.4x faster than a local checkpoint's row-based RDD scan
-    (ngram_jaccard 0.75 s vs 1.81 s; simhash 0.79 s vs 1.63 s), and
-    persist keeps LINEAGE — an executor loss recomputes the partitions
-    instead of failing the job, the fault-tolerance gap the r6 ADVICE
-    flagged on localCheckpoint at the 1000-executor posture.
-    """
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
-
-
-def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Tie ``cached``'s CacheManager entry to ``result``'s lifetime:
-    when the caller's last reference to the returned DataFrame is
-    garbage-collected, the cache is unpersisted (non-blocking) — the
-    automatic caller-release hook that makes repeated curation passes
-    in a long-lived session leak nothing, while the cache stays
-    columnar-fast and lineage-backed for as long as the result is
-    actually in use. Release is idempotent and swallows
-    gateway-already-closed errors at interpreter shutdown.
-    """
-    import weakref
-
-    jdf = cached._jdf
-
-    def _release(jdf=jdf):
-        try:
-            jdf.unpersist(False)
-        except Exception:  # noqa: BLE001 — session/gateway may be gone
-            pass
-
-    weakref.finalize(result, _release)
-    return result
+# Shared release-safe caching policy (measured trade + rationale in
+# operators/caching.py); iterative operators below keep localCheckpoint
+# where lineage truncation is the point.
+from sales_data_warehouse_spark.operators.caching import (  # noqa: E402
+    multi_consumer_cache as _multi_consumer_cache,
+    release_cache_with as _release_cache_with,
+)
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:

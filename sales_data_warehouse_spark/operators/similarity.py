@@ -32,6 +32,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sales_data_warehouse_spark.operators.caching import (
+    multi_consumer_cache as _mcc,
+    release_cache_with as _release_with,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product (deterministic order).
@@ -551,7 +556,10 @@ def build_ivf_index(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
     )
     if cache:
-        assigned = assigned.persist()
+        # the cache IS the index: released when the caller's last
+        # reference to the assigned table dies, not pinned for the
+        # application lifetime (operators/caching.py policy)
+        assigned = _release_with(_mcc(assigned), assigned)
     centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
     return IvfIndex(assigned, centers)
 
@@ -872,15 +880,13 @@ def semantic_dedup(
     ``None`` to skip the guard (and its one count job) when cell sizes
     are already known.
 
-    Fault-tolerance trade of the guard's ``localCheckpoint`` (vs the
-    CacheManager-pinning ``persist`` it replaced): lineage is truncated
-    at materialization and the blocks live only on executors, so losing
-    an executor mid-job makes them unrecoverable and FAILS the job
-    where a persist would recompute from lineage. On a long run over
-    preemptible/spot executors, either pass ``max_cell_rows=None``
-    (skips the checkpoint entirely) and pre-validate cell sizes, or
-    materialize the assignment table to parquet yourself and run the
-    guard + gram stage from that read.
+    The guard's materialization is a persist released with the result
+    (``operators/caching.py``): lineage is preserved, so an executor
+    loss recomputes the assignment partitions instead of failing the
+    job (round 7 — the r6 ``localCheckpoint`` variant traded that away),
+    and the CacheManager entry is dropped when the caller's last
+    reference to the returned DataFrame is garbage-collected rather
+    than pinned for the application lifetime.
 
     Returns one row per vector: (id, cell, n_dup_neighbors, kept) with
     ``cell`` the rank-0 assignment and ``n_dup_neighbors`` the largest
@@ -917,15 +923,17 @@ def semantic_dedup(
             raise ValueError(f"oversize must be warn|error: {oversize}")
         import warnings
 
-        # localCheckpoint materializes the assignment table ONCE for
-        # the guard's count AND the downstream gram stage — and unlike
-        # persist(), the blocks are released by the ContextCleaner
-        # when the result DataFrame is garbage-collected, not pinned
-        # in the CacheManager for the application lifetime (the
-        # cross-call cache-leak class removed from the other
-        # operators). The trade: the guard makes this call EAGER (the
-        # assignment kernel + k-means run here, at call time).
-        tagged = tagged.localCheckpoint(eager=True)
+        # persist + release-with-result (operators/caching.py, r7):
+        # the assignment table materializes ONCE — the guard's count
+        # below triggers it — and serves the downstream gram stage
+        # from the columnar cache; the CacheManager entry is released
+        # when the returned DataFrame is garbage-collected, and
+        # lineage is PRESERVED so an executor loss recomputes instead
+        # of failing (the fault-tolerance gap of the r6
+        # localCheckpoint variant). The guard still makes this call
+        # EAGER (k-means + the assignment kernel run here, at call
+        # time).
+        tagged = _mcc(tagged)
         hot = (
             tagged.groupBy("cell")
             .count()
@@ -979,7 +987,7 @@ def semantic_dedup(
             }
         )
 
-    return (
+    result = (
         tagged.groupBy("cell")
         .applyInPandas(cell_verdicts, schema=out_schema)
         .groupBy(F.col("id").alias(id_col))
@@ -989,3 +997,6 @@ def semantic_dedup(
             (~F.bool_or("has_smaller_dup")).alias("kept"),
         )
     )
+    if max_cell_rows is not None:
+        result = _release_with(result, tagged)
+    return result

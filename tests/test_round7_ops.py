@@ -54,6 +54,35 @@ def test_pair_family_releases_cache_with_result(spark):
         )
 
 
+def test_semantic_dedup_and_ivf_release_cache_with_result(spark):
+    """Same policy on the other two persist users: semantic_dedup's
+    guard materialization and the IVF index's assignment cache must be
+    released when their results die — and stay lineage-backed while
+    alive (no localCheckpoint)."""
+    import gc
+
+    from sales_data_warehouse_spark.operators import similarity
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    out = similarity.semantic_dedup(emb, threshold=0.4, num_centroids=4)
+    assert not cm.isEmpty()  # cache alive while the result is
+    out.write.format("noop").mode("overwrite").save()
+    del out
+    gc.collect()
+    assert cm.isEmpty(), "semantic_dedup guard cache leaked"
+
+    idx = similarity.build_ivf_index(emb, num_centroids=4)
+    idx.assigned.write.format("noop").mode("overwrite").save()
+    assert not cm.isEmpty()  # the cache IS the index
+    del idx
+    gc.collect()
+    assert cm.isEmpty(), "IVF assignment cache leaked"
+
+
 @pytest.mark.parametrize("fn", ["ngram_jaccard_pairs", "containment_pairs"])
 def test_uncapped_pair_join_warns_by_default(spark, fn):
     docs = _docs(spark).limit(5)
