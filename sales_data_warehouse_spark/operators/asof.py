@@ -313,6 +313,59 @@ def asof_join(
     )
 
 
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    broadcast_row_limit: int = 10_000_000,
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    envelope_prefilter: bool = False,
+) -> DataFrame:
+    """Route to the right physical as-of plan by the versioned side's
+    size: at or under ``broadcast_row_limit`` rows, the broadcast +
+    ``max_by`` plan (1.8-2.0 s on the pricing oracle — wins while the
+    side fits a broadcast); over it, :func:`asof_join_grouped`'s
+    pure-JVM union engine (one co-keyed shuffle + sort, the shape that
+    survives both sides huge) instead of raising like ``asof_join``'s
+    guard does.
+
+    The probe is the same memoized one-``count()`` job as the guard
+    (per application + plan semantic hash, so the common shape — one
+    price list, many queries — pays it once). If even one narrow scan
+    of the right side is unacceptable, or the right side is an
+    expensive derived pipeline, route yourself: call ``asof_join`` or
+    ``asof_join_grouped`` directly. ``envelope_prefilter`` applies
+    only on the broadcast route (the union engine never builds a
+    candidate set to prune).
+    """
+    sc_app = left.sparkSession.sparkContext.applicationId
+    key = (sc_app, right.semanticHash())
+    n_right = _GUARD_COUNT_CACHE.get(key)
+    if n_right is None:
+        n_right = right.count()
+        _GUARD_COUNT_CACHE[key] = n_right
+    if n_right <= broadcast_row_limit:
+        return asof_join(
+            left, right, on, left_ts, right_ts,
+            direction=direction,
+            tolerance=tolerance,
+            allow_exact_matches=allow_exact_matches,
+            envelope_prefilter=envelope_prefilter,
+        )
+    return asof_join_grouped(
+        left, right, on, left_ts, right_ts,
+        direction=direction,
+        engine="union",
+        tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+    )
+
+
 def asof_join_grouped(
     left: DataFrame,
     right: DataFrame,

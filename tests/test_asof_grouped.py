@@ -254,6 +254,24 @@ def test_tolerance_strict_semantics_pinned(spark):
     assert got == {"2020-06-10": "A", "2020-06-15": "B"}
 
 
+def test_auto_routes_by_right_side_size(spark, sides):
+    """asof_join_auto: a broadcast-sized versioned side takes the
+    broadcast+max_by plan; past the row limit it falls over to the
+    pure-JVM union engine (instead of raising like asof_join's guard)
+    — with identical results either way."""
+    from sales_data_warehouse_spark.operators.asof import asof_join_auto
+
+    l, ph = sides
+    kw = dict(on=["p_partkey"], left_ts="ship_date", right_ts="eff_date")
+    small = asof_join_auto(l, ph, **kw)  # default limit: broadcast route
+    big = asof_join_auto(l, ph, broadcast_row_limit=10, **kw)  # union
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in small_plan
+    assert "Window" in big_plan and "Python" not in big_plan
+    assert _key_rows(small) == _key_rows(big)
+
+
 def test_tolerance_type_validation(spark):
     import datetime as dt
 
