@@ -272,6 +272,66 @@ def test_auto_routes_by_right_side_size(spark, sides):
     assert _key_rows(small) == _key_rows(big)
 
 
+def test_composite_key_asof_all_plans_agree(spark):
+    """Multi-column ``on`` keys: the window/union engine partitions on
+    all of them; every plan must agree with the broadcast baseline."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "eu", dt.date(2024, 2, 1)),
+            (1, "us", dt.date(2024, 2, 1)),
+            (2, "eu", dt.date(2024, 2, 1)),
+        ],
+        "k long, region string, ts date",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "eu", dt.date(2024, 1, 1), 10.0),
+            (1, "us", dt.date(2024, 1, 15), 20.0),
+            (2, "us", dt.date(2024, 1, 1), 99.0),  # region mismatch
+        ],
+        "k long, region string, vts date, price double",
+    )
+    want = sorted(
+        (r.k, r.region, str(r.ts), r.price)
+        for r in asof_join(
+            left, right, ["k", "region"], "ts", "vts"
+        ).collect()
+    )
+    assert want == [(1, "eu", "2024-02-01", 10.0), (1, "us", "2024-02-01", 20.0)]
+    for engine in ("union", "cogroup"):
+        got = sorted(
+            (r.k, r.region, str(r.ts), r.price)
+            for r in asof_join_grouped(
+                left, right, ["k", "region"], "ts", "vts", engine=engine
+            ).collect()
+        )
+        assert got == want, engine
+
+
+def test_union_engine_empty_sides(spark):
+    """Empty versioned side -> every left row drops (inner); empty left
+    -> empty output; schemas intact in both cases."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1))], "k long, ts date"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2023, 1, 1), "v")], "k long, vts date, tag string"
+    )
+    no_right = asof_join_grouped(
+        left, right.limit(0), ["k"], "ts", "vts", engine="union"
+    )
+    assert no_right.count() == 0
+    assert no_right.columns == ["k", "ts", "vts", "tag"]
+    no_left = asof_join_grouped(
+        left.limit(0), right, ["k"], "ts", "vts", engine="union"
+    )
+    assert no_left.count() == 0
+
+
 def test_tolerance_type_validation(spark):
     import datetime as dt
 
