@@ -320,6 +320,64 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return _sig(vec)
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    nn: DataFrame | None = None,
+) -> DataFrame:
+    """Label each query vector by MAJORITY VOTE of its ``k`` nearest
+    labeled neighbors — neighbor-based label propagation, the standard
+    curation move for scoring unlabeled documents against a small
+    labeled seed set (quality tiers, domains, toxicity) without
+    training a classifier.
+
+    Default neighbor source is :func:`brute_force_topk` (exact — the
+    verifiable configuration); at corpus scale pass ``nn`` explicitly,
+    e.g. ``ivf_search(index, queries, k=k)`` — any (query_id,
+    neighbor_id) frame works, so the vote composes with every ANN path
+    here. The vote itself is two map-side-combinable aggregations on
+    |queries|*k rows — never a scale concern.
+
+    Deterministic: ties on votes pick the SMALLEST label (``max_by``
+    over (votes, -label)); neighbor sets are already deterministic via
+    the top-k tie-break on neighbor id. Returns (query_id, pred_label,
+    votes, n_neighbors) — ``votes`` the winner's count, ``n_neighbors``
+    how many voted (< k only when the corpus is smaller than k).
+    """
+    if nn is None:
+        nn = brute_force_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        nn.select("query_id", "neighbor_id")
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "_lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return votes.groupBy("query_id").agg(
+        F.max_by(
+            F.col("_lbl"),
+            F.struct(
+                F.col("votes").alias("v"), (-F.col("_lbl")).alias("nl")
+            ),
+        ).alias("pred_label"),
+        F.max_by(
+            F.col("votes"),
+            F.struct(
+                F.col("votes").alias("v"), (-F.col("_lbl")).alias("nl")
+            ),
+        ).alias("votes"),
+        F.sum("votes").cast("bigint").alias("n_neighbors"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

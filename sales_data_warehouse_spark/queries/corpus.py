@@ -2185,6 +2185,62 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_label_vote",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (SQRT(LIST_DOT_PRODUCT(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * SQRT(LIST_DOT_PRODUCT(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS sim
+      FROM q CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT r.query_id, c.label, COUNT(*) AS votes
+      FROM ranked r JOIN embeddings c ON c.vec_id = r.neighbor_id
+      WHERE r.rank <= 5
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT query_id, label, votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY votes DESC, label ASC
+             ) AS rn,
+             SUM(votes) OVER (PARTITION BY query_id) AS n_neighbors
+      FROM votes
+    )
+    SELECT query_id, CAST(label AS INTEGER) AS pred_label,
+           CAST(votes AS BIGINT) AS votes,
+           CAST(n_neighbors AS BIGINT) AS n_neighbors
+    FROM best WHERE rn = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighbor-based label propagation (round 7, entry #150 — the
+    capacity ceiling; the next registration triggers the three-round
+    cadence policy above): the first 20 vectors take the majority label
+    of their exact top-5 cosine neighbors, ties to the smallest label.
+    Exact-oracle configuration runs the brute-force truth path (same
+    bit-identical dot products as ``ann_bruteforce_topk``); at corpus
+    scale the vote composes with ``ivf_search`` instead (see
+    ``similarity.knn_label_vote``). Registered after the frozen r7
+    window — r8-window candidate alongside ``asof_join_tolerance``."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.knn_label_vote(
+        emb, emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
 def _ann_recall_stats(
     truth: DataFrame, cand: DataFrame, k: int, recall_floor: float
 ) -> DataFrame:
@@ -6133,17 +6189,18 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 #   quality, profile/drift, join_composite_key, join_multiway,
 #   dense_cube_crossjoin, ...).
 #
-# Round 7 adds ONE corpus entry — asof_join_tolerance (#149), the
-# bounded-staleness as-of through the union engine. The r7 window has
-# zero free slots, so it registers after position 50 (local
-# oracle-parity coverage this round) and is FIRST IN LINE for an r8
-# hard row, exactly like source_lexical_diversity was for r7.
+# Round 7 adds TWO corpus entries — asof_join_tolerance (#149), the
+# bounded-staleness as-of through the union engine, and knn_label_vote
+# (#150), neighbor-based label propagation over the embeddings table.
+# The r7 window has zero free slots, so both register after position
+# 50 (local oracle-parity coverage this round) and are FIRST IN LINE
+# for r8 hard rows, exactly like source_lexical_diversity was for r7.
 #
 # Staleness after this round: no entry's latest hard row is older than
-# r5 (the 48 r5 entries + asof_join_tolerance become the natural r8
-# window, + 1 free slot).
+# r5 (the 48 r5 entries + the two new entries are the forced r8
+# window — again exactly 50 slots, zero free).
 #
-# CAPACITY POLICY (effective round 7, at 149 entries / capacity 150
+# CAPACITY POLICY (effective round 7, at 150 entries / capacity 150
 # under the strict two-round staleness rule): when registration #151
 # arrives, proven-stable entries move to a THREE-round cadence to make
 # room. An entry qualifies as proven-stable when it has >= 3

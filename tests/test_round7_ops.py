@@ -99,6 +99,52 @@ def test_capped_or_acknowledged_pair_join_is_silent(spark, fn):
         getattr(dedup, fn)(docs, warn_uncapped=False)  # acknowledged
 
 
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    """Constructed geometry: majority label wins; a 2-2 vote tie picks
+    the smallest label; the vote composes with a caller-supplied ANN
+    frame (the IVF scale path) unchanged."""
+    from sales_data_warehouse_spark.operators import similarity
+
+    # 1-D embeddings on a line: neighbors are obvious by distance
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 1),
+            (11, [0.99, 0.14], 1),
+            (12, [0.95, 0.31], 2),
+            (13, [0.0, 1.0], 2),
+            (14, [0.1, 0.99], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (200, [0.05, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.query_id: (r.pred_label, r.votes, r.n_neighbors)
+        for r in similarity.knn_label_vote(corpus, queries, k=3).collect()
+    }
+    # q100 nearest 3: ids 10,11 (label 1) + 12 (label 2) -> label 1
+    # q200 nearest 3: ids 13,14 (label 2) + 12 (label 2) -> label 2
+    assert got == {100: (1, 2, 3), 200: (2, 3, 3)}
+
+    # 2-2 tie -> smallest label; k=4 over a 4-vector corpus
+    tie = {
+        r.query_id: (r.pred_label, r.votes, r.n_neighbors)
+        for r in similarity.knn_label_vote(
+            corpus.filter(F.col("vec_id") != 12), queries, k=4
+        ).collect()
+    }
+    assert tie[100] == (1, 2, 4) and tie[200] == (1, 2, 4)
+
+    # caller-supplied neighbor frame (ANN path) is honored verbatim
+    nn = spark.createDataFrame(
+        [(100, 13), (100, 14), (100, 10)], "query_id long, neighbor_id long"
+    )
+    via_nn = similarity.knn_label_vote(corpus, queries, nn=nn).collect()
+    assert {(r.query_id, r.pred_label) for r in via_nn} == {(100, 2)}
+
+
 def test_shingle_df_profile_matches_manual_count(spark):
     docs = spark.createDataFrame(
         [
