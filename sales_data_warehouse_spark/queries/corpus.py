@@ -6200,6 +6200,14 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # r5 (the 48 r5 entries + the two new entries are the forced r8
 # window — again exactly 50 slots, zero free).
 #
+# r8 composer note: four entries carry r7 CODE CHANGES (cache policy /
+# warn param) whose re-verification is so far local-parity only —
+# dedup_containment and dedup_jaccard_prefix are ALREADY in the forced
+# r8 window (r5-stale); semantic_dedup and dedup_containment_capped
+# (r6 rows) are not, and should take r9 slots (or displace into r8 if
+# anything frees up). All four are green in this round's type-strict
+# parity suite and driver_sim.
+#
 # CAPACITY POLICY (effective round 7, at 150 entries / capacity 150
 # under the strict two-round staleness rule): when registration #151
 # arrives, proven-stable entries move to a THREE-round cadence to make
