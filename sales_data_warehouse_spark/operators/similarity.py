@@ -696,6 +696,67 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     return IvfIndex(assigned, centers)
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag vectors with their nearest EXISTING centroid (rank-0
+    assignment, squared-L2 argmin over the broadcast codebook) — the
+    no-retrain step incremental index growth is built on. One
+    Arrow-batched pass; O(rows x num_centroids x dim), no shuffle.
+    Output matches ``IvfIndex.assigned``: (neighbor_id, cv, cell)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cell(v):
+        import numpy as np
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        m = np.stack(v.to_numpy()).astype("float64")
+        cm = np.asarray(centers, dtype="float64")
+        d2 = -2.0 * (m @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", nearest_cell(F.col("cv")))
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a PERSISTED IVF index without retraining: load the (tiny)
+    centroid codebook, assign each new vector to its nearest existing
+    cell, and APPEND to the cell-partitioned parquet — per batch the
+    work is O(batch x num_centroids) plus the append write; prior
+    cells are never read or rewritten, and the next ``load_ivf_index``
+    + ``ivf_search`` sees old and new vectors identically (searches
+    still prune to the probed cell directories). This is the
+    streaming-embedding-ingest shape: train once on a seed corpus,
+    append every new batch.
+
+    The trade is standard IVF: centroids drift from the optimum as the
+    appended corpus shifts distribution, degrading recall (cells get
+    lopsided) — monitor cell sizes and rebuild the index when the skew
+    or recall budget says so. Appends are correctness-neutral: a
+    rebuild WITH THE SAME centers over the union corpus produces an
+    identical index (tested)."""
+    centers_rows = (
+        spark.read.parquet(f"{path}/centers").orderBy("cell").collect()
+    )
+    centers = [list(r.center) for r in centers_rows]
+    assign_cells(new_vectors, centers, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/assigned")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

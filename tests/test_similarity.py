@@ -297,3 +297,38 @@ def test_rowwise_cosine_cross_side_dim_mismatch_is_null(spark):
         _rowwise_cosine(F.col("a"), F.col("b")).alias("cos")
     ).collect()
     assert all(r["cos"] is None for r in got)
+
+
+def test_ivf_append_equals_rebuild_with_same_centers(spark, emb, tmp_path):
+    """Incremental growth: train on a seed corpus, append a new batch —
+    the persisted index must equal a rebuild WITH THE SAME centers over
+    the union corpus, and searches must see old+new vectors alike."""
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    index = similarity.build_ivf_index(seed, num_centroids=8, cache=False)
+    path = str(tmp_path / "ivf_inc")
+    similarity.save_ivf_index(index, path)
+    similarity.ivf_append(spark, path, batch)
+    grown = similarity.load_ivf_index(spark, path)
+
+    # identical to assigning the union corpus against the same codebook
+    want_assigned = sorted(
+        (r.neighbor_id, r.cell)
+        for r in similarity.assign_cells(emb, index.centers).collect()
+    )
+    got_assigned = sorted(
+        (r.neighbor_id, r.cell) for r in grown.assigned.collect()
+    )
+    assert got_assigned == want_assigned
+
+    cols = ["query_id", "neighbor_id", "rank", "sim"]
+    got = _rows(similarity.ivf_search(grown, q, k=3, nprobe=8), cols)
+    rebuilt = similarity.IvfIndex(
+        similarity.assign_cells(emb, index.centers), index.centers
+    )
+    want = _rows(similarity.ivf_search(rebuilt, q, k=3, nprobe=8), cols)
+    assert got == want
+    # and appended (odd-id) vectors are actually findable
+    assert any(nid % 2 == 1 for _, nid, _, _ in got)
