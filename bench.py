@@ -65,9 +65,10 @@ HEADLINE = [
 # are timed below as op_minhash_lsh_pairs / op_simhash_pairs.
 
 #: Timed at BASE scale alongside HEADLINE but NOT summed into value
-#: (the headline total must stay round-comparable). Gives the cogroup
-#: as-of plan a base point so its sf1 number has a denominator — the
-#: broadcast-vs-cogroup crossover claim needs both ends of the curve.
+#: (the headline total must stay round-comparable). Gives the
+#: both-sides-huge as-of plan (r7: the pure-JVM union engine) a base
+#: point so its sf1 number has a denominator — the broadcast-vs-grouped
+#: crossover claim needs both ends of the curve.
 BASE_EXTRA = [
     "asof_join_grouped_pricelist",
 ]
@@ -92,8 +93,8 @@ SF1_SET = [
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     # both physical as-of plans at 10x: broadcast+max_by above
-    # (asof_join_pricelist) vs the cogrouped merge_asof path — the
-    # both-sides-huge claim gets a measured number (r4 advice #6)
+    # (asof_join_pricelist) vs the grouped path (r7: pure-JVM union
+    # engine) — the both-sides-huge claim gets a measured number
     "asof_join_grouped_pricelist",
 ]
 

@@ -1,17 +1,26 @@
-"""Reusable as-of (point-in-time) join.
+"""Reusable as-of (point-in-time) join — three physical plans, one
+semantics.
 
 Reference: ``FactTable.sql:18-27`` does this with a correlated scalar
 subquery per fact row (``ORDER BY last_update_date DESC LIMIT 1``) —
-O(fact x versions) probes. Spark has no native ASOF JOIN; the idiomatic
-plan is a non-equi join on ``version_ts <= event_ts`` plus a top-1
-reduction per left row — here a ``max_by`` grouped aggregate, which
-partial-aggregates map-side (SURVEY J8/W3).
+O(fact x versions) probes. Spark has no native ASOF JOIN; this module
+provides:
 
-Scale: when the versioned side is dimension-sized (price lists, configs),
-Catalyst picks a broadcast join and the window partitions by the *left*
-row key, so state never exceeds versions-per-key per row. For
-billion-row versioned sides, pre-bucket both sides on ``on`` keys to make
-the join shuffle-free.
+* :func:`asof_join` — broadcast non-equi join + ``max_by`` top-1
+  reduction (map-side partial aggregation, SURVEY J8/W3). Wins while
+  the versioned side fits in a broadcast.
+* :func:`asof_join_grouped` (default ``engine='union'``) — pure-JVM
+  union-tag + running ``last(ignorenulls)`` window: one co-keyed
+  shuffle + sort, no Python, the plan that survives both sides huge
+  (r7; SURVEY J8 option (b)). ``engine='cogroup'`` keeps the pandas
+  ``merge_asof`` verification twin.
+* :func:`asof_join_auto` — routes between the two by a memoized
+  one-count probe of the versioned side.
+
+All plans support three directions (backward/forward/nearest, with
+pandas merge_asof's prefer-backward tie rule), ``tolerance`` (bounded
+staleness) and ``allow_exact_matches`` (strict bounds with fallback),
+verified bit-identical against each other and a DuckDB oracle.
 """
 
 from __future__ import annotations
