@@ -41,7 +41,8 @@ def _ts_micros(col: F.Column, dtype: T.DataType) -> F.Column:
     TimestampNTZ is decomposed field-by-field (date part + time-of-day)
     because ``to_utc_timestamp`` takes TimestampType and the implicit
     NTZ→LTZ cast reintroduces the session timezone (round-7 fix, r6
-    ADVICE #1). Numerics pass through as double.
+    ADVICE #1). Integral numerics stay bigint (exact above 2^53,
+    round-8 fix, r7 ADVICE #3); fractional numerics cast to double.
     """
     if isinstance(dtype, T.DateType):
         return F.unix_date(col).cast("bigint") * F.lit(
@@ -62,6 +63,15 @@ def _ts_micros(col: F.Column, dtype: T.DataType) -> F.Column:
         )
     if isinstance(dtype, T.TimestampType):
         return F.unix_micros(col)  # instant micros
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # keep integral keys exact: casting to double loses precision
+        # above 2^53, which can misresolve 'nearest' near-ties,
+        # allow_exact_matches equality, tolerance bounds, and the union
+        # engine's sort order (r7 ADVICE). Consumers only need a
+        # consistent orderable number — bigint is one.
+        return col.cast("bigint")
     return col.cast("double")
 
 
@@ -215,8 +225,10 @@ def asof_join(
             raise ValueError(
                 f"asof_join: right side exceeds the broadcast guard of "
                 f"{broadcast_row_limit} rows; use asof_join_grouped "
-                "(cogrouped merge_asof) or pass broadcast_right=False "
-                "for a shuffle join"
+                "(pure-JVM union-tag/window engine, the both-sides-"
+                "huge path) or asof_join_auto (routes on this same "
+                "count), or pass broadcast_right=False for a shuffle "
+                "join"
             )
 
     if envelope_prefilter:

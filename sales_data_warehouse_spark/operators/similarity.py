@@ -342,11 +342,15 @@ def knn_label_vote(
     here. The vote itself is two map-side-combinable aggregations on
     |queries|*k rows — never a scale concern.
 
-    Deterministic: ties on votes pick the SMALLEST label (``max_by``
-    over (votes, -label)); neighbor sets are already deterministic via
-    the top-k tie-break on neighbor id. Returns (query_id, pred_label,
-    votes, n_neighbors) — ``votes`` the winner's count, ``n_neighbors``
-    how many voted (< k only when the corpus is smaller than k).
+    Deterministic: ties on votes pick the SMALLEST label (``min_by``
+    over the struct (-votes, label), so the tie-break works for ANY
+    orderable label type — strings like domain/tier names included,
+    not just numerics; struct comparison orders field-by-field without
+    negating the label column). Neighbor sets are already
+    deterministic via the top-k tie-break on neighbor id. Returns
+    (query_id, pred_label, votes, n_neighbors) — ``votes`` the
+    winner's count, ``n_neighbors`` how many voted (< k only when the
+    corpus is smaller than k).
     """
     if nn is None:
         nn = brute_force_topk(
@@ -361,19 +365,15 @@ def knn_label_vote(
         .groupBy("query_id", "_lbl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
+    # min over (-votes, label): most votes first, then smallest label —
+    # valid for any orderable label type (negating the label column
+    # would cast-fail/null on strings; r7 ADVICE fix).
+    tie_key = F.struct(
+        (-F.col("votes")).alias("nv"), F.col("_lbl").alias("l")
+    )
     return votes.groupBy("query_id").agg(
-        F.max_by(
-            F.col("_lbl"),
-            F.struct(
-                F.col("votes").alias("v"), (-F.col("_lbl")).alias("nl")
-            ),
-        ).alias("pred_label"),
-        F.max_by(
-            F.col("votes"),
-            F.struct(
-                F.col("votes").alias("v"), (-F.col("_lbl")).alias("nl")
-            ),
-        ).alias("votes"),
+        F.min_by(F.col("_lbl"), tie_key).alias("pred_label"),
+        F.min_by(F.col("votes"), tie_key).alias("votes"),
         F.sum("votes").cast("bigint").alias("n_neighbors"),
     )
 
@@ -744,10 +744,19 @@ def ivf_append(
 
     The trade is standard IVF: centroids drift from the optimum as the
     appended corpus shifts distribution, degrading recall (cells get
-    lopsided) — monitor cell sizes and rebuild the index when the skew
-    or recall budget says so. Appends are correctness-neutral: a
-    rebuild WITH THE SAME centers over the union corpus produces an
-    identical index (tested)."""
+    lopsided) — monitor cell sizes with :func:`ivf_cell_stats` and
+    rebuild the index when the skew or recall budget says so. Appends
+    are RECALL-NEUTRAL: every appended vector lands in a valid cell of
+    the same codebook and is reachable by the same probed-cell search,
+    so search quality matches a same-centers rebuild. The stronger
+    claim — bit-identical cell assignment to the originally built
+    index — additionally assumes :func:`assign_cells`' numpy
+    squared-L2 argmin agrees with the builder's Spark KMeansModel
+    prediction kernel; the two evaluate floating point differently, so
+    a vector exactly equidistant between centroids could land in a
+    different (still valid) cell. The test pins append ≡ same-centers
+    rebuild through ``assign_cells`` itself, which is the kernel every
+    subsequent append uses."""
     centers_rows = (
         spark.read.parquet(f"{path}/centers").orderBy("cell").collect()
     )
@@ -755,6 +764,56 @@ def ivf_append(
     assign_cells(new_vectors, centers, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(f"{path}/assigned")
+
+
+class IvfCellStats(NamedTuple):
+    """Skew report for a persisted IVF index (see ivf_cell_stats)."""
+
+    per_cell: "DataFrame"  # (cell, n_rows) ordered n_rows desc
+    n_cells: int
+    total_rows: int
+    max_rows: int
+    median_rows: float
+    skew_ratio: float  # max_rows / median_rows — the rebuild signal
+
+
+def ivf_cell_stats(spark, path: str) -> IvfCellStats:
+    """Cell-size drift monitor for a persisted IVF index — the tool
+    the ``ivf_append`` docstring prescribes for deciding WHEN to
+    rebuild. One groupBy-count over the assigned table (cell counts
+    are O(num_centroids) rows, a bounded driver pull), summarized as
+    ``skew_ratio = max / median`` cell size: near 1 means balanced
+    cells and healthy probed-cell recall; a ratio drifting upward
+    after appends means the distribution has moved off the trained
+    centroids — lopsided cells make nprobe-bounded search scan more
+    rows for the same recall, and a retrain rebalances. Also reports
+    empty trained cells (cells present in the codebook but absent
+    from the data) via ``n_cells`` vs the codebook size in the
+    caller's hands. Rule of thumb: rebuild when skew_ratio exceeds
+    ~4-8 or keeps climbing round over round."""
+    per_cell = (
+        spark.read.parquet(f"{path}/assigned")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "cell")
+    )
+    counts = sorted(r["n_rows"] for r in per_cell.collect())
+    if not counts:
+        return IvfCellStats(per_cell, 0, 0, 0, 0.0, 0.0)
+    mid = len(counts) // 2
+    med = float(
+        counts[mid]
+        if len(counts) % 2
+        else (counts[mid - 1] + counts[mid]) / 2.0
+    )
+    return IvfCellStats(
+        per_cell=per_cell,
+        n_cells=len(counts),
+        total_rows=int(sum(counts)),
+        max_rows=int(max(counts)),
+        median_rows=med,
+        skew_ratio=float(max(counts) / med) if med else float("inf"),
+    )
 
 
 def ivf_topk(
@@ -1073,6 +1132,12 @@ def semantic_dedup(
                 "raise max_cell_rows if executors have the memory."
             )
             if oversize == "error":
+                # release the cache before raising: the result (which
+                # would carry the weakref release) is never built on
+                # this path, so without this the failed call pins the
+                # full assignment table in the CacheManager for the
+                # application lifetime (r7 ADVICE, medium).
+                tagged.unpersist()
                 raise ValueError(msg)
             warnings.warn(msg, ResourceWarning, stacklevel=2)
 

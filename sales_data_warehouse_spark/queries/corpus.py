@@ -6171,42 +6171,40 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
-# (CORRECTNESS_r01-r06 all equal registration positions 0-49).  Round-7
-# window — after r6, every one of the 148 entries' LATEST driver row is
-# green; 147 hold a hard row (50 from r6, 48 from r5, 49 from r4) and
-# the single entry with no hard row ever is source_lexical_diversity
-# (registered after the r6 freeze; local parity tests only until now).
-# This rotation is the FORCED window pre-computed in round 6:
+# (CORRECTNESS_r01-r06 all equal registration positions 0-49; r7+ use
+# the frozen rotation below).  Round-8 window — after r7, all 150
+# entries' LATEST driver row is green; 148 hold a hard row (50 from r7,
+# 50 from r6, 48 from r5) and the two entries with no hard row ever are
+# asof_join_tolerance (#149) and knn_label_vote (#150), both registered
+# after the r7 freeze with local oracle-parity coverage only. This
+# rotation is the FORCED window pre-computed in round 7 — the 48
+# r5-stale entries at the two-round staleness boundary plus the two
+# never-rowed newcomers, exactly 50 slots, zero free. A green run makes
+# this the corpus's first-ever full-coverage state: 150/150 entries
+# with a hard driver row, nothing staler than r6.
 #
-# * slot 0: source_lexical_diversity — first-ever hard driver row;
-# * slot 1: asof_join_grouped_pricelist — r4-stale AND its engine
-#   changed this round (pure-JVM union-tag/window plan replaces the
-#   pandas cogroup as the default both-sides-huge path), so the fresh
-#   hard row re-verifies the new engine against the shared oracle;
-# * slots 2-49: the remaining 48 entries whose last hard driver row is
-#   r4 (the two-round staleness boundary: the minhash/simhash/CC dedup
-#   family, embedding ops, bm25/hybrid retrieval, gopher/unigram
-#   quality, profile/drift, join_composite_key, join_multiway,
-#   dense_cube_crossjoin, ...).
+# Notable slots:
+# * asof_join_tolerance / knn_label_vote — first-ever hard rows (the
+#   r7 newcomers; knn_label_vote additionally carries the r8
+#   string-safe tie-break fix, so its first row verifies the fixed
+#   code);
+# * dedup_containment, dedup_jaccard_prefix — r5-stale AND carrying r7
+#   cache-policy/warn-param code changes, so their fresh rows also
+#   re-verify those changes;
+# * asof_join_forward — r5-stale AND the as-of key micros path gained
+#   the r8 bigint-exactness fix, re-verified here.
 #
-# Round 7 adds TWO corpus entries — asof_join_tolerance (#149), the
-# bounded-staleness as-of through the union engine, and knn_label_vote
-# (#150), neighbor-based label propagation over the embeddings table.
-# The r7 window has zero free slots, so both register after position
-# 50 (local oracle-parity coverage this round) and are FIRST IN LINE
-# for r8 hard rows, exactly like source_lexical_diversity was for r7.
+# r9 composer note: the remaining two entries with r7 code changes but
+# only local re-verification — semantic_dedup and
+# dedup_containment_capped — hold r6 rows, so the natural r9 forced
+# window (the 50 entries r6-stale after this round) picks them up
+# automatically; no displacement needed. Both are green in this
+# round's type-strict parity suite.
 #
 # Staleness after this round: no entry's latest hard row is older than
-# r5 (the 48 r5 entries + the two new entries are the forced r8
-# window — again exactly 50 slots, zero free).
-#
-# r8 composer note: four entries carry r7 CODE CHANGES (cache policy /
-# warn param) whose re-verification is so far local-parity only —
-# dedup_containment and dedup_jaccard_prefix are ALREADY in the forced
-# r8 window (r5-stale); semantic_dedup and dedup_containment_capped
-# (r6 rows) are not, and should take r9 slots (or displace into r8 if
-# anything frees up). All four are green in this round's type-strict
-# parity suite and driver_sim.
+# r6 (the r9 forced window is the 50 r6 entries — again exactly 50
+# slots, zero free; the rotation is periodic-3 while the corpus stays
+# at 150 with no new registrations).
 #
 # CAPACITY POLICY (effective round 7, at 150 entries / capacity 150
 # under the strict two-round staleness rule): when registration #151
@@ -6229,56 +6227,56 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    "source_lexical_diversity",
-    "asof_join_grouped_pricelist",
-    "asof_join_pricelist",
-    "basket_affinity",
-    "bm25_topk",
-    "cohort_ltv",
-    "corpus_health_report",
-    "curation_pipeline",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_lines",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_repeated_spans",
-    "dedup_simhash",
-    "dense_cube_crossjoin",
-    "doc_sequence_packing",
-    "embedding_centroids",
-    "embedding_normalize",
-    "embedding_quantize",
-    "embedding_truncate",
-    "epoch_shuffle",
-    "full_outer_join",
-    "gopher_quality_filter",
-    "hybrid_retrieval_rrf",
-    "join_composite_key",
-    "join_multiway",
-    "leakage_safe_split",
-    "multimodal_features",
-    "quality_logit",
-    "quality_select_top",
-    "rfm_segmentation",
-    "rolling_active_users",
-    "semantic_outliers",
-    "session_funnel",
-    "source_overlap_matrix",
-    "stats_correlation",
-    "table_drift_report",
-    "table_profile",
-    "temperature_mixture",
-    "topk_rank_ties",
-    "unigram_surprisal",
-    "union_by_name_missing",
-    "user_paths",
-    "window_cume_dist",
+    "ann_ivf_persisted",
+    "anti_join",
+    "approx_frequent_items_exact",
+    "approx_sketches",
+    "asof_join_forward",
+    "bm25_search_persisted",
+    "case_when_classify",
+    "cleanse_reject_routing",
+    "cube_quantity",
+    "date_functions",
+    "date_spine",
+    "dedup_containment",
+    "dedup_exact_incremental",
+    "dedup_jaccard_prefix",
+    "distinct_dedup",
+    "filter_projection",
+    "group_having",
+    "grouping_sets_revenue",
+    "json_props_extract",
+    "left_join_coalesce",
+    "location_hierarchy",
+    "ntile_buckets",
+    "percentile_quantity",
+    "pivot_status_by_year",
+    "pricing_summary",
+    "rollup_revenue",
+    "scalar_aggregates",
+    "scd2_versions",
+    "semi_join_having",
+    "sessionize",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sliding_window_rate",
+    "source_dup_ratio",
+    "streaming_dedup_batch_contract",
+    "string_functions",
+    "time_hierarchy",
+    "topk_global_sort",
+    "topk_revenue_orders",
+    "train_test_split",
+    "tumbling_window_agg",
+    "unpivot_lineitem_metrics",
+    "window_dense_rank",
+    "window_frame_first_last",
+    "window_lag_gap",
+    "window_running_total",
+    "window_top1_per_group",
+    "asof_join_tolerance",
+    "knn_label_vote",
 )
 
 
