@@ -132,6 +132,10 @@ def _src_fingerprint(sf_dir: str) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    # generation-recipe salt: layout changes (e.g. the r8 repartition
+    # fix) must invalidate a cached sf1 dir built the old way even
+    # though the SOURCE files are unchanged
+    h.update(b"sf1-layout-v2:repartition-32\n")
     for name in _BENCH_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         files = (
@@ -222,6 +226,18 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
                         _SF.sequence(_SF.lit(0), _SF.lit(copies - 1))
                     ),
                 ).select(*[shifted(c) for c in df.columns])
+                # LAYOUT IS LOAD-BEARING (r8 root-cause of the r6/r7
+                # "supra-linear" sf1 ratios): the base tables are
+                # single parquet files, so the exploded 10x copy
+                # inherited ONE input partition and wrote ONE file —
+                # every sf1 query then scanned it in a single task,
+                # serializing all pre-shuffle work on a 32-core box
+                # (bigram_surprisal measured 5.4 s on the 1-file
+                # layout vs 1.4 s on the same rows split across
+                # files; join/tfidf ratios inflated the same way).
+                # Real 100 TB tables arrive in thousands of splits;
+                # replicate that, don't benchmark the artifact.
+                df = df.repartition(32)
             df.write.mode("overwrite").parquet(
                 os.path.join(sf1_dir, f"{name}.parquet")
             )
@@ -253,11 +269,24 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
     )
 
     emb10 = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
-    t0 = time.perf_counter()
-    _similarity.lsh_topk(
-        emb10, emb10.filter(_SF.col("vec_id") < 10), k=5, probe_hamming=3
-    ).write.format("noop").mode("overwrite").save()
-    out["op_lsh_topk"] = round(time.perf_counter() - t0, 3)
+    # min-of-2 like every other row: this was a SINGLE run through r8's
+    # first pass, so the sf1 number folded first-call costs (codegen +
+    # Python-worker startup for the two pandas-UDF stages + broadcast
+    # build — measured 8.9 s cold vs ~3 s warm in a fresh session, and
+    # up to 28 s for the first call late in a long bench session) while
+    # its base twin was a warm min — the resulting 20-27x "ratio" was
+    # measurement protocol, not scaling.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _similarity.lsh_topk(
+            emb10,
+            emb10.filter(_SF.col("vec_id") < 10),
+            k=5,
+            probe_hamming=3,
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    out["op_lsh_topk"] = round(best, 3)
 
     # Bucketed-write path for the repeated-read composite join
     # (join_composite_key's 100 TB answer): pay the composite-key
@@ -544,6 +573,21 @@ def main() -> None:
     # Disable with SPARK_GRAFT_SF1=0.
     sf1_timings: dict[str, float] = {}
     sf1_err: str | None = None
+    # Session hygiene before the scaling block: the ETL section above
+    # leaves a complete-mode memory-sink table (bench_window_drain) and
+    # can leave stray cache entries in the JVM; clear both so the
+    # scaling rows measure the operators. (The r6/r7 "supra-linear"
+    # sf1 ratios themselves were attributed to the one-file sf1
+    # layout — see the repartition note in _sf1_block — not session
+    # state: measured in ISOLATION on a multi-file 10x replica the
+    # EXTRA_SCALING text ops are flat, bigram_surprisal 0.99x /
+    # gopher_quality_filter 1.20x, with a 3x point on the fixed+linear
+    # fit within 2-5%.)
+    try:
+        spark.catalog.dropTempView("bench_window_drain")
+    except Exception:  # noqa: BLE001 — view only exists if ETL ran
+        pass
+    spark.catalog.clearCache()
     try:
         sf1_timings = _sf1_block(spark, sf_dir, sf)
     except Exception as e:  # noqa: BLE001 — scaling block must never
@@ -667,6 +711,23 @@ def main() -> None:
                     # (not HEADLINE members, so the headline total
                     # stays round-comparable)
                     "new_ops": extra_scaling,
+                    # r7 VERDICT #7 attribution: the supra-linear
+                    # ratios recorded through r7 were a FILE-LAYOUT
+                    # artifact — the sf1 replicas were written as one
+                    # parquet file each, so every sf1 scan ran in a
+                    # single task (all pre-shuffle work serialized on
+                    # a 32-core box). Isolated 1x/3x/10x reruns on a
+                    # multi-file replica show the text ops flat
+                    # (bigram 0.99x, gopher 1.20x; 3x point within
+                    # 2-5% of the fixed+linear fit). Fixed in r8: the
+                    # generator repartitions replicas before writing.
+                    "scaling_note": (
+                        "sf1 replicas repartitioned to 32 files as of "
+                        "r8 — ratios before r8 were inflated by "
+                        "single-file single-task scans (bigram 5.4s "
+                        "on 1-file layout vs 1.4s on the same rows "
+                        "split across files), not operator cost"
+                    ),
                     **({"error": sf1_err} if sf1_err else {}),
                 },
                 "notes": (

@@ -1442,3 +1442,111 @@ def duplicate_ratio_by_group(
             F.expr("1000 * n_dup_docs DIV n_docs").cast("bigint"),
         )
     )
+
+
+def edit_distance_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    prefix_chars: int = 64,
+    band_width: int = 8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Typo-level near-duplicate pairs by Levenshtein distance over a
+    normalized key — the fuzzy-match dedup the fingerprint/shingle
+    family cannot express (one transposed character changes every
+    shingle that covers it, but is edit distance 1).
+
+    Key = the first ``prefix_chars`` characters of the lowercased,
+    whitespace-collapsed text: bounded length makes the per-pair
+    Levenshtein cost a constant, and title/head-line collisions are
+    where typo dups live. Returns (doc_a, doc_b, dist) with
+    ``doc_a < doc_b`` and ``dist <= max_dist`` (0 = keys identical).
+
+    Plan (exact-complete for the key): two strings within edit
+    distance d differ in length by at most d, so candidates only need
+    to meet within length BANDS of width ``band_width > max_dist`` —
+    one side replicates into its own and both neighbor bands
+    (``explode`` of 3 band keys), one equi-shuffle on the band key,
+    then the |len| <= d filter and Spark's built-in threshold
+    Levenshtein (``F.levenshtein(a, b, d)`` early-abandons at d+1,
+    JVM-side, no Python anywhere). Every qualifying pair meets in
+    exactly one band replica, so no post-dedup is needed.
+
+    Scale: the shuffle carries 4x the key table (3 replicas + left),
+    each row ``prefix_chars`` bytes — linear. The quadratic term is
+    per-band pair formation: bands are length-cohorts, so a corpus
+    whose keys cluster at one length concentrates into few bands
+    (the same hot-block shape as simhash's pigeonhole tables). For
+    production runs pass ``block_col`` (source, language, domain) to
+    additionally require equality on a natural partition — the
+    standard within-source fuzzy pass — and run AFTER exact dedup so
+    identical keys don't inflate bands. Reference has no fuzzy match
+    (extension; SURVEY §2.8 covers only exact string functions).
+
+    Relation to the ``fuzzy_name_match`` corpus entry: that query
+    blocks on a NATURAL key (brand) and silently misses pairs that
+    differ on it; length banding here is recall-lossless (dist <= d
+    forces a length difference <= d) and needs no key at all —
+    ``block_col`` re-adds natural-key blocking only as an explicit,
+    documented recall trade.
+    """
+    if band_width <= max_dist:
+        raise ValueError(
+            f"edit_distance_near_pairs: band_width ({band_width}) must "
+            f"exceed max_dist ({max_dist}) or pairs can straddle "
+            "non-adjacent bands and the blocking stops being complete"
+        )
+    key = F.substring(
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        ),
+        1,
+        prefix_chars,
+    )
+    cols = [F.col(id_col).alias("doc"), key.alias("k")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    keyed = (
+        docs.select(*cols)
+        .withColumn("klen", F.length("k"))
+        .withColumn(
+            "band", F.floor(F.col("klen") / F.lit(band_width))
+        )
+    )
+    left = keyed.select(
+        F.col("doc").alias("doc_a"),
+        F.col("k").alias("k_a"),
+        F.col("klen").alias("len_a"),
+        F.col("band").alias("band_a"),
+        *([F.col("blk").alias("blk_a")] if block_col else []),
+    )
+    right = keyed.select(
+        F.col("doc").alias("doc_b"),
+        F.col("k").alias("k_b"),
+        F.col("klen").alias("len_b"),
+        F.explode(
+            F.array(
+                F.col("band") - 1, F.col("band"), F.col("band") + 1
+            )
+        ).alias("jband"),
+        *([F.col("blk").alias("blk_b")] if block_col else []),
+    )
+    cond = (F.col("band_a") == F.col("jband")) & (
+        F.col("doc_a") < F.col("doc_b")
+    )
+    if block_col is not None:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    return (
+        left.join(right, cond)
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_dist)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("k_a", "k_b", max_dist).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

@@ -6206,21 +6206,33 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # slots, zero free; the rotation is periodic-3 while the corpus stays
 # at 150 with no new registrations).
 #
-# CAPACITY POLICY (effective round 7, at 150 entries / capacity 150
-# under the strict two-round staleness rule): when registration #151
-# arrives, proven-stable entries move to a THREE-round cadence to make
-# room. An entry qualifies as proven-stable when it has >= 3
-# consecutive green hard driver rows AND its operator code is untouched
-# since its last row; candidates are drawn from the exact truth-set
-# twins first (dedup_containment, dedup_embedding_cosine,
-# dedup_ngram_jaccard — their capped/approximate production twins keep
-# the two-round cadence and the shared oracle already re-verifies the
-# semantics). Off-rotation rounds stay covered by the local
-# tests/test_oracle_parity.py run, which re-verifies ALL entries
-# type-strictly every round regardless of the driver window. Every
-# entry must still take a hard driver row at least every three rounds —
-# the window composer treats the three-round boundary exactly as it
-# treats the two-round one today. (Mirrored in OPERATORS.md.)
+# CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically
+# infeasible: 50 slots/round supports a universal k-round cadence only
+# up to 50k entries, so 150 is EXACTLY the 3-round capacity and at #151
+# someone must exceed 3 rounds in each cycle; "everyone at least every
+# three rounds" cannot hold at 151+). Amended rule, feasible by
+# construction: from #151 the window is composed GREEDY MOST-STALE-
+# FIRST (ties by registration order), which guarantees every entry a
+# hard row at least every ceil(N/50) rounds and concentrates any
+# slack on at most N-150 entries per 3-round cycle. Those slip slots
+# are assigned to proven-stable entries — >= 3 consecutive green hard
+# rows AND operator code untouched since the last row — drawn from the
+# exact truth-set twins first (dedup_embedding_cosine is the first
+# designated candidate: 4 green rows r1/r2/r4/r7; its capped/
+# approximate production twin keeps the tighter cadence and the shared
+# oracle re-verifies the semantics), rotating so no entry slips in two
+# consecutive cycles. Code-changed entries are still promoted into the
+# next window regardless of staleness. Off-rotation rounds stay
+# covered by the local tests/test_oracle_parity.py run, which
+# re-verifies ALL entries type-strictly every round regardless of the
+# driver window. (Mirrored in OPERATORS.md.)
+#
+# REGISTRATION QUEUE: dedup.edit_distance_near_pairs (implemented r8,
+# exact-complete length-band blocked Levenshtein; DuckDB has
+# levenshtein() so a full hard oracle is expressible) is the candidate
+# for #151 — registering it invokes the amended policy above, so the
+# registration is a deliberate r9+ composer decision, not an automatic
+# append.
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new

@@ -128,6 +128,29 @@ def test_asof_auto_routes_union_past_broadcast_limit(spark):
         ) == truth
 
 
+def test_assign_cells_agrees_with_kmeans_prediction(spark):
+    """r7 ADVICE: ivf_append's recall-neutrality rests on assign_cells'
+    numpy squared-L2 argmin agreeing with Spark KMeansModel's
+    prediction kernel. The two evaluate floating point differently, so
+    the docstring scopes the guarantee to non-borderline vectors — this
+    pins the agreement empirically on the real test corpus (no vector
+    of which sits exactly equidistant between centroids): re-assigning
+    the INDEXED vectors through assign_cells must reproduce the
+    builder's own cells bit-for-bit."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    index = similarity.build_ivf_index(emb, num_centroids=8, cache=False)
+    built = {
+        r.neighbor_id: r.cell for r in index.assigned.collect()
+    }
+    re_assigned = {
+        r.neighbor_id: r.cell
+        for r in similarity.assign_cells(
+            emb, index.centers
+        ).collect()
+    }
+    assert re_assigned == built
+
+
 def test_ivf_cell_stats_reports_append_skew(spark, tmp_path):
     """r7 VERDICT #8: the drift monitor ivf_append's docstring
     prescribes. Balanced seed index -> low skew; a lopsided append
@@ -158,3 +181,96 @@ def test_ivf_cell_stats_reports_append_skew(spark, tmp_path):
     assert after.total_rows == 264
     assert after.max_rows >= 200
     assert after.skew_ratio > before.skew_ratio
+
+
+def _lev(a: str, b: str) -> int:
+    """Brute-force Levenshtein DP — the test oracle."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _norm_key(text: str, prefix_chars: int = 64) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", text.lower()).strip()[:prefix_chars]
+
+
+def test_edit_distance_near_pairs_vs_bruteforce(spark):
+    """Blocked plan == all-pairs truth: every pair within max_dist on
+    the normalized key is found (length banding is complete), nothing
+    above it survives, and dist values match a DP oracle. The fixture
+    deliberately places a dist-1 pair ACROSS a band boundary (key
+    lengths 7 vs 8 with band_width=8 -> bands 0 and 1) to pin the
+    neighbor-band replica path."""
+    from sales_data_warehouse_spark.operators import dedup
+
+    rows = [
+        (1, "The quick brown fox jumps"),
+        (2, "the quick brown fax jumps"),   # dist 1 to #1
+        (3, "the quick brown fox jumps!!"), # dist 2 to #1
+        (4, "a completely different doc"),
+        (5, "abcdefg"),                      # len 7 -> band 0
+        (6, "abcdefgh"),                     # len 8 -> band 1, dist 1 to #5
+        (7, "the  QUICK   brown fox jumps"), # normalizes == #1 (dist 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup.edit_distance_near_pairs(
+            docs, max_dist=2, band_width=8
+        ).collect()
+    )
+    keys = {i: _norm_key(t) for i, t in rows}
+    want = sorted(
+        (a, b, _lev(keys[a], keys[b]))
+        for a in keys
+        for b in keys
+        if a < b and _lev(keys[a], keys[b]) <= 2
+    )
+    assert got == want
+    assert (5, 6, 1) in got, "cross-band pair must be found"
+    assert (1, 7, 0) in got, "normalization must collapse whitespace/case"
+    assert all(a < b for a, b, _ in got)
+
+
+def test_edit_distance_near_pairs_block_col(spark):
+    """block_col restricts candidates to a natural partition (the
+    within-source production pass): the same near-identical titles in
+    different sources stop pairing."""
+    from sales_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "breaking news today", "web"),
+            (2, "breaking news toda",  "web"),
+            (3, "breaking news today", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    unblocked = dedup.edit_distance_near_pairs(docs, max_dist=2)
+    assert {(r.doc_a, r.doc_b) for r in unblocked.collect()} == {
+        (1, 2), (1, 3), (2, 3)
+    }
+    blocked = dedup.edit_distance_near_pairs(
+        docs, max_dist=2, block_col="source"
+    )
+    assert {(r.doc_a, r.doc_b) for r in blocked.collect()} == {(1, 2)}
+
+
+def test_edit_distance_band_width_guard(spark):
+    from sales_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band_width"):
+        dedup.edit_distance_near_pairs(docs, max_dist=8, band_width=8)
