@@ -274,3 +274,21 @@ def test_edit_distance_band_width_guard(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="band_width"):
         dedup.edit_distance_near_pairs(docs, max_dist=8, band_width=8)
+
+
+def test_edit_distance_plan_is_hash_join_not_cartesian(spark):
+    """Scale pin for the length-band blocking: the candidate join must
+    be an equi (hash) join on the band key — never a cartesian /
+    nested-loop over the corpus — and the Levenshtein threshold must
+    sit inside the join/filter, not a post-collect step."""
+    from sales_data_warehouse_spark.operators import dedup
+    from sales_data_warehouse_spark.plans.audit import (
+        executed_plan,
+        has_nested_loop_join,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = dedup.edit_distance_near_pairs(docs, max_dist=2)
+    assert not has_nested_loop_join(df, finalized=False)
+    plan = executed_plan(df, finalize=False)
+    assert "Join" in plan and "levenshtein" in plan.lower()
