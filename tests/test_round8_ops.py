@@ -292,3 +292,46 @@ def test_edit_distance_plan_is_hash_join_not_cartesian(spark):
     assert not has_nested_loop_join(df, finalized=False)
     plan = executed_plan(df, finalize=False)
     assert "Join" in plan and "levenshtein" in plan.lower()
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# Short alphabet + short strings: maximizes collisions near the
+# threshold and across band boundaries, where the blocking could break.
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_edit_distance_blocking_matches_bruteforce(spark, texts):
+    """Property: for random short strings (band_width=4, max_dist=2 —
+    bands deliberately tight so pairs straddle them), the blocked plan
+    returns EXACTLY the all-pairs DP truth set with matching
+    distances."""
+    from sales_data_warehouse_spark.operators import dedup
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.dist)
+        for r in dedup.edit_distance_near_pairs(
+            docs, max_dist=2, band_width=4
+        ).collect()
+    )
+    keys = {i: _norm_key(t) for i, t in rows}
+    want = sorted(
+        (a, b, _lev(keys[a], keys[b]))
+        for a in keys
+        for b in keys
+        if a < b and _lev(keys[a], keys[b]) <= 2
+    )
+    assert got == want
