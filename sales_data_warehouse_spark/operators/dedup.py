@@ -1452,6 +1452,7 @@ def edit_distance_near_pairs(
     prefix_chars: int = 64,
     band_width: int = 8,
     block_col: str | None = None,
+    warn_unblocked: bool = True,
 ) -> DataFrame:
     """Typo-level near-duplicate pairs by Levenshtein distance over a
     normalized key — the fuzzy-match dedup the fingerprint/shingle
@@ -1482,8 +1483,10 @@ def edit_distance_near_pairs(
     production runs pass ``block_col`` (source, language, domain) to
     additionally require equality on a natural partition — the
     standard within-source fuzzy pass — and run AFTER exact dedup so
-    identical keys don't inflate bands. Reference has no fuzzy match
-    (extension; SURVEY §2.8 covers only exact string functions).
+    identical keys don't inflate bands. Unblocked calls warn by
+    default (``warn_unblocked``, same loud contract as the uncapped
+    shingle self-joins). Reference has no fuzzy match (extension;
+    SURVEY §2.8 covers only exact string functions).
 
     Relation to the ``fuzzy_name_match`` corpus entry: that query
     blocks on a NATURAL key (brand) and silently misses pairs that
@@ -1497,6 +1500,24 @@ def edit_distance_near_pairs(
             f"edit_distance_near_pairs: band_width ({band_width}) must "
             f"exceed max_dist ({max_dist}) or pairs can straddle "
             "non-adjacent bands and the blocking stops being complete"
+        )
+    if block_col is None and warn_unblocked:
+        # same loud-default contract as the uncapped shingle self-joins
+        # (_warn_uncapped): zero-cost at plan-build time, because the
+        # failure mode is silent — length bands are cohorts, and a
+        # corpus whose keys cluster at one length concentrates the
+        # quadratic pair formation into a few hot bands.
+        import warnings
+
+        warnings.warn(
+            "edit_distance_near_pairs: block_col is None — candidate "
+            "pairs form QUADRATICALLY within each length band, and "
+            "real corpora cluster key lengths into hot bands. Pass "
+            "block_col (source, language, domain) for production "
+            "corpora, or warn_unblocked=False to acknowledge a "
+            "deliberate exact truth-set run.",
+            ResourceWarning,
+            stacklevel=2,
         )
     key = F.substring(
         F.trim(

@@ -228,7 +228,7 @@ def test_edit_distance_near_pairs_vs_bruteforce(spark):
     got = sorted(
         (r.doc_a, r.doc_b, r.dist)
         for r in dedup.edit_distance_near_pairs(
-            docs, max_dist=2, band_width=8
+            docs, max_dist=2, band_width=8, warn_unblocked=False
         ).collect()
     )
     keys = {i: _norm_key(t) for i, t in rows}
@@ -258,7 +258,9 @@ def test_edit_distance_near_pairs_block_col(spark):
         ],
         "doc_id long, text string, source string",
     )
-    unblocked = dedup.edit_distance_near_pairs(docs, max_dist=2)
+    unblocked = dedup.edit_distance_near_pairs(
+        docs, max_dist=2, warn_unblocked=False
+    )
     assert {(r.doc_a, r.doc_b) for r in unblocked.collect()} == {
         (1, 2), (1, 3), (2, 3)
     }
@@ -276,6 +278,25 @@ def test_edit_distance_band_width_guard(spark):
         dedup.edit_distance_near_pairs(docs, max_dist=8, band_width=8)
 
 
+def test_edit_distance_unblocked_warns(spark):
+    """Loud default, same contract as the uncapped shingle self-joins:
+    no block_col -> plan-build-time ResourceWarning; block_col or the
+    explicit acknowledgement silences it."""
+    import warnings
+
+    from sales_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x", "web")], "doc_id long, text string, source string"
+    )
+    with pytest.warns(ResourceWarning, match="block_col"):
+        dedup.edit_distance_near_pairs(docs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.edit_distance_near_pairs(docs, block_col="source")
+        dedup.edit_distance_near_pairs(docs, warn_unblocked=False)
+
+
 def test_edit_distance_plan_is_hash_join_not_cartesian(spark):
     """Scale pin for the length-band blocking: the candidate join must
     be an equi (hash) join on the band key — never a cartesian /
@@ -288,7 +309,9 @@ def test_edit_distance_plan_is_hash_join_not_cartesian(spark):
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    df = dedup.edit_distance_near_pairs(docs, max_dist=2)
+    df = dedup.edit_distance_near_pairs(
+        docs, max_dist=2, warn_unblocked=False
+    )
     assert not has_nested_loop_join(df, finalized=False)
     plan = executed_plan(df, finalize=False)
     assert "Join" in plan and "levenshtein" in plan.lower()
@@ -324,7 +347,7 @@ def test_edit_distance_blocking_matches_bruteforce(spark, texts):
     got = sorted(
         (r.doc_a, r.doc_b, r.dist)
         for r in dedup.edit_distance_near_pairs(
-            docs, max_dist=2, band_width=4
+            docs, max_dist=2, band_width=4, warn_unblocked=False
         ).collect()
     )
     keys = {i: _norm_key(t) for i, t in rows}
