@@ -6167,6 +6167,48 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
     return text.lexical_diversity(load_table(spark, sf, "documents"))
 
 
+@query(
+    "dedup_edit_distance",
+    r"""
+    WITH k AS (
+      SELECT doc_id, source,
+             SUBSTRING(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ',
+                                           'g')), 1, 32) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEVENSHTEIN(a.s, b.s) AS BIGINT) AS dist
+    FROM k a JOIN k b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEVENSHTEIN(a.s, b.s) <= 2
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo-level near-dup pairs (round 8, corpus entry #151): within-
+    source Levenshtein <= 2 over the normalized 32-char head of each
+    document — the fuzzy match the shingle family can't see (one
+    transposition breaks every covering shingle but is edit dist 1).
+
+    The Spark side runs ``dedup.edit_distance_near_pairs`` in its
+    production shape (length-band blocking + ``block_col='source'``);
+    the oracle is the UNBLOCKED within-source truth set, so a green
+    row also re-proves the length banding loses no pairs (the blocked
+    plan must equal all-pairs truth exactly — the same property the
+    hypothesis suite pins on random strings). Spark's threshold
+    Levenshtein early-abandons at dist 3; DuckDB computes the full DP
+    — same kept values, the filter is the contract."""
+    pairs = dedup.edit_distance_near_pairs(
+        load_table(spark, sf, "documents"),
+        max_dist=2,
+        prefix_chars=32,
+        band_width=8,
+        block_col="source",
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6194,17 +6236,22 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # * asof_join_forward — r5-stale AND the as-of key micros path gained
 #   the r8 bigint-exactness fix, re-verified here.
 #
-# r9 composer note: the remaining two entries with r7 code changes but
-# only local re-verification — semantic_dedup and
-# dedup_containment_capped — hold r6 rows, so the natural r9 forced
-# window (the 50 entries r6-stale after this round) picks them up
-# automatically; no displacement needed. Both are green in this
-# round's type-strict parity suite.
+# r9 composer note: round 8 REGISTERS entry #151 (dedup_edit_distance,
+# below — registered after position 50, local parity + driver_sim
+# green this round), which invokes the amended capacity policy for the
+# first time. The r9 candidates are the 50 r6-rowed entries plus #151
+# = 51 for 50 slots; greedy most-stale-first puts #151 (never-rowed)
+# first, and the ONE slip slot is designated to language_id (3 green
+# rows r1/r3/r6, operator code untouched since its creation commit —
+# text_quality qualifies identically and is next in line), which slips
+# to r10. The two entries with r7 code changes but only local
+# re-verification — semantic_dedup and dedup_containment_capped — hold
+# r6 rows and stay in the r9 window automatically.
 #
 # Staleness after this round: no entry's latest hard row is older than
-# r6 (the r9 forced window is the 50 r6 entries — again exactly 50
-# slots, zero free; the rotation is periodic-3 while the corpus stays
-# at 150 with no new registrations).
+# r6; from r9 the rotation runs the amended greedy policy at 151
+# entries (everyone within 3 rounds except the single designated
+# 4-round slip per cycle, rotating).
 #
 # CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically
 # infeasible: 50 slots/round supports a universal k-round cadence only
@@ -6227,12 +6274,11 @@ def source_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
 # re-verifies ALL entries type-strictly every round regardless of the
 # driver window. (Mirrored in OPERATORS.md.)
 #
-# REGISTRATION QUEUE: dedup.edit_distance_near_pairs (implemented r8,
-# exact-complete length-band blocked Levenshtein; DuckDB has
-# levenshtein() so a full hard oracle is expressible) is the candidate
-# for #151 — registering it invokes the amended policy above, so the
-# registration is a deliberate r9+ composer decision, not an automatic
-# append.
+# Registration #151 (round 8): dedup_edit_distance — the blocked-
+# Levenshtein near-dup in its production shape (block_col='source')
+# against the UNBLOCKED within-source truth set, so every hard row
+# also re-proves the length banding recall-lossless. The r9 slip
+# designation this forces is recorded in the r9 composer note above.
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
