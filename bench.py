@@ -756,16 +756,20 @@ def main() -> None:
                 # must be distinguishable from the driver's official
                 # run — the README ledger always quotes the DRIVER
                 # numbers (BENCH_r{N}.json stdout tail). Explicit
-                # SPARK_GRAFT_BENCH_SOURCE wins; otherwise infer from
-                # SPARK_GRAFT_ROUND — the builder's manual invocations
-                # always export the round explicitly (r7+ policy), the
-                # driver's bare invocation never does, so round-set-
-                # without-source means builder and bare means driver.
+                # SPARK_GRAFT_BENCH_SOURCE wins; SPARK_GRAFT_ROUND set
+                # without a source means a builder invocation (r7+
+                # policy: builders always export the round). A BARE run
+                # is LABELED as inferred, not claimed as authoritative:
+                # the driver's per-round invocation is the only
+                # expected bare caller, but nothing enforces the
+                # builder convention, and a builder run masquerading as
+                # 'driver' would pollute the ledger while a hedged
+                # label stays ignorable (fail-safe direction).
                 "source": os.environ.get(
                     "SPARK_GRAFT_BENCH_SOURCE",
                     "builder"
                     if os.environ.get("SPARK_GRAFT_ROUND")
-                    else "driver",
+                    else "driver-inferred-bare-run",
                 ),
                 # machine probe duplicated at top level so the
                 # value/probe normalization never needs the nested

@@ -41,8 +41,11 @@ def _ts_micros(col: F.Column, dtype: T.DataType) -> F.Column:
     TimestampNTZ is decomposed field-by-field (date part + time-of-day)
     because ``to_utc_timestamp`` takes TimestampType and the implicit
     NTZ→LTZ cast reintroduces the session timezone (round-7 fix, r6
-    ADVICE #1). Integral numerics stay bigint (exact above 2^53,
-    round-8 fix, r7 ADVICE #3); fractional numerics cast to double.
+    ADVICE #1). Integral numerics stay exact — byte/short/int/long as
+    bigint, DECIMAL(p,0) as decimal(38,0) (exact above 2^53, and above
+    2^63 where a bigint cast would NULL under ANSI-off; round-8 fix,
+    r7 ADVICE #3 + review). Fractional numerics cast to double;
+    exactness guarantees hold when both sides are integral.
     """
     if isinstance(dtype, T.DateType):
         return F.unix_date(col).cast("bigint") * F.lit(
@@ -72,6 +75,18 @@ def _ts_micros(col: F.Column, dtype: T.DataType) -> F.Column:
         # engine's sort order (r7 ADVICE). Consumers only need a
         # consistent orderable number — bigint is one.
         return col.cast("bigint")
+    if isinstance(dtype, T.DecimalType) and dtype.scale == 0:
+        # integral DECIMAL(p,0) keys (exported bigint ids/epochs are
+        # commonly re-typed this way) are just as exactness-sensitive:
+        # double collapses above 2^53, and a bigint cast would
+        # silently NULL values above 2^63 under this project's
+        # ANSI-off sessions. DECIMAL(38,0) keeps every value exact and
+        # is orderable/subtractable, which is all the consumers need —
+        # and a bigint-vs-decimal(38,0) union widens to decimal(38,0),
+        # staying exact. (Mixed integral/fractional pairings still
+        # widen to double — exactness holds when BOTH sides are
+        # integral, which is the contract worth having.)
+        return col.cast("decimal(38,0)")
     return col.cast("double")
 
 

@@ -214,15 +214,26 @@ def shingle_df_profile(
     )
 
 
+def _warn_loud(message: str, stacklevel: int = 3) -> None:
+    """Shared loud-default contract for quadratic-unless-bounded plan
+    shapes: a zero-cost ResourceWarning at plan-BUILD time (never an
+    in-line count job that would make the call eager), raised at the
+    USER'S line (default stacklevel: user -> operator -> here; wrappers
+    like _warn_uncapped pass one more). One implementation so the
+    category/stacklevel contract can't drift between operators
+    (r8 review)."""
+    import warnings
+
+    warnings.warn(message, ResourceWarning, stacklevel=stacklevel)
+
+
 def _warn_uncapped(op: str) -> None:
     """Loud default for the uncapped pair self-joins (r6 VERDICT #6):
     a zero-cost ResourceWarning at plan-build time, instead of an
     in-line df-count job that would make every call eager and tax the
     headline truth-set twins — the actual profile is one explicit
     :func:`shingle_df_profile` call away."""
-    import warnings
-
-    warnings.warn(
+    _warn_loud(
         f"{op}: max_df is None — the shingle self-join is QUADRATIC in "
         "the hottest shingle's document frequency (a shingle in k docs "
         "emits k^2 candidate rows; the uncapped config measured 40x "
@@ -231,8 +242,7 @@ def _warn_uncapped(op: str) -> None:
         "dedup.shingle_df_profile(docs) shows the hottest shingles. "
         "Pass warn_uncapped=False to acknowledge a deliberate exact "
         "truth-set run.",
-        ResourceWarning,
-        stacklevel=3,
+        stacklevel=4,
     )
 
 
@@ -1503,21 +1513,17 @@ def edit_distance_near_pairs(
         )
     if block_col is None and warn_unblocked:
         # same loud-default contract as the uncapped shingle self-joins
-        # (_warn_uncapped): zero-cost at plan-build time, because the
-        # failure mode is silent — length bands are cohorts, and a
-        # corpus whose keys cluster at one length concentrates the
-        # quadratic pair formation into a few hot bands.
-        import warnings
-
-        warnings.warn(
+        # — shared _warn_loud, because the failure mode is silent:
+        # length bands are cohorts, and a corpus whose keys cluster at
+        # one length concentrates the quadratic pair formation into a
+        # few hot bands.
+        _warn_loud(
             "edit_distance_near_pairs: block_col is None — candidate "
             "pairs form QUADRATICALLY within each length band, and "
             "real corpora cluster key lengths into hot bands. Pass "
             "block_col (source, language, domain) for production "
             "corpora, or warn_unblocked=False to acknowledge a "
-            "deliberate exact truth-set run.",
-            ResourceWarning,
-            stacklevel=2,
+            "deliberate exact truth-set run."
         )
     key = F.substring(
         F.trim(

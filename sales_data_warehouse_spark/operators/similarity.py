@@ -791,13 +791,21 @@ def ivf_cell_stats(spark, path: str) -> IvfCellStats:
     from the data) via ``n_cells`` vs the codebook size in the
     caller's hands. Rule of thumb: rebuild when skew_ratio exceeds
     ~4-8 or keeps climbing round over round."""
-    per_cell = (
+    rows = (
         spark.read.parquet(f"{path}/assigned")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.col("n_rows").desc(), "cell")
+        .collect()
     )
-    counts = sorted(r["n_rows"] for r in per_cell.collect())
+    # rebuild per_cell FROM the collected rows (O(num_centroids), already
+    # on the driver) so a consumer inspecting it doesn't re-scan and
+    # re-aggregate the whole assigned table a second time (r8 review)
+    per_cell = spark.createDataFrame(
+        [(int(r["cell"]), int(r["n_rows"])) for r in rows],
+        "cell INT, n_rows BIGINT",
+    )
+    counts = sorted(r["n_rows"] for r in rows)
     if not counts:
         return IvfCellStats(per_cell, 0, 0, 0, 0.0, 0.0)
     mid = len(counts) // 2

@@ -90,6 +90,35 @@ def test_asof_bigint_keys_exact_above_2_53(spark, engine):
     assert [(r.tag, r.rts) for r in got] == [("older", base)]
 
 
+@pytest.mark.parametrize("engine", ["broadcast", "union"])
+def test_asof_decimal_integral_keys_exact(spark, engine):
+    """r8 review: DECIMAL(p,0) integral keys (exported bigint ids /
+    epochs) must stay exact too — they map to decimal(38,0), which is
+    exact above 2^53 AND above 2^63 where a bigint cast would silently
+    NULL under ANSI-off. Same strict-backward probe as the long test,
+    but through decimal columns."""
+    from decimal import Decimal
+
+    base = Decimal(9_007_199_254_740_992)  # 2^53
+    left = spark.createDataFrame(
+        [("k", base + 1)], "grp string, ts decimal(20,0)"
+    )
+    right = spark.createDataFrame(
+        [("k", base, "older"), ("k", base + 1, "same_instant")],
+        "grp string, rts decimal(20,0), tag string",
+    )
+    kw = dict(direction="backward", allow_exact_matches=False)
+    if engine == "broadcast":
+        got = asof.asof_join(left, right, ["grp"], "ts", "rts", **kw)
+    else:
+        got = asof.asof_join_grouped(
+            left, right, ["grp"], "ts", "rts", engine="union", **kw
+        )
+    assert [(r.tag, int(r.rts)) for r in got.collect()] == [
+        ("older", int(base))
+    ]
+
+
 def test_asof_auto_routes_union_past_broadcast_limit(spark):
     """r7 VERDICT #9: pin the router's decision at the boundary. At or
     under broadcast_row_limit the broadcast + max_by plan runs (a join
