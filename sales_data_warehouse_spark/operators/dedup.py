@@ -1454,13 +1454,103 @@ def duplicate_ratio_by_group(
     )
 
 
+
+def _edit_key(text_col: str, prefix_chars: int):
+    """Normalized edit-distance key: first ``prefix_chars`` characters
+    of the lowercased, whitespace-collapsed text. Bounded length makes
+    the per-pair Levenshtein cost a constant, and title/head-line
+    collisions are where typo dups live."""
+    return F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        1,
+        prefix_chars,
+    )
+
+
+def _segment_geometry(df: DataFrame, len_col: str, idx_col: str, k: int):
+    """Even PassJoin partition of a length-``len_col`` key into ``k``
+    contiguous segments: with q = len DIV k and r = len % k, the first
+    k-r segments have length q and the last r have length q+1, so
+    segment ``idx_col`` (0-based) has
+
+        seglen   = q + (idx >= k - r)
+        segstart = 1 + idx*q + max(0, idx - (k - r))   (1-based)
+
+    The scheme is a pure function of (len, idx) — both the index side
+    (which cuts its own key) and the probe side (which enumerates
+    substrings for a *target* length) must derive identical geometry,
+    which is why it lives in one helper. All integer arithmetic,
+    JVM-side."""
+    q = F.expr(f"{len_col} DIV {k}")
+    r = F.expr(f"{len_col} % {k}")
+    idx = F.col(idx_col)
+    return df.withColumn(
+        "seglen",
+        (q + F.when(idx >= F.lit(k) - r, 1).otherwise(0)).cast("int"),
+    ).withColumn(
+        "segstart",
+        (
+            F.lit(1)
+            + idx * q
+            + F.greatest(F.lit(0), idx - (F.lit(k) - r))
+        ).cast("int"),
+    )
+
+
+def edit_distance_segment_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    prefix_chars: int = 64,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Index side of the PassJoin blocking used by
+    :func:`edit_distance_near_pairs`: each document's normalized key is
+    cut into ``max_dist + 1`` contiguous segments (even partition, see
+    :func:`_segment_geometry`) and exploded to one row per segment.
+
+    Returns (doc, k, klen, seg_idx, seg[, blk]). The join-bucket key is
+    ``(klen, seg_idx, seg)`` — exposed as its own function so tests can
+    pin that real corpora spread across MANY buckets (the r8 length-band
+    key degenerated to a single bucket on the driver's documents table;
+    segment text varies wherever the underlying text does)."""
+    if max_dist < 0:
+        raise ValueError(
+            f"edit_distance_segment_keys: max_dist ({max_dist}) must be"
+            " >= 0"
+        )
+    k_segments = max_dist + 1
+    cols = [
+        F.col(id_col).alias("doc"),
+        _edit_key(text_col, prefix_chars).alias("k"),
+    ]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    keyed = (
+        docs.select(*cols)
+        .filter(F.col("k").isNotNull())
+        .withColumn("klen", F.length("k"))
+    )
+    return (
+        keyed.withColumn(
+            "seg_idx",
+            F.explode(F.sequence(F.lit(0), F.lit(max_dist))),
+        )
+        .transform(
+            lambda df: _segment_geometry(df, "klen", "seg_idx", k_segments)
+        )
+        .withColumn("seg", F.expr("substring(k, segstart, seglen)"))
+        .drop("seglen", "segstart")
+    )
+
+
 def edit_distance_near_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dist: int = 2,
     prefix_chars: int = 64,
-    band_width: int = 8,
     block_col: str | None = None,
     warn_unblocked: bool = True,
 ) -> DataFrame:
@@ -1470,110 +1560,176 @@ def edit_distance_near_pairs(
     shingle that covers it, but is edit distance 1).
 
     Key = the first ``prefix_chars`` characters of the lowercased,
-    whitespace-collapsed text: bounded length makes the per-pair
-    Levenshtein cost a constant, and title/head-line collisions are
-    where typo dups live. Returns (doc_a, doc_b, dist) with
-    ``doc_a < doc_b`` and ``dist <= max_dist`` (0 = keys identical).
+    whitespace-collapsed text (see :func:`_edit_key`). Returns
+    (doc_a, doc_b, dist) with ``doc_a < doc_b`` and
+    ``dist <= max_dist`` (0 = keys identical).
 
-    Plan (exact-complete for the key): two strings within edit
-    distance d differ in length by at most d, so candidates only need
-    to meet within length BANDS of width ``band_width > max_dist`` —
-    one side replicates into its own and both neighbor bands
-    (``explode`` of 3 band keys), one equi-shuffle on the band key,
-    then the |len| <= d filter and Spark's built-in threshold
-    Levenshtein (``F.levenshtein(a, b, d)`` early-abandons at d+1,
-    JVM-side, no Python anywhere). Every qualifying pair meets in
-    exactly one band replica, so no post-dedup is needed.
+    Plan — PassJoin segment blocking (Li, Deng & Feng, "PASS-JOIN: a
+    partition-based method for similarity joins", PVLDB 5(3), 2011;
+    exact-complete for the key):
 
-    Scale: the shuffle carries 4x the key table (3 replicas + left),
-    each row ``prefix_chars`` bytes — linear. The quadratic term is
-    per-band pair formation: bands are length-cohorts, so a corpus
-    whose keys cluster at one length concentrates into few bands
-    (the same hot-block shape as simhash's pigeonhole tables). For
-    production runs pass ``block_col`` (source, language, domain) to
-    additionally require equality on a natural partition — the
-    standard within-source fuzzy pass — and run AFTER exact dedup so
-    identical keys don't inflate bands. Unblocked calls warn by
-    default (``warn_unblocked``, same loud contract as the uncapped
-    shingle self-joins). Reference has no fuzzy match (extension;
-    SURVEY §2.8 covers only exact string functions).
+    * INDEX side: each key is cut into ``max_dist + 1`` contiguous
+      segments (:func:`edit_distance_segment_keys`). By pigeonhole, a
+      pair within edit distance d leaves at least one of the d+1
+      segments of either string untouched, and an untouched segment
+      reappears in the other string *exactly*, shifted by at most d
+      positions (net insertions/deletions before it).
+    * PROBE side: each key enumerates, for every candidate partner
+      length ``tlen`` in [klen-d, klen+d] and every segment index, the
+      substrings of itself with that segment's length at start
+      positions within ±d of that segment's start. Join on the equi-key
+      ``(tlen = partner klen, seg_idx, substring = segment)`` — a hash
+      join whose bucket key VARIES with the text (the r8 length-band
+      key collapsed real corpora into one band; segment text does not).
+    * Candidates are de-duplicated on the pair (one pair can meet in
+      several segments/positions), then verified with Spark's built-in
+      threshold Levenshtein (``F.levenshtein(a, b, d)`` early-abandons
+      at d+1, JVM-side, no Python anywhere). The |len| <= d length
+      filter is built into the probe's tlen range.
 
-    Relation to the ``fuzzy_name_match`` corpus entry: that query
-    blocks on a NATURAL key (brand) and silently misses pairs that
-    differ on it; length banding here is recall-lossless (dist <= d
-    forces a length difference <= d) and needs no key at all —
-    ``block_col`` re-adds natural-key blocking only as an explicit,
-    documented recall trade.
+    Scale: per document the index side emits d+1 rows and the probe
+    side at most (2d+1)(d+1)(2d+1) rows (75 at d=2, typically ~half
+    that after window clamping) of short keys — a constant-factor,
+    LINEAR shuffle; pair formation is confined to buckets of docs
+    sharing an exact segment at a compatible length, so candidate
+    counts track true near-dup density instead of length-cohort sizes.
+    OUTPUT is still inherently quadratic inside a cluster of
+    near-identical keys (boilerplate heads, templated titles): pass
+    ``block_col`` (source, language, domain) to additionally require
+    equality on a natural partition — the standard within-source fuzzy
+    pass — and run AFTER exact dedup so identical keys don't inflate
+    clusters. Unblocked calls warn by default (``warn_unblocked``,
+    same loud contract as the uncapped shingle self-joins).
+
+    NULL handling: rows whose key normalizes to NULL (NULL text) are
+    excluded; with ``block_col`` set, rows whose block value is NULL
+    are ALSO excluded (the equi-join is null-rejecting, matching the
+    SQL oracle's ``=``) — a null-source cohort never pairs, even among
+    itself (r8 ADVICE; use a COALESCE'd block column upstream if NULL
+    cohorts should pair).
+
+    Reference has no fuzzy match (extension; SURVEY §2.8 covers only
+    exact string functions). Relation to the ``fuzzy_name_match``
+    corpus entry: that query blocks on a NATURAL key (brand) and
+    silently misses pairs that differ on it; segment blocking here is
+    recall-lossless and needs no key at all — ``block_col`` re-adds
+    natural-key blocking only as an explicit, documented recall trade.
     """
-    if band_width <= max_dist:
+    if max_dist < 0:
         raise ValueError(
-            f"edit_distance_near_pairs: band_width ({band_width}) must "
-            f"exceed max_dist ({max_dist}) or pairs can straddle "
-            "non-adjacent bands and the blocking stops being complete"
+            f"edit_distance_near_pairs: max_dist ({max_dist}) must be >= 0"
+        )
+    if prefix_chars < 1:
+        raise ValueError(
+            f"edit_distance_near_pairs: prefix_chars ({prefix_chars}) "
+            "must be >= 1 — an empty key makes every document a dist-0 "
+            "pair of every other"
         )
     if block_col is None and warn_unblocked:
         # same loud-default contract as the uncapped shingle self-joins
-        # — shared _warn_loud, because the failure mode is silent:
-        # length bands are cohorts, and a corpus whose keys cluster at
-        # one length concentrates the quadratic pair formation into a
-        # few hot bands.
+        # — candidate generation is linear under segment blocking, but
+        # the OUTPUT pair count is quadratic inside any cluster of
+        # near-identical keys (boilerplate heads), and real corpora
+        # have such clusters.
         _warn_loud(
-            "edit_distance_near_pairs: block_col is None — candidate "
-            "pairs form QUADRATICALLY within each length band, and "
-            "real corpora cluster key lengths into hot bands. Pass "
-            "block_col (source, language, domain) for production "
-            "corpora, or warn_unblocked=False to acknowledge a "
-            "deliberate exact truth-set run."
+            "edit_distance_near_pairs: block_col is None — output "
+            "pairs form QUADRATICALLY within any cluster of "
+            "near-identical keys (boilerplate/templated heads are "
+            "such clusters in real corpora). Pass block_col (source, "
+            "language, domain) for production corpora, or "
+            "warn_unblocked=False to acknowledge a deliberate exact "
+            "truth-set run."
         )
-    key = F.substring(
-        F.trim(
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-        ),
-        1,
-        prefix_chars,
-    )
-    cols = [F.col(id_col).alias("doc"), key.alias("k")]
-    if block_col is not None:
-        cols.append(F.col(block_col).alias("blk"))
-    keyed = (
-        docs.select(*cols)
-        .withColumn("klen", F.length("k"))
-        .withColumn(
-            "band", F.floor(F.col("klen") / F.lit(band_width))
-        )
-    )
-    left = keyed.select(
-        F.col("doc").alias("doc_a"),
-        F.col("k").alias("k_a"),
-        F.col("klen").alias("len_a"),
-        F.col("band").alias("band_a"),
-        *([F.col("blk").alias("blk_a")] if block_col else []),
-    )
-    right = keyed.select(
+    d = max_dist
+    k_segments = d + 1
+
+    index = edit_distance_segment_keys(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        max_dist=max_dist,
+        prefix_chars=prefix_chars,
+        block_col=block_col,
+    ).select(
         F.col("doc").alias("doc_b"),
         F.col("k").alias("k_b"),
         F.col("klen").alias("len_b"),
-        F.explode(
-            F.array(
-                F.col("band") - 1, F.col("band"), F.col("band") + 1
-            )
-        ).alias("jband"),
+        F.col("seg_idx").alias("j"),
+        F.col("seg"),
         *([F.col("blk").alias("blk_b")] if block_col else []),
     )
-    cond = (F.col("band_a") == F.col("jband")) & (
-        F.col("doc_a") < F.col("doc_b")
+
+    cols = [
+        F.col(id_col).alias("doc_a"),
+        _edit_key(text_col, prefix_chars).alias("k_a"),
+    ]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk_a"))
+    probe = (
+        docs.select(*cols)
+        .filter(F.col("k_a").isNotNull())
+        .withColumn("len_a", F.length("k_a"))
+        # candidate partner lengths: |len_a - tlen| <= d is the
+        # classic length filter, built into the enumeration
+        .withColumn(
+            "tlen",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("len_a") - d),
+                    F.col("len_a") + d,
+                )
+            ),
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+    )
+    # geometry of the PARTNER's segment i at length tlen — must equal
+    # the index side's cut exactly, hence the shared helper
+    probe = _segment_geometry(probe, "tlen", "i", k_segments)
+    probe = (
+        probe
+        # start positions within ±d of the partner segment's start,
+        # clamped to positions where a full-length substring exists;
+        # a zero-length segment matches "" at one (any) position
+        .withColumn("lo", F.greatest(F.lit(1), F.col("segstart") - d))
+        .withColumn(
+            "hi",
+            F.when(F.col("seglen") == 0, F.col("lo")).otherwise(
+                F.least(
+                    F.col("len_a") - F.col("seglen") + 1,
+                    F.col("segstart") + d,
+                )
+            ),
+        )
+        .filter(F.col("hi") >= F.col("lo"))
+        .withColumn("p", F.explode(F.sequence("lo", "hi")))
+        .withColumn("sub", F.expr("substring(k_a, p, seglen)"))
+        .drop("seglen", "segstart", "lo", "hi", "p")
+    )
+
+    cond = (
+        (F.col("tlen") == F.col("len_b"))
+        & (F.col("i") == F.col("j"))
+        & (F.col("sub") == F.col("seg"))
+        & (F.col("doc_a") < F.col("doc_b"))
     )
     if block_col is not None:
         cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    candidates = (
+        probe.join(index, cond)
+        .select("doc_a", "doc_b", "k_a", "k_b")
+        # one pair can meet in several (segment, position) buckets —
+        # de-dup BEFORE the verify so Levenshtein runs once per pair
+        .distinct()
+    )
+    dist = (
+        F.levenshtein("k_a", "k_b", d)
+        if d > 0
+        # d=0: the join already required whole-key equality (the single
+        # segment IS the key), and Spark's threshold Levenshtein
+        # requires threshold >= 1
+        else F.lit(0)
+    )
     return (
-        left.join(right, cond)
-        .filter(
-            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_dist)
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("k_a", "k_b", max_dist).alias("dist"),
-        )
+        candidates.select("doc_a", "doc_b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
     )

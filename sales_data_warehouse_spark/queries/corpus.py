@@ -6190,18 +6190,19 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     transposition breaks every covering shingle but is edit dist 1).
 
     The Spark side runs ``dedup.edit_distance_near_pairs`` in its
-    production shape (length-band blocking + ``block_col='source'``);
-    the oracle is the UNBLOCKED within-source truth set, so a green
-    row also re-proves the length banding loses no pairs (the blocked
-    plan must equal all-pairs truth exactly — the same property the
-    hypothesis suite pins on random strings). Spark's threshold
-    Levenshtein early-abandons at dist 3; DuckDB computes the full DP
-    — same kept values, the filter is the contract."""
+    production shape (PassJoin segment blocking, round 9 — the r8
+    length-band key degenerated to ONE band on real text — plus
+    ``block_col='source'``); the oracle is the UNBLOCKED within-source
+    truth set, so a green row also re-proves the segment blocking
+    loses no pairs (the blocked plan must equal all-pairs truth
+    exactly — the same property the hypothesis suite pins on random
+    strings). Spark's threshold Levenshtein early-abandons at dist 3;
+    DuckDB computes the full DP — same kept values, the filter is the
+    contract."""
     pairs = dedup.edit_distance_near_pairs(
         load_table(spark, sf, "documents"),
         max_dist=2,
         prefix_chars=32,
-        band_width=8,
         block_col="source",
     )
     return pairs.select(

@@ -237,11 +237,11 @@ def _norm_key(text: str, prefix_chars: int = 64) -> str:
 
 def test_edit_distance_near_pairs_vs_bruteforce(spark):
     """Blocked plan == all-pairs truth: every pair within max_dist on
-    the normalized key is found (length banding is complete), nothing
-    above it survives, and dist values match a DP oracle. The fixture
-    deliberately places a dist-1 pair ACROSS a band boundary (key
-    lengths 7 vs 8 with band_width=8 -> bands 0 and 1) to pin the
-    neighbor-band replica path."""
+    the normalized key is found (PassJoin segment blocking is
+    pigeonhole-complete), nothing above it survives, and dist values
+    match a DP oracle. The fixture keeps a dist-1 pair of UNEQUAL key
+    lengths (7 vs 8) to pin the cross-length probe path (tlen != own
+    length), plus a normalization-collapse dist-0 pair."""
     from sales_data_warehouse_spark.operators import dedup
 
     rows = [
@@ -249,15 +249,15 @@ def test_edit_distance_near_pairs_vs_bruteforce(spark):
         (2, "the quick brown fax jumps"),   # dist 1 to #1
         (3, "the quick brown fox jumps!!"), # dist 2 to #1
         (4, "a completely different doc"),
-        (5, "abcdefg"),                      # len 7 -> band 0
-        (6, "abcdefgh"),                     # len 8 -> band 1, dist 1 to #5
+        (5, "abcdefg"),                      # len 7
+        (6, "abcdefgh"),                     # len 8, dist 1 to #5
         (7, "the  QUICK   brown fox jumps"), # normalizes == #1 (dist 0)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(
         (r.doc_a, r.doc_b, r.dist)
         for r in dedup.edit_distance_near_pairs(
-            docs, max_dist=2, band_width=8, warn_unblocked=False
+            docs, max_dist=2, warn_unblocked=False
         ).collect()
     )
     keys = {i: _norm_key(t) for i, t in rows}
@@ -268,7 +268,7 @@ def test_edit_distance_near_pairs_vs_bruteforce(spark):
         if a < b and _lev(keys[a], keys[b]) <= 2
     )
     assert got == want
-    assert (5, 6, 1) in got, "cross-band pair must be found"
+    assert (5, 6, 1) in got, "unequal-length pair must be found"
     assert (1, 7, 0) in got, "normalization must collapse whitespace/case"
     assert all(a < b for a, b, _ in got)
 
@@ -299,12 +299,38 @@ def test_edit_distance_near_pairs_block_col(spark):
     assert {(r.doc_a, r.doc_b) for r in blocked.collect()} == {(1, 2)}
 
 
-def test_edit_distance_band_width_guard(spark):
+def test_edit_distance_arg_guards(spark):
     from sales_data_warehouse_spark.operators import dedup
 
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="band_width"):
-        dedup.edit_distance_near_pairs(docs, max_dist=8, band_width=8)
+    with pytest.raises(ValueError, match="max_dist"):
+        dedup.edit_distance_near_pairs(docs, max_dist=-1)
+    with pytest.raises(ValueError, match="prefix_chars"):
+        dedup.edit_distance_near_pairs(
+            docs, prefix_chars=0, warn_unblocked=False
+        )
+
+
+def test_edit_distance_segment_buckets_spread_on_real_text(spark):
+    """Scale pin for the r8 finding that motivated PassJoin: the old
+    length-band key put ALL 500 driver documents in ONE band (every
+    key longer than prefix_chars has klen == prefix_chars), making
+    candidates all-pairs. The segment join key (klen, seg_idx, seg)
+    must spread real text across many buckets — segment TEXT varies
+    wherever the documents do."""
+    from sales_data_warehouse_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    buckets = (
+        dedup.edit_distance_segment_keys(docs, max_dist=2, prefix_chars=32)
+        .select("klen", "seg_idx", "seg")
+        .distinct()
+        .count()
+    )
+    # not just ">1": with 3 segments per doc a healthy corpus produces
+    # bucket counts on the order of n_docs, not O(1) length-cohorts
+    assert buckets > n_docs
 
 
 def test_edit_distance_unblocked_warns(spark):
@@ -327,10 +353,12 @@ def test_edit_distance_unblocked_warns(spark):
 
 
 def test_edit_distance_plan_is_hash_join_not_cartesian(spark):
-    """Scale pin for the length-band blocking: the candidate join must
-    be an equi (hash) join on the band key — never a cartesian /
-    nested-loop over the corpus — and the Levenshtein threshold must
-    sit inside the join/filter, not a post-collect step."""
+    """Scale pin for the segment blocking: the candidate join must be
+    an equi (hash) join whose keys INCLUDE the segment text (r8's band
+    key was constant-valued on real corpora — an equi-join in name
+    only) — never a cartesian / nested-loop over the corpus — and the
+    Levenshtein threshold must sit inside the join/filter, not a
+    post-collect step."""
     from sales_data_warehouse_spark.operators import dedup
     from sales_data_warehouse_spark.plans.audit import (
         executed_plan,
@@ -344,13 +372,23 @@ def test_edit_distance_plan_is_hash_join_not_cartesian(spark):
     assert not has_nested_loop_join(df, finalized=False)
     plan = executed_plan(df, finalize=False)
     assert "Join" in plan and "levenshtein" in plan.lower()
+    join_lines = [ln for ln in plan.split("\n") if "HashJoin" in ln or
+                  "SortMergeJoin" in ln]
+    assert join_lines, f"no hash/sort-merge join in plan:\n{plan}"
+    # the equi-key list must carry the probe substring / index segment
+    # columns, not just lengths
+    assert any("sub#" in ln and "seg#" in ln for ln in join_lines), (
+        f"segment text missing from join keys:\n{join_lines}"
+    )
 
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 # Short alphabet + short strings: maximizes collisions near the
-# threshold and across band boundaries, where the blocking could break.
+# threshold and exercises degenerate segment geometry (zero-length
+# segments, keys shorter than max_dist+1), where the blocking could
+# break.
 _texts = st.lists(
     st.text(alphabet="ab c", min_size=0, max_size=12),
     min_size=1,
@@ -365,10 +403,12 @@ _texts = st.lists(
 )
 @given(texts=_texts)
 def test_edit_distance_blocking_matches_bruteforce(spark, texts):
-    """Property: for random short strings (band_width=4, max_dist=2 —
-    bands deliberately tight so pairs straddle them), the blocked plan
-    returns EXACTLY the all-pairs DP truth set with matching
-    distances."""
+    """Property: for random short strings (max_dist=2 over keys of
+    length 0-12, so segments are 0-4 chars and every geometry edge
+    case occurs), the blocked plan returns EXACTLY the all-pairs DP
+    truth set with matching distances — the pigeonhole completeness
+    done-gate carried over unchanged from the r8 band plan to the r9
+    PassJoin plan."""
     from sales_data_warehouse_spark.operators import dedup
 
     rows = list(enumerate(texts))
@@ -376,7 +416,7 @@ def test_edit_distance_blocking_matches_bruteforce(spark, texts):
     got = sorted(
         (r.doc_a, r.doc_b, r.dist)
         for r in dedup.edit_distance_near_pairs(
-            docs, max_dist=2, band_width=4, warn_unblocked=False
+            docs, max_dist=2, warn_unblocked=False
         ).collect()
     )
     keys = {i: _norm_key(t) for i, t in rows}
