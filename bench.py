@@ -650,7 +650,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    probe_py = _probe(_py_roundtrip, 3)
+    try:
+        probe_py = _probe(_py_roundtrip, 3)
+    except Exception:  # noqa: BLE001 — probe must not kill the bench
+        # (r8 ADVICE: a pandas/Arrow env hiccup here would otherwise
+        # discard every query timing already collected above)
+        probe_py = -1.0
 
     def _parquet_scan() -> None:
         spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(

@@ -45,7 +45,15 @@ def _ts_micros(col: F.Column, dtype: T.DataType) -> F.Column:
     bigint, DECIMAL(p,0) as decimal(38,0) (exact above 2^53, and above
     2^63 where a bigint cast would NULL under ANSI-off; round-8 fix,
     r7 ADVICE #3 + review). Fractional numerics cast to double;
-    exactness guarantees hold when both sides are integral.
+    exactness guarantees hold when both sides are integral — a MIXED
+    integral/fractional pairing widens the comparison to double and
+    quietly degrades above 2^53 (callers warn via
+    :func:`_warn_mixed_numeric_keys`). Decimal(38,0) differences also
+    assume |a-b| < 10^38: subtraction stays decimal(38,0), so for
+    opposite-sign operands with magnitudes near 10^38 the difference
+    overflows and NULLs under ANSI-off, silently dropping a
+    nearest/tolerance candidate (r8 ADVICE; unreachable for real
+    id/epoch keys, stated here so the exactness contract has edges).
     """
     if isinstance(dtype, T.DateType):
         return F.unix_date(col).cast("bigint") * F.lit(
@@ -117,6 +125,47 @@ def _tolerance_in_ts_units(tolerance, dtype: T.DataType):
     if micros < 0:
         raise ValueError(f"asof_join: tolerance must be >= 0: {tolerance}")
     return micros
+
+def _warn_mixed_numeric_keys(
+    left_dtype: T.DataType, right_dtype: T.DataType
+) -> None:
+    """Warn when exactly one as-of key side is integral and the other
+    fractional: the union/broadcast engines compare both sides in the
+    :func:`_ts_micros` number domain, and a bigint-vs-double (or
+    decimal(38,0)-vs-double) comparison widens to DOUBLE, so the
+    integral side's exactness quietly degrades above 2^53 —
+    'nearest' near-ties, ``allow_exact_matches`` equality, tolerance
+    bounds, and the union engine's sort order can all misresolve.
+    The exactness contract holds when BOTH sides are integral (or
+    both temporal); mixing types is almost always an upstream schema
+    bug worth hearing about (r8 brief #8)."""
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def _kind(dt: T.DataType) -> str | None:
+        if isinstance(dt, integral) or (
+            isinstance(dt, T.DecimalType) and dt.scale == 0
+        ):
+            return "integral"
+        if isinstance(dt, (T.FloatType, T.DoubleType)) or (
+            isinstance(dt, T.DecimalType) and dt.scale > 0
+        ):
+            return "fractional"
+        return None  # temporal/other: not this warning's concern
+
+    kinds = {_kind(left_dtype), _kind(right_dtype)}
+    if kinds == {"integral", "fractional"}:
+        import warnings
+
+        warnings.warn(
+            "asof_join: mixed integral/fractional key types "
+            f"({left_dtype.simpleString()} vs "
+            f"{right_dtype.simpleString()}) — the comparison widens to "
+            "double and integral exactness degrades above 2^53. Cast "
+            "both sides to one numeric family for exact semantics.",
+            UserWarning,
+            stacklevel=3,
+        )
+
 
 #: (applicationId, plan semanticHash) -> right-side row count. The
 #: broadcast guard's count is pure plan metadata within one Spark
@@ -271,6 +320,9 @@ def asof_join(
         group_keys = [F.col(f"l.{lid}")]
     rgt = F.broadcast(right) if broadcast_right else right
 
+    _warn_mixed_numeric_keys(
+        left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    )
     l_num = _ts_micros(F.col(f"l.{left_ts}"), left.schema[left_ts].dataType)
     r_num = _ts_micros(
         F.col(f"r.{right_ts}"), right.schema[right_ts].dataType
@@ -590,6 +642,9 @@ def _asof_union_plan(
         ]
     )
 
+    _warn_mixed_numeric_keys(
+        left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    )
     l_num = _ts_micros(F.col(left_ts), left.schema[left_ts].dataType)
     r_num = _ts_micros(F.col(right_ts), right.schema[right_ts].dataType)
 

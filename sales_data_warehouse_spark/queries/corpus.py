@@ -6215,44 +6215,43 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
 # (CORRECTNESS_r01-r06 all equal registration positions 0-49; r7+ use
-# the frozen rotation below).  Round-8 window — after r7, all 150
-# entries' LATEST driver row is green; 148 hold a hard row (50 from r7,
-# 50 from r6, 48 from r5) and the two entries with no hard row ever are
-# asof_join_tolerance (#149) and knn_label_vote (#150), both registered
-# after the r7 freeze with local oracle-parity coverage only. This
-# rotation is the FORCED window pre-computed in round 7 — the 48
-# r5-stale entries at the two-round staleness boundary plus the two
-# never-rowed newcomers, exactly 50 slots, zero free. A green run makes
-# this the corpus's first-ever full-coverage state: 150/150 entries
-# with a hard driver row, nothing staler than r6.
+# the frozen rotation below).  Round-9 window — after r8's 50/50 green
+# run, ALL 151 entries' latest driver row is green and 150 hold a hard
+# row (50 r8 / 50 r7 / 50 r6); the single never-rowed entry is
+# dedup_edit_distance (#151, registered r8 after the freeze). This
+# rotation is the r9 window the r8 composer pre-designated, composed
+# by the amended GREEDY MOST-STALE-FIRST policy (below): #151 plus 49
+# of the 50 r6-rowed entries.
 #
 # Notable slots:
-# * asof_join_tolerance / knn_label_vote — first-ever hard rows (the
-#   r7 newcomers; knn_label_vote additionally carries the r8
-#   string-safe tie-break fix, so its first row verifies the fixed
-#   code);
-# * dedup_containment, dedup_jaccard_prefix — r5-stale AND carrying r7
-#   cache-policy/warn-param code changes, so their fresh rows also
-#   re-verify those changes;
-# * asof_join_forward — r5-stale AND the as-of key micros path gained
-#   the r8 bigint-exactness fix, re-verified here.
+# * dedup_edit_distance — first-ever hard row, and it verifies the
+#   ROUND-9 REWRITE: PassJoin segment blocking replaced the r8
+#   length-band key (degenerate on real corpora — every doc longer
+#   than prefix_chars landed in ONE band). The oracle is still the
+#   UNBLOCKED within-source truth set, so the row re-proves the new
+#   blocking recall-lossless on driver data;
+# * semantic_dedup, dedup_containment_capped — r6 rows but r7 code
+#   changes (error-path cache release / warn-param plumbing); their
+#   fresh rows finally postdate the code they verify (r8 VERDICT
+#   "What's missing" #2);
+# * the r5-stale cohort is empty — everything else here is simply the
+#   r6 cohort at the two-round staleness boundary.
 #
-# r9 composer note: round 8 REGISTERS entry #151 (dedup_edit_distance,
-# below — registered after position 50, local parity + driver_sim
-# green this round), which invokes the amended capacity policy for the
-# first time. The r9 candidates are the 50 r6-rowed entries plus #151
-# = 51 for 50 slots; greedy most-stale-first puts #151 (never-rowed)
-# first, and the ONE slip slot is designated to language_id (3 green
-# rows r1/r3/r6, operator code untouched since its creation commit —
-# text_quality qualifies identically and is next in line), which slips
-# to r10. The two entries with r7 code changes but only local
-# re-verification — semantic_dedup and dedup_containment_capped — hold
-# r6 rows and stay in the r9 window automatically.
+# The ONE slip this round (51 candidates, 50 slots): language_id —
+# 3 green rows (r1/r3/r6), operator code untouched since creation —
+# slips to r10 as pre-designated by the r8 composer.
 #
-# Staleness after this round: no entry's latest hard row is older than
-# r6; from r9 the rotation runs the amended greedy policy at 151
-# entries (everyone within 3 rounds except the single designated
-# 4-round slip per cycle, rotating).
+# r10 composer note: candidates will be language_id + the 50 r7-rowed
+# entries = 51 for 50 slots. The designated r10 slip is
+# dedup_embedding_cosine (the quarantined exact truth-set twin, 4
+# green rows r1/r2/r4/r7, named first slip candidate when the policy
+# was amended in r8; its capped production twin keeps the tight
+# cadence and shares the oracle). language_id must NOT slip again —
+# the policy forbids consecutive-cycle slips for the same entry.
+#
+# Staleness after this round: nothing older than r7 except language_id
+# (r6, designated); every entry whose code changed since its last row
+# will have a row postdating the change.
 #
 # CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically
 # infeasible: 50 slots/round supports a universal k-round cadence only
@@ -6275,67 +6274,61 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 # re-verifies ALL entries type-strictly every round regardless of the
 # driver window. (Mirrored in OPERATORS.md.)
 #
-# Registration #151 (round 8): dedup_edit_distance — the blocked-
-# Levenshtein near-dup in its production shape (block_col='source')
-# against the UNBLOCKED within-source truth set, so every hard row
-# also re-proves the length banding recall-lossless. The r9 slip
-# designation this forces is recorded in the r9 composer note above.
-#
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    "ann_ivf_persisted",
-    "anti_join",
-    "approx_frequent_items_exact",
-    "approx_sketches",
-    "asof_join_forward",
-    "bm25_search_persisted",
-    "case_when_classify",
-    "cleanse_reject_routing",
-    "cube_quantity",
-    "date_functions",
-    "date_spine",
-    "dedup_containment",
-    "dedup_exact_incremental",
-    "dedup_jaccard_prefix",
-    "distinct_dedup",
-    "filter_projection",
-    "group_having",
-    "grouping_sets_revenue",
-    "json_props_extract",
-    "left_join_coalesce",
-    "location_hierarchy",
-    "ntile_buckets",
-    "percentile_quantity",
-    "pivot_status_by_year",
-    "pricing_summary",
-    "rollup_revenue",
-    "scalar_aggregates",
-    "scd2_versions",
-    "semi_join_having",
-    "sessionize",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sliding_window_rate",
-    "source_dup_ratio",
-    "streaming_dedup_batch_contract",
-    "string_functions",
-    "time_hierarchy",
-    "topk_global_sort",
-    "topk_revenue_orders",
-    "train_test_split",
-    "tumbling_window_agg",
-    "unpivot_lineitem_metrics",
-    "window_dense_rank",
-    "window_frame_first_last",
-    "window_lag_gap",
-    "window_running_total",
-    "window_top1_per_group",
-    "asof_join_tolerance",
-    "knn_label_vote",
+    "dedup_edit_distance",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join_nearest",
+    "attribution_last_touch",
+    "bigram_surprisal",
+    "bpe_pair_counts",
+    "corpus_filter_pipeline",
+    "decontaminate_ngrams",
+    "dedup_canonical_text",
+    "dedup_containment_capped",
+    "doc_chunking",
+    "doc_fingerprint",
+    "doc_pii_scrub",
+    "doc_winnowing",
+    "embedding_stats",
+    "exists_subquery_orders",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "gap_fill_locf",
+    "hypertable_rollup",
+    "in_subquery_big_orders",
+    "mixture_interleave",
+    "multimodal_audio_windows",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "not_exists_customers",
+    "range_join_weeks",
+    "repetition_quality",
+    "retention_cohorts",
+    "rolling_range_avg",
+    "scalar_subquery_share",
+    "semantic_dedup",
+    "session_stats",
+    "set_except_all",
+    "set_intersect_all",
+    "sketch_union_rollup",
+    "skew_salted_join",
+    "snapshot_upsert",
+    "stratified_sample",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_budget_select",
+    "token_counting",
+    "token_frequencies",
+    "topk_unshipped_revenue",
+    "trend_slope_per_user",
+    "value_histogram",
+    "zscore_outliers",
 )
 
 

@@ -14,6 +14,9 @@ warehouse at 100 TB/day ingest actually needs:
 * ``stateful`` — custom per-key state via ``applyInPandasWithState``
   (running totals with inactivity timeout), for semantics windowed
   aggregation can't express.
+* ``embeddings`` — drop-dir embedding stream → persisted-IVF append
+  with the cell-size drift monitor in the micro-batch loop (the
+  rebuild signal fires where the appends happen).
 
 Every transformation here also runs unchanged on a *batch* DataFrame of
 the same schema — the corpus' oracle checks exploit that (Spark's
@@ -43,6 +46,12 @@ from sales_data_warehouse_spark.streaming.documents import (
     start_streaming_doc_dedup,
     start_streaming_near_dedup,
 )
+from sales_data_warehouse_spark.streaming.embeddings import (
+    EMBEDDINGS_SCHEMA,
+    ivf_append_batch,
+    read_embeddings_stream,
+    start_streaming_ivf_append,
+)
 from sales_data_warehouse_spark.streaming.stateful import (
     running_user_totals,
 )
@@ -65,4 +74,8 @@ __all__ = [
     "start_streaming_doc_dedup",
     "near_dedup_documents_batch",
     "start_streaming_near_dedup",
+    "EMBEDDINGS_SCHEMA",
+    "read_embeddings_stream",
+    "ivf_append_batch",
+    "start_streaming_ivf_append",
 ]

@@ -1,0 +1,134 @@
+"""Streaming embedding ingest → persisted IVF index (SURVEY §2.9
+extension; the LLM-pipeline shape ``operators.similarity.ivf_append``'s
+docstring describes: train once on a seed corpus, append every new
+micro-batch, REBUILD when the cell-size monitor says the distribution
+has drifted off the trained centroids).
+
+Round 9 (r8 VERDICT #6): ``ivf_cell_stats`` existed but nothing called
+it — the rebuild signal never fired in the pipeline that needs it. The
+``foreachBatch`` sink here runs the monitor after every append and
+surfaces the ratio through ``on_stats`` (metrics hook) plus a loud
+warning once it crosses ``skew_warn_ratio``.
+
+Replay semantics: ``foreachBatch`` re-delivers a micro-batch whose sink
+ran but whose checkpoint commit didn't land. Appends are made
+replay-safe with a per-batch marker directory written AFTER the append
+commits — a replayed batch whose marker exists is skipped (stats still
+run, they're read-only). The unguarded window is a crash between the
+parquet commit and the marker write, in which one batch double-appends;
+IVF search tolerates duplicate vectors (same cell, same neighbor id —
+de-dup top-k by id if exact multiplicity matters) and the next rebuild
+heals the table, so the trade is documented rather than hidden behind a
+staging rename that could not be atomic across cell directories anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sales_data_warehouse_spark.operators.similarity import (
+    IvfCellStats,
+    ivf_append,
+    ivf_cell_stats,
+)
+from sales_data_warehouse_spark.sources.compaction import fs_exists
+
+#: embeddings-table schema (streaming sources need it declared).
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an embeddings drop directory (parquet),
+    one file per trigger by default — same backfill-exercises-the-
+    state-path rationale as ``read_documents_stream``."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(drop_dir)
+    )
+
+
+def ivf_append_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfCellStats:
+    """Fold one micro-batch into the persisted index and return the
+    post-append cell stats. Plain function (the ``foreachBatch`` sink
+    calls it) so replay semantics are directly testable without
+    driving a stream: a batch whose marker directory exists already
+    committed — skip the append, still report stats."""
+    marker = f"{index_path}/_ingest_batches/batch_id={batch_id}"
+    if not fs_exists(spark, marker):
+        ivf_append(spark, index_path, batch_df, id_col, vec_col)
+        # marker AFTER the append commit: a replay that sees it knows
+        # the data landed (module docstring covers the crash window)
+        spark.createDataFrame(
+            [(batch_id,)], "batch_id long"
+        ).write.mode("overwrite").parquet(marker)
+    return ivf_cell_stats(spark, index_path)
+
+
+def start_streaming_ivf_append(
+    spark: SparkSession,
+    drop_dir: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_stats: Callable[[int, IvfCellStats], None] | None = None,
+    skew_warn_ratio: float = 8.0,
+):
+    """Continuous drop-dir → IVF index growth with the drift monitor
+    in the loop: every micro-batch appends (replay-guarded), then
+    ``ivf_cell_stats`` runs and its report is pushed to ``on_stats``
+    (batch_id, stats) — wire it to metrics/logs; once ``skew_ratio``
+    reaches ``skew_warn_ratio`` a ResourceWarning fires (the
+    'rebuild me' signal — the upper end of ivf_cell_stats' ~4-8 rule
+    of thumb, since a stream should page someone only when drift is
+    unambiguous). Returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats = ivf_append_batch(
+            spark, index_path, batch_df, batch_id, id_col, vec_col
+        )
+        if on_stats is not None:
+            on_stats(batch_id, stats)
+        if stats.skew_ratio >= skew_warn_ratio:
+            import warnings
+
+            warnings.warn(
+                f"streaming ivf_append: skew_ratio "
+                f"{stats.skew_ratio:.2f} >= {skew_warn_ratio} after "
+                f"batch {batch_id} (max cell {stats.max_rows} rows vs "
+                f"median {stats.median_rows}) — the appended "
+                "distribution has drifted off the trained centroids; "
+                "rebuild the index",
+                ResourceWarning,
+                stacklevel=2,
+            )
+
+    stream = read_embeddings_stream(spark, drop_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint_dir or f"{index_path}/_append_checkpoint",
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,131 @@
+"""Round-9 changes (r8 VERDICT/ADVICE): mixed integral/fractional
+as-of key warning, ivf_cell_stats wired into the streaming embedding
+ingest, and the bench probe hardening."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators import asof
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mixed_fixture(spark, right_type: str):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k long, ts long"
+    ).withColumn("ts", F.col("ts").cast(right_type))
+    return left, right
+
+
+def test_asof_mixed_numeric_keys_warn(spark):
+    """Exactly one integral side + one fractional side widens the
+    _ts_micros comparison to double (exactness degrades above 2^53):
+    both the broadcast engine and the grouped union engine warn at
+    plan-build time; matched families stay silent (r8 brief #8)."""
+    left, right_d = _mixed_fixture(spark, "double")
+    with pytest.warns(UserWarning, match="mixed integral/fractional"):
+        asof.asof_join(left, right_d, ["k"], "ts", "ts")
+    with pytest.warns(UserWarning, match="mixed integral/fractional"):
+        asof.asof_join_grouped(left, right_d, ["k"], "ts", "ts")
+    # decimal with scale > 0 is fractional too
+    _, right_dec = _mixed_fixture(spark, "decimal(10,2)")
+    with pytest.warns(UserWarning, match="mixed integral/fractional"):
+        asof.asof_join(left, right_dec, ["k"], "ts", "ts")
+
+
+def test_asof_matched_numeric_keys_no_warn(spark):
+    """Integral-vs-integral (incl. DECIMAL(p,0)) and temporal keys do
+    not trigger the mixed-family warning."""
+    left, _ = _mixed_fixture(spark, "double")
+    base = spark.createDataFrame([(1, 100), (1, 200)], "k long, ts long")
+    right_int = base.withColumn("ts", F.col("ts").cast("int"))
+    right_dec0 = base.withColumn("ts", F.col("ts").cast("decimal(20,0)"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        asof.asof_join(left, right_int, ["k"], "ts", "ts")
+        asof.asof_join(left, right_dec0, ["k"], "ts", "ts")
+        asof.asof_join_grouped(left, right_int, ["k"], "ts", "ts")
+
+
+def test_streaming_ivf_append_drift_monitor(spark, tmp_path):
+    """r8 VERDICT #6: the cell-size monitor must FIRE inside the
+    streaming append loop. Seed a balanced index, stream two drop
+    files whose vectors all land in one cell (copies of one seed
+    vector): every micro-batch reports stats via on_stats, the
+    skew_ratio climbs batch over batch, and crossing skew_warn_ratio
+    raises the loud rebuild warning."""
+    from sales_data_warehouse_spark.operators import similarity
+    from sales_data_warehouse_spark.streaming import (
+        start_streaming_ivf_append,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    path = str(tmp_path / "ivf")
+    index = similarity.build_ivf_index(emb, num_centroids=4, cache=False)
+    similarity.save_ivf_index(index, path)
+    base = similarity.ivf_cell_stats(spark, path)
+
+    one = emb.limit(1).collect()[0]
+    drop = str(tmp_path / "drop")
+    for f in range(2):
+        spark.createDataFrame(
+            [(100_000 + f * 1000 + i, one.embedding, 0)
+             for i in range(150)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("append").parquet(drop)
+
+    seen: list[tuple[int, similarity.IvfCellStats]] = []
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = start_streaming_ivf_append(
+            spark,
+            drop,
+            path,
+            available_now=True,
+            on_stats=lambda bid, st: seen.append((bid, st)),
+            skew_warn_ratio=4.0,
+        )
+        q.awaitTermination(120)
+    assert len(seen) == 2, f"expected 2 micro-batches, saw {seen}"
+    ratios = [st.skew_ratio for _, st in seen]
+    assert ratios[0] > base.skew_ratio
+    assert ratios[1] > ratios[0]
+    assert seen[-1][1].total_rows == 64 + 300
+    rebuild_warns = [
+        w for w in caught
+        if issubclass(w.category, ResourceWarning)
+        and "rebuild the index" in str(w.message)
+    ]
+    assert rebuild_warns, "skew crossing the threshold must warn"
+
+
+def test_ivf_append_batch_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) whose marker committed
+    must NOT double-append — same contract as the doc-dedup batch
+    function; stats still come back (read-only)."""
+    from sales_data_warehouse_spark.operators import similarity
+    from sales_data_warehouse_spark.streaming import ivf_append_batch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    path = str(tmp_path / "ivf")
+    index = similarity.build_ivf_index(emb, num_centroids=4, cache=False)
+    similarity.save_ivf_index(index, path)
+
+    batch = emb.limit(8).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    first = ivf_append_batch(spark, path, batch, batch_id=7)
+    assert first.total_rows == 64 + 8
+    replay = ivf_append_batch(spark, path, batch, batch_id=7)
+    assert replay.total_rows == 64 + 8, "replay must not double-append"
+    fresh = ivf_append_batch(spark, path, batch, batch_id=8)
+    assert fresh.total_rows == 64 + 16
