@@ -1577,7 +1577,12 @@ def edit_distance_near_pairs(
     * PROBE side: each key enumerates, for every candidate partner
       length ``tlen`` in [klen-d, klen+d] and every segment index, the
       substrings of itself with that segment's length at start
-      positions within ±d of that segment's start. Join on the equi-key
+      positions in the POSITION-AWARE window around that segment's
+      start (the paper's multi-match-aware idea, derived here from
+      first principles: if the segment maps at shift σ = p - p_i, the
+      alignment needs ≥ |σ| edits before it and ≥ |Δ - σ| after it,
+      Δ = len difference, so |σ| + |Δ - σ| <= d — a window of d+1
+      positions instead of the naive ±d's 2d+1). Join on the equi-key
       ``(tlen = partner klen, seg_idx, substring = segment)`` — a hash
       join whose bucket key VARIES with the text (the r8 length-band
       key collapsed real corpora into one band; segment text does not).
@@ -1685,18 +1690,34 @@ def edit_distance_near_pairs(
     # geometry of the PARTNER's segment i at length tlen — must equal
     # the index side's cut exactly, hence the shared helper
     probe = _segment_geometry(probe, "tlen", "i", k_segments)
+    # POSITION-AWARE window (docstring): a matched segment's shift
+    # σ = p - segstart needs |σ| edits before it and |Δ - σ| after it
+    # (Δ = len_a - tlen), so |σ| + |Δ - σ| <= d bounds σ to
+    # [min(0,Δ) - (d-|Δ|) DIV 2, max(0,Δ) + (d-|Δ|) DIV 2] — d+1
+    # positions, not the naive ±d's 2d+1. Necessary-condition pruning:
+    # shifts outside it cannot belong to any <= d alignment, so
+    # completeness (the hypothesis DP-oracle property) is untouched.
+    slack = F.expr(f"({d} - abs(len_a - tlen)) DIV 2")
+    delta = F.col("len_a") - F.col("tlen")
     probe = (
         probe
-        # start positions within ±d of the partner segment's start,
-        # clamped to positions where a full-length substring exists;
+        # clamp to positions where a full-length substring exists;
         # a zero-length segment matches "" at one (any) position
-        .withColumn("lo", F.greatest(F.lit(1), F.col("segstart") - d))
+        .withColumn(
+            "lo",
+            F.greatest(
+                F.lit(1),
+                F.col("segstart") + F.least(F.lit(0), delta) - slack,
+            ),
+        )
         .withColumn(
             "hi",
             F.when(F.col("seglen") == 0, F.col("lo")).otherwise(
                 F.least(
                     F.col("len_a") - F.col("seglen") + 1,
-                    F.col("segstart") + d,
+                    F.col("segstart")
+                    + F.greatest(F.lit(0), delta)
+                    + slack,
                 )
             ),
         )
