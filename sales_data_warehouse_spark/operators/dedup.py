@@ -1545,6 +1545,127 @@ def edit_distance_segment_keys(
     )
 
 
+def _edit_probe_substrings(
+    src: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int,
+    prefix_chars: int,
+    block_col: str | None,
+) -> DataFrame:
+    """Probe side of the PassJoin blocking: for each row, enumerate the
+    substrings that could equal a partner's untouched segment — one row
+    per (candidate partner length ``tlen``, segment index ``i``, start
+    position) with the substring in ``sub``. The position range is the
+    POSITION-AWARE window: a matched segment's shift σ = p - segstart
+    needs ≥ |σ| edits before it and ≥ |Δ - σ| after it (Δ = own len -
+    partner len), so |σ| + |Δ - σ| <= d bounds σ to d+1 positions, not
+    the naive ±d's 2d+1. Necessary-condition pruning — shifts outside
+    it cannot belong to any <= d alignment, so completeness (the
+    hypothesis DP-oracle property) is untouched.
+
+    Returns (doc_a, k_a, len_a, tlen, i, sub[, blk_a])."""
+    d = max_dist
+    cols = [
+        F.col(id_col).alias("doc_a"),
+        _edit_key(text_col, prefix_chars).alias("k_a"),
+    ]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk_a"))
+    probe = (
+        src.select(*cols)
+        .filter(F.col("k_a").isNotNull())
+        .withColumn("len_a", F.length("k_a"))
+        # candidate partner lengths: |len_a - tlen| <= d is the
+        # classic length filter, built into the enumeration
+        .withColumn(
+            "tlen",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("len_a") - d),
+                    F.col("len_a") + d,
+                )
+            ),
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+    )
+    # geometry of the PARTNER's segment i at length tlen — must equal
+    # the index side's cut exactly, hence the shared helper
+    probe = _segment_geometry(probe, "tlen", "i", d + 1)
+    slack = F.expr(f"({d} - abs(len_a - tlen)) DIV 2")
+    delta = F.col("len_a") - F.col("tlen")
+    return (
+        probe
+        # clamp to positions where a full-length substring exists;
+        # a zero-length segment matches "" at one (any) position
+        .withColumn(
+            "lo",
+            F.greatest(
+                F.lit(1),
+                F.col("segstart") + F.least(F.lit(0), delta) - slack,
+            ),
+        )
+        .withColumn(
+            "hi",
+            F.when(F.col("seglen") == 0, F.col("lo")).otherwise(
+                F.least(
+                    F.col("len_a") - F.col("seglen") + 1,
+                    F.col("segstart")
+                    + F.greatest(F.lit(0), delta)
+                    + slack,
+                )
+            ),
+        )
+        .filter(F.col("hi") >= F.col("lo"))
+        .withColumn("p", F.explode(F.sequence("lo", "hi")))
+        .withColumn("sub", F.expr("substring(k_a, p, seglen)"))
+        .drop("seglen", "segstart", "lo", "hi", "p")
+    )
+
+
+def _edit_verified_pairs(
+    probe: DataFrame,
+    index: DataFrame,
+    max_dist: int,
+    blocked: bool,
+    self_join: bool,
+) -> DataFrame:
+    """Candidate equi-join + de-dup + threshold-Levenshtein verify
+    shared by :func:`edit_distance_near_pairs` (``self_join=True``
+    adds ``doc_a < doc_b`` INSIDE the join so each unordered pair is
+    formed once) and :func:`edit_distance_join`. Returns
+    (doc_a, doc_b, dist)."""
+    d = max_dist
+    cond = (
+        (F.col("tlen") == F.col("len_b"))
+        & (F.col("i") == F.col("j"))
+        & (F.col("sub") == F.col("seg"))
+    )
+    if self_join:
+        cond = cond & (F.col("doc_a") < F.col("doc_b"))
+    if blocked:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    candidates = (
+        probe.join(index, cond)
+        .select("doc_a", "doc_b", "k_a", "k_b")
+        # one pair can meet in several (segment, position) buckets —
+        # de-dup BEFORE the verify so Levenshtein runs once per pair
+        .distinct()
+    )
+    dist = (
+        F.levenshtein("k_a", "k_b", d)
+        if d > 0
+        # d=0: the join already required whole-key equality (the single
+        # segment IS the key), and Spark's threshold Levenshtein
+        # requires threshold >= 1
+        else F.lit(0)
+    )
+    return (
+        candidates.select("doc_a", "doc_b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+
+
 def edit_distance_near_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1574,15 +1695,10 @@ def edit_distance_near_pairs(
       segments of either string untouched, and an untouched segment
       reappears in the other string *exactly*, shifted by at most d
       positions (net insertions/deletions before it).
-    * PROBE side: each key enumerates, for every candidate partner
-      length ``tlen`` in [klen-d, klen+d] and every segment index, the
-      substrings of itself with that segment's length at start
-      positions in the POSITION-AWARE window around that segment's
-      start (the paper's multi-match-aware idea, derived here from
-      first principles: if the segment maps at shift σ = p - p_i, the
-      alignment needs ≥ |σ| edits before it and ≥ |Δ - σ| after it,
-      Δ = len difference, so |σ| + |Δ - σ| <= d — a window of d+1
-      positions instead of the naive ±d's 2d+1). Join on the equi-key
+    * PROBE side: each key enumerates the substrings that could equal
+      a partner's untouched segment, within the position-aware window
+      (:func:`_edit_probe_substrings` — d+1 start positions per
+      segment, derived from |σ| + |Δ - σ| <= d). Join on the equi-key
       ``(tlen = partner klen, seg_idx, substring = segment)`` — a hash
       join whose bucket key VARIES with the text (the r8 length-band
       key collapsed real corpora into one band; segment text does not).
@@ -1593,7 +1709,7 @@ def edit_distance_near_pairs(
       filter is built into the probe's tlen range.
 
     Scale: per document the index side emits d+1 rows and the probe
-    side at most (2d+1)(d+1)(2d+1) rows (75 at d=2, typically ~half
+    side at most (2d+1)(d+1)(d+1) rows (45 at d=2, typically ~half
     that after window clamping) of short keys — a constant-factor,
     LINEAR shuffle; pair formation is confined to buckets of docs
     sharing an exact segment at a compatible length, so candidate
@@ -1604,7 +1720,9 @@ def edit_distance_near_pairs(
     equality on a natural partition — the standard within-source fuzzy
     pass — and run AFTER exact dedup so identical keys don't inflate
     clusters. Unblocked calls warn by default (``warn_unblocked``,
-    same loud contract as the uncapped shingle self-joins).
+    same loud contract as the uncapped shingle self-joins). Measured
+    (BENCH_full_r09 new_ops row, production shape): 0.90 s base,
+    1.83 s at 10x docs — ratio 2.04.
 
     NULL handling: rows whose key normalizes to NULL (NULL text) are
     excluded; with ``block_col`` set, rows whose block value is NULL
@@ -1619,6 +1737,8 @@ def edit_distance_near_pairs(
     silently misses pairs that differ on it; segment blocking here is
     recall-lossless and needs no key at all — ``block_col`` re-adds
     natural-key blocking only as an explicit, documented recall trade.
+    For matching across TWO relations (dirty-key lookup), use
+    :func:`edit_distance_join`.
     """
     if max_dist < 0:
         raise ValueError(
@@ -1645,9 +1765,6 @@ def edit_distance_near_pairs(
             "warn_unblocked=False to acknowledge a deliberate exact "
             "truth-set run."
         )
-    d = max_dist
-    k_segments = d + 1
-
     index = edit_distance_segment_keys(
         docs,
         text_col=text_col,
@@ -1663,94 +1780,97 @@ def edit_distance_near_pairs(
         F.col("seg"),
         *([F.col("blk").alias("blk_b")] if block_col else []),
     )
-
-    cols = [
-        F.col(id_col).alias("doc_a"),
-        _edit_key(text_col, prefix_chars).alias("k_a"),
-    ]
-    if block_col is not None:
-        cols.append(F.col(block_col).alias("blk_a"))
-    probe = (
-        docs.select(*cols)
-        .filter(F.col("k_a").isNotNull())
-        .withColumn("len_a", F.length("k_a"))
-        # candidate partner lengths: |len_a - tlen| <= d is the
-        # classic length filter, built into the enumeration
-        .withColumn(
-            "tlen",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.lit(0), F.col("len_a") - d),
-                    F.col("len_a") + d,
-                )
-            ),
-        )
-        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+    probe = _edit_probe_substrings(
+        docs, text_col, id_col, max_dist, prefix_chars, block_col
     )
-    # geometry of the PARTNER's segment i at length tlen — must equal
-    # the index side's cut exactly, hence the shared helper
-    probe = _segment_geometry(probe, "tlen", "i", k_segments)
-    # POSITION-AWARE window (docstring): a matched segment's shift
-    # σ = p - segstart needs |σ| edits before it and |Δ - σ| after it
-    # (Δ = len_a - tlen), so |σ| + |Δ - σ| <= d bounds σ to
-    # [min(0,Δ) - (d-|Δ|) DIV 2, max(0,Δ) + (d-|Δ|) DIV 2] — d+1
-    # positions, not the naive ±d's 2d+1. Necessary-condition pruning:
-    # shifts outside it cannot belong to any <= d alignment, so
-    # completeness (the hypothesis DP-oracle property) is untouched.
-    slack = F.expr(f"({d} - abs(len_a - tlen)) DIV 2")
-    delta = F.col("len_a") - F.col("tlen")
-    probe = (
-        probe
-        # clamp to positions where a full-length substring exists;
-        # a zero-length segment matches "" at one (any) position
-        .withColumn(
-            "lo",
-            F.greatest(
-                F.lit(1),
-                F.col("segstart") + F.least(F.lit(0), delta) - slack,
-            ),
-        )
-        .withColumn(
-            "hi",
-            F.when(F.col("seglen") == 0, F.col("lo")).otherwise(
-                F.least(
-                    F.col("len_a") - F.col("seglen") + 1,
-                    F.col("segstart")
-                    + F.greatest(F.lit(0), delta)
-                    + slack,
-                )
-            ),
-        )
-        .filter(F.col("hi") >= F.col("lo"))
-        .withColumn("p", F.explode(F.sequence("lo", "hi")))
-        .withColumn("sub", F.expr("substring(k_a, p, seglen)"))
-        .drop("seglen", "segstart", "lo", "hi", "p")
+    return _edit_verified_pairs(
+        probe,
+        index,
+        max_dist,
+        blocked=block_col is not None,
+        self_join=True,
     )
 
-    cond = (
-        (F.col("tlen") == F.col("len_b"))
-        & (F.col("i") == F.col("j"))
-        & (F.col("sub") == F.col("seg"))
-        & (F.col("doc_a") < F.col("doc_b"))
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    max_dist: int = 2,
+    prefix_chars: int = 64,
+    left_block: str | None = None,
+    right_block: str | None = None,
+) -> DataFrame:
+    """Fuzzy R-S join: all (left, right) row pairs whose normalized
+    keys (:func:`_edit_key` over the first ``prefix_chars`` chars) are
+    within Levenshtein ``max_dist`` — the dirty-key lookup join (typo'd
+    titles against a canonical list, OCR'd names against a registry)
+    that an exact equi-join silently drops. Returns
+    (left_id, right_id, dist) with ``dist <= max_dist``; a left row can
+    match many right rows and vice versa (use a downstream
+    top-1-per-group — ``min_by`` on dist — for a best-match lookup).
+
+    Same PassJoin engine as :func:`edit_distance_near_pairs` (segments
+    of RIGHT indexed, substrings of LEFT probed — the pigeonhole
+    guarantee is direction-independent, so indexing either side is
+    complete; right is the natural 'reference list' side), with the
+    position-aware probe window and the threshold-Levenshtein verify.
+    Pass ``left_block``/``right_block`` TOGETHER to require equality
+    on a natural partition (rows with NULL block values are excluded —
+    null-rejecting equality, as in the self-join variant).
+
+    Scale: linear candidate shuffle on both sides — (d+1) index rows
+    per right row, <= (2d+1)(d+1)^2 probe rows per left row; output is
+    |true fuzzy matches|, which blocking bounds. Unlike the self-join
+    there is no quadratic self-pairing term: the cross product only
+    materializes where segments actually collide.
+
+    Reference has no fuzzy join (extension; its FactTable lookups are
+    exact composite-key joins, ``FactTable.sql:31-45``)."""
+    if max_dist < 0:
+        raise ValueError(
+            f"edit_distance_join: max_dist ({max_dist}) must be >= 0"
+        )
+    if prefix_chars < 1:
+        raise ValueError(
+            f"edit_distance_join: prefix_chars ({prefix_chars}) must "
+            "be >= 1"
+        )
+    if (left_block is None) != (right_block is None):
+        raise ValueError(
+            "edit_distance_join: pass left_block and right_block "
+            "together (blocking is an equality between the two sides)"
+        )
+    index = edit_distance_segment_keys(
+        right,
+        text_col=right_text,
+        id_col=right_id,
+        max_dist=max_dist,
+        prefix_chars=prefix_chars,
+        block_col=right_block,
+    ).select(
+        F.col("doc").alias("doc_b"),
+        F.col("k").alias("k_b"),
+        F.col("klen").alias("len_b"),
+        F.col("seg_idx").alias("j"),
+        F.col("seg"),
+        *([F.col("blk").alias("blk_b")] if right_block else []),
     )
-    if block_col is not None:
-        cond = cond & (F.col("blk_a") == F.col("blk_b"))
-    candidates = (
-        probe.join(index, cond)
-        .select("doc_a", "doc_b", "k_a", "k_b")
-        # one pair can meet in several (segment, position) buckets —
-        # de-dup BEFORE the verify so Levenshtein runs once per pair
-        .distinct()
+    probe = _edit_probe_substrings(
+        left, left_text, left_id, max_dist, prefix_chars, left_block
     )
-    dist = (
-        F.levenshtein("k_a", "k_b", d)
-        if d > 0
-        # d=0: the join already required whole-key equality (the single
-        # segment IS the key), and Spark's threshold Levenshtein
-        # requires threshold >= 1
-        else F.lit(0)
+    out = _edit_verified_pairs(
+        probe,
+        index,
+        max_dist,
+        blocked=left_block is not None,
+        self_join=False,
     )
-    return (
-        candidates.select("doc_a", "doc_b", dist.alias("dist"))
-        .filter(F.col("dist") >= 0)
+    return out.select(
+        F.col("doc_a").alias("left_id"),
+        F.col("doc_b").alias("right_id"),
+        "dist",
     )

@@ -6210,6 +6210,51 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_join_edit_distance",
+    r"""
+    WITH k AS (
+      SELECT doc_id, lang,
+             CAST(SUBSTRING(source, 4) AS INT) % 2 AS par,
+             SUBSTRING(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ',
+                                           'g')), 1, 32) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(LEVENSHTEIN(a.s, b.s) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.lang = b.lang AND a.par = 0 AND b.par = 1
+    WHERE LEVENSHTEIN(a.s, b.s) <= 2
+    """,
+)
+def fuzzy_join_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy R-S join (round 9, corpus entry #152): every (left, right)
+    document pair across the even/odd-source split whose normalized
+    32-char heads are within Levenshtein 2, blocked on language — the
+    dirty-key LOOKUP shape (typo'd titles against a canonical list)
+    that ``dedup_edit_distance``'s self-join cannot express, running
+    ``dedup.edit_distance_join``'s PassJoin engine across two distinct
+    relations with the block path exercised on both sides.
+
+    The oracle is the plain all-pairs LEVENSHTEIN join, so a green row
+    proves the cross-relation segment blocking recall-lossless on
+    driver data (same contract as #151). The even/odd parity split is
+    deterministic in both engines (``CAST(SUBSTRING(source, 4) AS
+    INT) % 2``)."""
+    docs = load_table(spark, sf, "documents")
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    pairs = dedup.edit_distance_join(
+        docs.filter(par == 0),
+        docs.filter(par == 1),
+        max_dist=2,
+        prefix_chars=32,
+        left_block="lang",
+        right_block="lang",
+    )
+    return pairs.select(
+        "left_id", "right_id", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6241,13 +6286,23 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 # 3 green rows (r1/r3/r6), operator code untouched since creation —
 # slips to r10 as pre-designated by the r8 composer.
 #
-# r10 composer note: candidates will be language_id + the 50 r7-rowed
-# entries = 51 for 50 slots. The designated r10 slip is
-# dedup_embedding_cosine (the quarantined exact truth-set twin, 4
-# green rows r1/r2/r4/r7, named first slip candidate when the policy
-# was amended in r8; its capped production twin keeps the tight
-# cadence and shares the oracle). language_id must NOT slip again —
-# the policy forbids consecutive-cycle slips for the same entry.
+# r10 composer note: round 9 additionally REGISTERS entry #152
+# (fuzzy_join_edit_distance, the R-S fuzzy join over
+# dedup.edit_distance_join — registered after position 50, local
+# dual-sf parity green this round). r10 candidates are therefore
+# language_id (r6) + #152 (never-rowed) + the 50 r7-rowed entries
+# = 52 for 50 slots -> TWO slips from the r7 cohort, designated per
+# policy (proven-stable, >= 3 consecutive greens, code untouched
+# since the last row, truth-set twins first):
+#   1. dedup_embedding_cosine (4 green rows r1/r2/r4/r7, named first
+#      slip candidate when the policy was amended in r8; its capped
+#      production twin keeps the tight cadence and shares the oracle);
+#   2. dedup_ngram_jaccard (4 green rows r1/r2/r4/r7 — the UNCAPPED
+#      truth-set twin of dedup_ngram_jaccard_capped, which stays in
+#      the window; its r7 cache-policy change is re-verified by its
+#      own r7 row, code untouched since).
+# language_id must NOT slip again — the policy forbids
+# consecutive-cycle slips for the same entry.
 #
 # Staleness after this round: nothing older than r7 except language_id
 # (r6, designated); every entry whose code changed since its last row
