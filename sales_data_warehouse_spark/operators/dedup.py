@@ -1564,7 +1564,9 @@ def _edit_probe_substrings(
     it cannot belong to any <= d alignment, so completeness (the
     hypothesis DP-oracle property) is untouched.
 
-    Returns (doc_a, k_a, len_a, tlen, i, sub[, blk_a])."""
+    Returns (doc_a, k_a, tlen, i, sub[, blk_a]) — ``len_a`` exists
+    only during window computation and is dropped before the candidate
+    shuffle."""
     d = max_dist
     cols = [
         F.col(id_col).alias("doc_a"),
@@ -1619,7 +1621,9 @@ def _edit_probe_substrings(
         .filter(F.col("hi") >= F.col("lo"))
         .withColumn("p", F.explode(F.sequence("lo", "hi")))
         .withColumn("sub", F.expr("substring(k_a, p, seglen)"))
-        .drop("seglen", "segstart", "lo", "hi", "p")
+        # len_a only feeds the window computation above — dropping it
+        # here keeps it out of the candidate shuffle
+        .drop("seglen", "segstart", "lo", "hi", "p", "len_a")
     )
 
 
@@ -1803,6 +1807,7 @@ def edit_distance_join(
     prefix_chars: int = 64,
     left_block: str | None = None,
     right_block: str | None = None,
+    warn_unblocked: bool = True,
 ) -> DataFrame:
     """Fuzzy R-S join: all (left, right) row pairs whose normalized
     keys (:func:`_edit_key` over the first ``prefix_chars`` chars) are
@@ -1823,10 +1828,12 @@ def edit_distance_join(
     null-rejecting equality, as in the self-join variant).
 
     Scale: linear candidate shuffle on both sides — (d+1) index rows
-    per right row, <= (2d+1)(d+1)^2 probe rows per left row; output is
-    |true fuzzy matches|, which blocking bounds. Unlike the self-join
-    there is no quadratic self-pairing term: the cross product only
-    materializes where segments actually collide.
+    per right row, <= (2d+1)(d+1)^2 probe rows per left row. OUTPUT is
+    |true fuzzy matches|: if M left rows and M right rows share one
+    templated/boilerplate head, that alone is M x M output pairs —
+    the same cluster blow-up as the self-join variant, so unblocked
+    calls warn by default (``warn_unblocked``, shared
+    :func:`_warn_loud` contract); blocking bounds the clusters.
 
     Reference has no fuzzy join (extension; its FactTable lookups are
     exact composite-key joins, ``FactTable.sql:31-45``)."""
@@ -1843,6 +1850,16 @@ def edit_distance_join(
         raise ValueError(
             "edit_distance_join: pass left_block and right_block "
             "together (blocking is an equality between the two sides)"
+        )
+    if left_block is None and warn_unblocked:
+        _warn_loud(
+            "edit_distance_join: no block columns — output pairs form "
+            "QUADRATICALLY across the two sides within any cluster of "
+            "near-identical keys (boilerplate/templated heads are such "
+            "clusters in real corpora). Pass left_block/right_block "
+            "(source, language, domain) for production corpora, or "
+            "warn_unblocked=False to acknowledge a deliberate exact "
+            "truth-set run."
         )
     index = edit_distance_segment_keys(
         right,

@@ -66,12 +66,16 @@ def ivf_append_batch(
     batch_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> IvfCellStats:
+    compute_stats: bool = True,
+) -> IvfCellStats | None:
     """Fold one micro-batch into the persisted index and return the
-    post-append cell stats. Plain function (the ``foreachBatch`` sink
-    calls it) so replay semantics are directly testable without
-    driving a stream: a batch whose marker directory exists already
-    committed — skip the append, still report stats."""
+    post-append cell stats (None when ``compute_stats=False`` — the
+    monitor is one groupBy over the WHOLE assigned table, so callers
+    on a hot path throttle it; see ``stats_every_n_batches``). Plain
+    function (the ``foreachBatch`` sink calls it) so replay semantics
+    are directly testable without driving a stream: a batch whose
+    marker directory exists already committed — skip the append,
+    still report stats."""
     marker = f"{index_path}/_ingest_batches/batch_id={batch_id}"
     if not fs_exists(spark, marker):
         ivf_append(spark, index_path, batch_df, id_col, vec_col)
@@ -80,7 +84,7 @@ def ivf_append_batch(
         spark.createDataFrame(
             [(batch_id,)], "batch_id long"
         ).write.mode("overwrite").parquet(marker)
-    return ivf_cell_stats(spark, index_path)
+    return ivf_cell_stats(spark, index_path) if compute_stats else None
 
 
 def start_streaming_ivf_append(
@@ -94,20 +98,43 @@ def start_streaming_ivf_append(
     vec_col: str = "embedding",
     on_stats: Callable[[int, IvfCellStats], None] | None = None,
     skew_warn_ratio: float = 8.0,
+    stats_every_n_batches: int = 1,
 ):
     """Continuous drop-dir → IVF index growth with the drift monitor
     in the loop: every micro-batch appends (replay-guarded), then
     ``ivf_cell_stats`` runs and its report is pushed to ``on_stats``
     (batch_id, stats) — wire it to metrics/logs; once ``skew_ratio``
-    reaches ``skew_warn_ratio`` a ResourceWarning fires (the
-    'rebuild me' signal — the upper end of ivf_cell_stats' ~4-8 rule
-    of thumb, since a stream should page someone only when drift is
-    unambiguous). Returns the StreamingQuery."""
+    reaches ``skew_warn_ratio`` a UserWarning fires (the 'rebuild me'
+    signal — the upper end of ivf_cell_stats' ~4-8 rule of thumb,
+    since a stream should page someone only when drift is unambiguous;
+    UserWarning, not ResourceWarning, because CPython's default
+    filters HIDE ResourceWarning and a monitor nobody sees is not a
+    monitor). Returns the StreamingQuery.
+
+    ``stats_every_n_batches``: the monitor is one groupBy-count over
+    the ENTIRE assigned table, so running it per micro-batch costs
+    O(index) each time — O(N²) cumulative rows scanned over N
+    appended batches. Fine for the default one-file-per-trigger
+    backfill shape; for a long-running high-frequency stream set it
+    to sample every Nth batch (drift is gradual — a sampled monitor
+    catches it just as surely, N batches later at worst)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        stats = ivf_append_batch(
-            spark, index_path, batch_df, batch_id, id_col, vec_col
+        compute = (
+            stats_every_n_batches <= 1
+            or batch_id % stats_every_n_batches == 0
         )
+        stats = ivf_append_batch(
+            spark,
+            index_path,
+            batch_df,
+            batch_id,
+            id_col,
+            vec_col,
+            compute_stats=compute,
+        )
+        if stats is None:
+            return
         if on_stats is not None:
             on_stats(batch_id, stats)
         if stats.skew_ratio >= skew_warn_ratio:
@@ -120,7 +147,7 @@ def start_streaming_ivf_append(
                 f"median {stats.median_rows}) — the appended "
                 "distribution has drifted off the trained centroids; "
                 "rebuild the index",
-                ResourceWarning,
+                UserWarning,
                 stacklevel=2,
             )
 

@@ -100,10 +100,33 @@ def test_streaming_ivf_append_drift_monitor(spark, tmp_path):
     assert seen[-1][1].total_rows == 64 + 300
     rebuild_warns = [
         w for w in caught
-        if issubclass(w.category, ResourceWarning)
+        # UserWarning, not ResourceWarning: the default CPython filters
+        # hide ResourceWarning, and the rebuild signal must be visible
+        # in a plain driver
+        if issubclass(w.category, UserWarning)
         and "rebuild the index" in str(w.message)
     ]
     assert rebuild_warns, "skew crossing the threshold must warn"
+
+
+def test_ivf_append_batch_stats_throttle(spark, tmp_path):
+    """compute_stats=False appends without the full-table monitor scan
+    (the stats_every_n_batches hot-path knob) and returns None."""
+    from sales_data_warehouse_spark.operators import similarity
+    from sales_data_warehouse_spark.streaming import ivf_append_batch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(32)
+    path = str(tmp_path / "ivf")
+    index = similarity.build_ivf_index(emb, num_centroids=4, cache=False)
+    similarity.save_ivf_index(index, path)
+    batch = emb.limit(4).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    assert ivf_append_batch(
+        spark, path, batch, batch_id=0, compute_stats=False
+    ) is None
+    after = ivf_append_batch(spark, path, batch, batch_id=1)
+    assert after.total_rows == 32 + 8
 
 
 def test_ivf_append_batch_replay_idempotent(spark, tmp_path):
@@ -165,7 +188,9 @@ def test_edit_distance_join_vs_bruteforce(spark):
     for d in (0, 1, 2):
         got = sorted(
             (r.left_id, r.right_id, r.dist)
-            for r in dedup.edit_distance_join(L, R, max_dist=d).collect()
+            for r in dedup.edit_distance_join(
+                L, R, max_dist=d, warn_unblocked=False
+            ).collect()
         )
         want = sorted(
             (a, b, _lev(_norm(x), _norm(y)))
@@ -198,3 +223,13 @@ def test_edit_distance_join_blocking(spark):
     assert {(r.left_id, r.right_id) for r in blocked.collect()} == {(1, 10)}
     with pytest.raises(ValueError, match="together"):
         dedup.edit_distance_join(L, R, left_block="lang")
+    # unblocked default is loud (same _warn_loud contract as the
+    # self-join and the uncapped shingle joins)
+    with pytest.warns(ResourceWarning, match="left_block"):
+        dedup.edit_distance_join(L, R)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.edit_distance_join(
+            L, R, left_block="lang", right_block="lang"
+        )
+        dedup.edit_distance_join(L, R, warn_unblocked=False)
