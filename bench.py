@@ -122,6 +122,11 @@ EXTRA_SCALING = [
     # that the segment-blocked plan actually scales (candidates track
     # near-dup density, not length-cohort size).
     "dedup_edit_distance",
+    # round-9: the R-S fuzzy join on the same engine (corpus entry
+    # #152, lang-blocked even/odd-source split) — measured separately
+    # because the cross-relation plan has no doc_a < doc_b pruning and
+    # its probe/index sides scale with different tables.
+    "fuzzy_join_edit_distance",
 ]
 
 
