@@ -66,6 +66,10 @@ def main() -> None:
             docs, epoch=1, n_shards=64
         ),
         "quality_logit": lambda: text.quality_logit(docs),
+        # r9: the PassJoin fuzzy family in production shape (blocked)
+        "edit_distance_pairs": lambda: dedup.edit_distance_near_pairs(
+            docs, max_dist=2, prefix_chars=32, block_col="source"
+        ),
     }
     out = {}
     for name, make in probes.items():
