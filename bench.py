@@ -372,7 +372,8 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             max_cell_rows=None,
         )
     )
-    extras: dict[str, dict[str, float]] = {}
+    # values are floats except the optional string scaling_note
+    extras: dict[str, dict] = {}
     for name, make in extra_builders.items():
         times = {}
         for tag, d in (("base", sf_dir), ("x10", sf1_dir)):

@@ -127,21 +127,38 @@ def _tolerance_in_ts_units(tolerance, dtype: T.DataType):
     return micros
 
 def _warn_mixed_numeric_keys(
-    left_dtype: T.DataType, right_dtype: T.DataType
+    left_dtype: T.DataType,
+    right_dtype: T.DataType,
+    stacklevel: int = 3,
 ) -> None:
-    """Warn when exactly one as-of key side is integral and the other
-    fractional: the union/broadcast engines compare both sides in the
-    :func:`_ts_micros` number domain, and a bigint-vs-double (or
-    decimal(38,0)-vs-double) comparison widens to DOUBLE, so the
-    integral side's exactness quietly degrades above 2^53 —
-    'nearest' near-ties, ``allow_exact_matches`` equality, tolerance
-    bounds, and the union engine's sort order can all misresolve.
-    The exactness contract holds when BOTH sides are integral (or
-    both temporal); mixing types is almost always an upstream schema
-    bug worth hearing about (r8 brief #8)."""
+    """Warn on mixed-family as-of key types (r8 brief #8 + r9 review):
+
+    * integral vs fractional — the engines compare both sides in the
+      :func:`_ts_micros` number domain, and a bigint-vs-double (or
+      decimal(38,0)-vs-double) comparison widens to DOUBLE, so the
+      integral side's exactness quietly degrades above 2^53 —
+      'nearest' near-ties, ``allow_exact_matches`` equality, tolerance
+      bounds, and the union engine's sort order can all misresolve;
+    * numeric vs temporal — the temporal side becomes epoch
+      MICROseconds while the numeric side stays raw, so the two sides
+      are compared in mismatched units (epoch-seconds vs a timestamp
+      is off by 10^6): the grouped engines construct the plan and
+      produce silently wrong-or-empty matches (the broadcast plan
+      compares raw columns, so Catalyst refuses DATE-vs-BIGINT at
+      analysis — there the warning explains the failure). This is
+      the worse bug and was previously undiagnosed.
+
+    The exactness contract holds when both sides are integral, both
+    temporal (date vs timestamp both land in micros), or both
+    fractional; ``stacklevel`` follows the :func:`_warn_loud`
+    convention (default: user -> operator -> here)."""
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
     def _kind(dt: T.DataType) -> str | None:
+        if isinstance(
+            dt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        ):
+            return "temporal"
         if isinstance(dt, integral) or (
             isinstance(dt, T.DecimalType) and dt.scale == 0
         ):
@@ -150,21 +167,33 @@ def _warn_mixed_numeric_keys(
             isinstance(dt, T.DecimalType) and dt.scale > 0
         ):
             return "fractional"
-        return None  # temporal/other: not this warning's concern
+        return None  # string/other: cast errors surface on their own
 
-    kinds = {_kind(left_dtype), _kind(right_dtype)}
-    if kinds == {"integral", "fractional"}:
-        import warnings
+    kinds = {_kind(left_dtype), _kind(right_dtype)} - {None}
+    if len(kinds) < 2:
+        return
+    import warnings
 
-        warnings.warn(
-            "asof_join: mixed integral/fractional key types "
-            f"({left_dtype.simpleString()} vs "
-            f"{right_dtype.simpleString()}) — the comparison widens to "
-            "double and integral exactness degrades above 2^53. Cast "
-            "both sides to one numeric family for exact semantics.",
-            UserWarning,
-            stacklevel=3,
+    pair = (
+        f"({left_dtype.simpleString()} vs {right_dtype.simpleString()})"
+    )
+    if "temporal" in kinds:
+        msg = (
+            f"asof_join: mixed numeric/temporal key types {pair} — the "
+            "temporal side is compared as epoch MICROSECONDS while the "
+            "numeric side stays raw, so the units almost certainly "
+            "disagree and matches will be wrong or empty. Cast the "
+            "numeric side to a timestamp (or both sides to numbers in "
+            "one unit)."
         )
+    else:
+        msg = (
+            f"asof_join: mixed integral/fractional key types {pair} — "
+            "the comparison widens to double and integral exactness "
+            "degrades above 2^53. Cast both sides to one numeric "
+            "family for exact semantics."
+        )
+    warnings.warn(msg, UserWarning, stacklevel=stacklevel)
 
 
 #: (applicationId, plan semanticHash) -> right-side row count. The
@@ -521,6 +550,12 @@ def asof_join_grouped(
         raise ValueError(
             f"direction must be backward|forward|nearest: {direction}"
         )
+    # warn HERE, not inside the engine plans: covers both engines (the
+    # cogroup path pays the same 2^53/unit-mismatch hazards in pandas)
+    # and keeps the stacklevel-3 attribution at the USER'S call line
+    _warn_mixed_numeric_keys(
+        left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    )
     if engine == "union":
         return _asof_union_plan(
             left, right, on, left_ts, right_ts, direction,
@@ -642,9 +677,7 @@ def _asof_union_plan(
         ]
     )
 
-    _warn_mixed_numeric_keys(
-        left.schema[left_ts].dataType, right.schema[right_ts].dataType
-    )
+    # mixed-key warning fires in asof_join_grouped (both engines)
     l_num = _ts_micros(F.col(left_ts), left.schema[left_ts].dataType)
     r_num = _ts_micros(F.col(right_ts), right.schema[right_ts].dataType)
 

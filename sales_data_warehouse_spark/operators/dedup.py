@@ -1627,6 +1627,35 @@ def _edit_probe_substrings(
     )
 
 
+def _edit_index_side(
+    src: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int,
+    prefix_chars: int,
+    block_col: str | None,
+) -> DataFrame:
+    """Index side renamed to the column contract
+    :func:`_edit_verified_pairs`' join condition depends on —
+    (doc_b, k_b, len_b, j, seg[, blk_b]) — in one place so the
+    self-join and the R-S join cannot drift apart."""
+    return edit_distance_segment_keys(
+        src,
+        text_col=text_col,
+        id_col=id_col,
+        max_dist=max_dist,
+        prefix_chars=prefix_chars,
+        block_col=block_col,
+    ).select(
+        F.col("doc").alias("doc_b"),
+        F.col("k").alias("k_b"),
+        F.col("klen").alias("len_b"),
+        F.col("seg_idx").alias("j"),
+        F.col("seg"),
+        *([F.col("blk").alias("blk_b")] if block_col else []),
+    )
+
+
 def _edit_verified_pairs(
     probe: DataFrame,
     index: DataFrame,
@@ -1725,8 +1754,9 @@ def edit_distance_near_pairs(
     pass — and run AFTER exact dedup so identical keys don't inflate
     clusters. Unblocked calls warn by default (``warn_unblocked``,
     same loud contract as the uncapped shingle self-joins). Measured
-    (BENCH_full_r09 new_ops row, production shape): 0.90 s base,
-    1.83 s at 10x docs — ratio 2.04.
+    (BENCH_full_r09 new_ops row, production shape): base 0.95 s,
+    2.02 s at 10x docs — ratio 2.13 (2.04 on an earlier same-code
+    run; both strongly sub-linear).
 
     NULL handling: rows whose key normalizes to NULL (NULL text) are
     excluded; with ``block_col`` set, rows whose block value is NULL
@@ -1769,20 +1799,8 @@ def edit_distance_near_pairs(
             "warn_unblocked=False to acknowledge a deliberate exact "
             "truth-set run."
         )
-    index = edit_distance_segment_keys(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        max_dist=max_dist,
-        prefix_chars=prefix_chars,
-        block_col=block_col,
-    ).select(
-        F.col("doc").alias("doc_b"),
-        F.col("k").alias("k_b"),
-        F.col("klen").alias("len_b"),
-        F.col("seg_idx").alias("j"),
-        F.col("seg"),
-        *([F.col("blk").alias("blk_b")] if block_col else []),
+    index = _edit_index_side(
+        docs, text_col, id_col, max_dist, prefix_chars, block_col
     )
     probe = _edit_probe_substrings(
         docs, text_col, id_col, max_dist, prefix_chars, block_col
@@ -1861,20 +1879,8 @@ def edit_distance_join(
             "warn_unblocked=False to acknowledge a deliberate exact "
             "truth-set run."
         )
-    index = edit_distance_segment_keys(
-        right,
-        text_col=right_text,
-        id_col=right_id,
-        max_dist=max_dist,
-        prefix_chars=prefix_chars,
-        block_col=right_block,
-    ).select(
-        F.col("doc").alias("doc_b"),
-        F.col("k").alias("k_b"),
-        F.col("klen").alias("len_b"),
-        F.col("seg_idx").alias("j"),
-        F.col("seg"),
-        *([F.col("blk").alias("blk_b")] if right_block else []),
+    index = _edit_index_side(
+        right, right_text, right_id, max_dist, prefix_chars, right_block
     )
     probe = _edit_probe_substrings(
         left, left_text, left_id, max_dist, prefix_chars, left_block

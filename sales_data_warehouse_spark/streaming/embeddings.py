@@ -14,7 +14,12 @@ Replay semantics: ``foreachBatch`` re-delivers a micro-batch whose sink
 ran but whose checkpoint commit didn't land. Appends are made
 replay-safe with a per-batch marker directory written AFTER the append
 commits — a replayed batch whose marker exists is skipped (stats still
-run, they're read-only). The unguarded window is a crash between the
+run, they're read-only). Markers are NAMESPACED by a digest of the
+stream's checkpoint location, because ``batch_id`` is unique only
+within one checkpoint lineage — without the namespace, a second stream
+(or a fresh-checkpoint restart) feeding the same index would collide on
+``batch_id=0, 1, ...`` and silently drop its appends. The unguarded
+window is a crash between the
 parquet commit and the marker write, in which one batch double-appends;
 IVF search tolerates duplicate vectors (same cell, same neighbor id —
 de-dup top-k by id if exact multiplicity matters) and the next rebuild
@@ -67,6 +72,7 @@ def ivf_append_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compute_stats: bool = True,
+    marker_namespace: str | None = None,
 ) -> IvfCellStats | None:
     """Fold one micro-batch into the persisted index and return the
     post-append cell stats (None when ``compute_stats=False`` — the
@@ -75,8 +81,21 @@ def ivf_append_batch(
     function (the ``foreachBatch`` sink calls it) so replay semantics
     are directly testable without driving a stream: a batch whose
     marker directory exists already committed — skip the append,
-    still report stats."""
-    marker = f"{index_path}/_ingest_batches/batch_id={batch_id}"
+    still report stats.
+
+    ``marker_namespace`` scopes the replay markers: ``batch_id`` is
+    unique only within ONE checkpoint lineage, so two different
+    streams (or a stream restarted with a fresh checkpoint) feeding
+    the same index would collide on ``batch_id=0, 1, ...`` and the
+    guard would SILENTLY DROP their appends (r9 review). The
+    streaming wrapper passes a digest of its checkpoint location;
+    direct callers managing their own batch ids may leave it None
+    (one logical lineage). Deleting a checkpoint's CONTENTS while
+    reusing its path restarts batch ids inside the same namespace —
+    as with any Structured Streaming sink state, clear the matching
+    ``_ingest_batches/<namespace>`` alongside."""
+    ns = f"{marker_namespace}/" if marker_namespace else ""
+    marker = f"{index_path}/_ingest_batches/{ns}batch_id={batch_id}"
     if not fs_exists(spark, marker):
         ivf_append(spark, index_path, batch_df, id_col, vec_col)
         # marker AFTER the append commit: a replay that sees it knows
@@ -119,6 +138,15 @@ def start_streaming_ivf_append(
     to sample every Nth batch (drift is gradual — a sampled monitor
     catches it just as surely, N batches later at worst)."""
 
+    checkpoint = checkpoint_dir or f"{index_path}/_append_checkpoint"
+    # batch_id is unique only within one checkpoint lineage — scope
+    # the replay markers to this stream's checkpoint so a second
+    # stream (or a fresh-checkpoint restart) against the same index
+    # cannot collide into a silent append drop (r9 review)
+    import hashlib
+
+    namespace = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         compute = (
             stats_every_n_batches <= 1
@@ -132,6 +160,7 @@ def start_streaming_ivf_append(
             id_col,
             vec_col,
             compute_stats=compute,
+            marker_namespace=namespace,
         )
         if stats is None:
             return
@@ -154,7 +183,7 @@ def start_streaming_ivf_append(
     stream = read_embeddings_stream(spark, drop_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation",
-        checkpoint_dir or f"{index_path}/_append_checkpoint",
+        checkpoint,
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

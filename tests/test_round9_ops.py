@@ -43,18 +43,53 @@ def test_asof_mixed_numeric_keys_warn(spark):
         asof.asof_join(left, right_dec, ["k"], "ts", "ts")
 
 
+def test_asof_numeric_vs_temporal_keys_warn(spark):
+    """A numeric key against a temporal key compares raw numbers
+    against epoch-microseconds — mismatched units, the worse schema
+    bug (r9 review). The grouped engines build the join in the micros
+    domain, so the plan constructs and SILENTLY mis-units: they must
+    warn. The broadcast plan compares the raw columns and Catalyst
+    refuses to coerce DATE vs BIGINT — it hard-fails at analysis, but
+    the warning still fires first (it explains WHY the join died)."""
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("date"))
+    with pytest.warns(UserWarning, match="mixed numeric/temporal"):
+        asof.asof_join_grouped(
+            left, right, ["k"], "ts", "ts", engine="cogroup"
+        )
+    with pytest.warns(UserWarning, match="mixed numeric/temporal"):
+        asof.asof_join_grouped(
+            left, right, ["k"], "ts", "ts", engine="union"
+        )
+    from pyspark.errors import AnalysisException
+
+    with pytest.warns(UserWarning, match="mixed numeric/temporal"):
+        with pytest.raises(AnalysisException):
+            asof.asof_join(left, right, ["k"], "ts", "ts")
+
+
 def test_asof_matched_numeric_keys_no_warn(spark):
-    """Integral-vs-integral (incl. DECIMAL(p,0)) and temporal keys do
-    not trigger the mixed-family warning."""
+    """Integral-vs-integral (incl. DECIMAL(p,0)) and temporal-vs-
+    temporal (date vs timestamp — both land in epoch micros) do not
+    trigger the mixed-family warning."""
     left, _ = _mixed_fixture(spark, "double")
     base = spark.createDataFrame([(1, 100), (1, 200)], "k long, ts long")
     right_int = base.withColumn("ts", F.col("ts").cast("int"))
     right_dec0 = base.withColumn("ts", F.col("ts").cast("decimal(20,0)"))
+    dates = spark.createDataFrame(
+        [(1, "2024-01-02")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("date"))
+    stamps = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
         asof.asof_join(left, right_int, ["k"], "ts", "ts")
         asof.asof_join(left, right_dec0, ["k"], "ts", "ts")
         asof.asof_join_grouped(left, right_int, ["k"], "ts", "ts")
+        asof.asof_join(dates, stamps, ["k"], "ts", "ts")
 
 
 def test_streaming_ivf_append_drift_monitor(spark, tmp_path):
@@ -157,22 +192,11 @@ def test_ivf_append_batch_replay_idempotent(spark, tmp_path):
     assert fresh.total_rows == 64 + 16
 
 
-def _lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
-
-
-def _norm(text: str, p: int = 64) -> str:
-    import re
-
-    return re.sub(r"\s+", " ", text.lower()).strip()[:p]
+# one oracle, not two: the DP-Levenshtein and key-normalization
+# helpers live in the round-8 suite — re-deriving them here could let
+# the two files' oracles drift apart from _edit_key
+from test_round8_ops import _lev  # noqa: E402
+from test_round8_ops import _norm_key as _norm  # noqa: E402
 
 
 def test_edit_distance_join_vs_bruteforce(spark):
