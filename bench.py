@@ -127,6 +127,12 @@ EXTRA_SCALING = [
     # because the cross-relation plan has no doc_a < doc_b pruning and
     # its probe/index sides scale with different tables.
     "fuzzy_join_edit_distance",
+    # round-9: the blocking-selectivity diagnostic (corpus entry #153).
+    # Its docstring claims "same cost class as a count, safe on the
+    # full corpus" — this row is that claim measured (shingle explode
+    # + one map-side-combinable groupBy; should scale like dedup_exact,
+    # far below any pair join).
+    "blocking_selectivity",
 ]
 
 

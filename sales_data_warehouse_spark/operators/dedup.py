@@ -22,6 +22,8 @@ no Python in the loop.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -211,6 +213,122 @@ def shingle_df_profile(
         .orderBy(F.col("df").desc(), F.col("shingle"))
         .limit(top)
         .collect()
+    )
+
+
+class BlockingStats(NamedTuple):
+    """One measured row from :func:`blocking_stats` — see there."""
+
+    n_rows: int
+    n_docs: int
+    n_buckets: int
+    max_bucket: int
+    candidate_pairs: int
+    pairs_per_doc: float
+
+
+def blocking_stats_df(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Selectivity of a candidate-generation blocking scheme, measured
+    on the ACTUAL corpus — the dedup-family analog of
+    ``similarity.ivf_cell_stats``. Every near-dup family here trades
+    completeness guarantees for a bucket self-join, and the whole
+    bargain rests on the buckets spreading on the caller's data:
+    the r8 edit-distance key was recall-lossless AND degenerate
+    (every real document landed in ONE bucket), which no unit test on
+    synthetic strings caught. This diagnostic turns "is my blocking
+    selective on MY corpus?" into one cheap measured row, BEFORE the
+    quadratic bucket join runs.
+
+    ``bucketed`` is the scheme's own bucket table — pass the SAME frame
+    the operator self-joins (:func:`banded_signatures` with
+    ``["band", "bucket"]``, :func:`simhash_block_keys` with
+    ``["tbl", "key"]``, :func:`exploded_shingles` with
+    ``["shingle"]``) so the numbers describe the real plan, not a
+    reconstruction. Returns one row:
+
+    * ``n_rows`` — distinct (doc, bucket) memberships;
+    * ``n_docs`` — docs holding >= 1 membership;
+    * ``n_buckets`` — distinct bucket keys;
+    * ``max_bucket`` — largest bucket's doc count (the skew number:
+      that bucket alone contributes C(max_bucket, 2) join rows);
+    * ``candidate_pairs`` — sum over buckets of C(size, 2): the EXACT
+      pre-verification self-join output size (a pair sharing k buckets
+      counts k times — that is the work the join performs before any
+      dropDuplicates);
+    * ``pairs_per_doc`` — candidate_pairs / n_docs; the number to
+      watch at scale: if it grows with corpus size the scheme is
+      drifting quadratic and needs a df-cap / more bands / a blocking
+      key (compare two corpus sizes to see the trend).
+
+    Plan: dropDuplicates on (doc, buckets), then one groupBy over the
+    bucket keys and one distinct-doc count — the deduped membership
+    table is cached across the two grains (release-with-result policy,
+    `operators/caching.py`) so the caller's bucket table — often a
+    full shingle explode — is computed ONCE. Same cost class as a
+    count, safe to run on the full corpus. (The membership dedup
+    mirrors what the operators themselves do before joining; raw
+    shingle repeats inside one doc would otherwise inflate every
+    number.)
+    """
+    deduped = _multi_consumer_cache(
+        bucketed.select(doc_col, *key_cols).dropDuplicates(
+            [doc_col, *key_cols]
+        )
+    )
+    sizes = deduped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    # n_docs needs a second grain (distinct docs, not bucket sizes);
+    # approx_count_distinct would be cheaper but the diagnostic's whole
+    # point is exact evidence.
+    docs_ct = (
+        deduped.select(doc_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    out = sizes.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        # integer DIV keeps the sum exact long arithmetic (a double sum
+        # would round above 2^53 — exactly the corpus sizes where this
+        # diagnostic matters most)
+        F.sum(F.expr("(cast(sz AS BIGINT) * (sz - 1)) DIV 2"))
+        .cast("bigint")
+        .alias("candidate_pairs"),
+    ).crossJoin(F.broadcast(docs_ct)).select(
+        "n_rows",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_buckets",
+        "max_bucket",
+        "candidate_pairs",
+        F.round(
+            F.col("candidate_pairs").cast("double") / F.col("n_docs"), 6
+        ).alias("pairs_per_doc"),
+    )
+    return _release_cache_with(out, deduped)
+
+
+def blocking_stats(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    doc_col: str = "doc",
+) -> BlockingStats:
+    """:func:`blocking_stats_df` collected into a :class:`BlockingStats`
+    (one driver row — bounded like every ``.collect()`` in this
+    package)."""
+    row = blocking_stats_df(bucketed, key_cols, doc_col).collect()[0]
+    return BlockingStats(
+        n_rows=row["n_rows"],
+        n_docs=row["n_docs"],
+        n_buckets=row["n_buckets"],
+        max_bucket=row["max_bucket"],
+        candidate_pairs=row["candidate_pairs"],
+        pairs_per_doc=row["pairs_per_doc"],
     )
 
 
@@ -688,34 +806,25 @@ def simhash(
     return per_doc.select("doc", F.expr(f"({fp_sql}) AS simhash"))
 
 
-def simhash_near_pairs(
+def simhash_block_keys(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 6,
 ) -> DataFrame:
-    """ALL pairs at Hamming distance <= ``max_hamming`` — complete, not
-    best-effort — via pigeonhole block tables (Manku/Jain/Sarma's
-    near-duplicate scheme).
+    """(doc, simhash, tbl, key) — the pigeonhole bucket table
+    :func:`simhash_near_pairs` self-joins on, public so the join and
+    :func:`blocking_stats` measure the SAME keys (a diagnostic that
+    rebuilt its own approximation of the scheme could silently drift
+    from the plan it claims to describe).
 
     The 64-bit fingerprint is cut into ``blocks`` contiguous blocks and
     every combination of ``blocks - max_hamming`` blocks becomes one
-    bucket table (key = that combination's concatenated bits). A pair
-    differing in h <= max_hamming bits dirties at most h blocks, leaving
-    >= blocks - h clean ones, so some combination matches — the bucket
-    join provably sees every qualifying pair; the exact bit_count
-    verification then makes the output precise too. A single fixed
-    prefix (the naive bucketing) silently loses any pair whose
-    differing bit lands in the prefix.
-
-    Scale trade-off: C(blocks, blocks - max_hamming) tables each
-    replicate (doc, hash) once — defaults give C(6,3) = 20 tables keyed
-    on ~32 bits (uniform fingerprints -> ~n^2/2^32 accidental
-    collisions per table). Raising ``blocks`` widens the Hamming
-    guarantee reachable at the same key width; verification cost stays
-    one bit_count per candidate.
-    """
+    bucket table (``tbl``), keyed by that combination's concatenated
+    bits: a pair within ``max_hamming`` dirties at most that many
+    blocks, so some combination is clean on both sides and the bucket
+    join provably sees every qualifying pair."""
     from itertools import combinations
 
     if not 0 < blocks <= 64 or max_hamming >= blocks:
@@ -746,14 +855,47 @@ def simhash_near_pairs(
         )
         + ")"
     )
-    sh = simhash(docs, text_col, id_col)
+    return (
+        simhash(docs, text_col, id_col)
+        .select("doc", "simhash", F.explode(tables).alias("bk"))
+        .select("doc", "simhash", "bk.tbl", "bk.key")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 6,
+) -> DataFrame:
+    """ALL pairs at Hamming distance <= ``max_hamming`` — complete, not
+    best-effort — via pigeonhole block tables (Manku/Jain/Sarma's
+    near-duplicate scheme).
+
+    The 64-bit fingerprint is cut into ``blocks`` contiguous blocks and
+    every combination of ``blocks - max_hamming`` blocks becomes one
+    bucket table (key = that combination's concatenated bits). A pair
+    differing in h <= max_hamming bits dirties at most h blocks, leaving
+    >= blocks - h clean ones, so some combination matches — the bucket
+    join provably sees every qualifying pair; the exact bit_count
+    verification then makes the output precise too. A single fixed
+    prefix (the naive bucketing) silently loses any pair whose
+    differing bit lands in the prefix.
+
+    Scale trade-off: C(blocks, blocks - max_hamming) tables each
+    replicate (doc, hash) once — defaults give C(6,3) = 20 tables keyed
+    on ~32 bits (uniform fingerprints -> ~n^2/2^32 accidental
+    collisions per table). Raising ``blocks`` widens the Hamming
+    guarantee reachable at the same key width; verification cost stays
+    one bit_count per candidate.
+    """
     # Both self-join sides read the bucketed table; materialize once so
     # the 65-aggregate simhash groupBy runs once (alias renames defeat
     # exchange reuse, as elsewhere in this module); released with the
     # result (_release_cache_with on the return).
     bucketed = _multi_consumer_cache(
-        sh.select("doc", "simhash", F.explode(tables).alias("bk"))
-        .select("doc", "simhash", "bk.tbl", "bk.key")
+        simhash_block_keys(docs, text_col, id_col, max_hamming, blocks)
     )
     a = bucketed.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"),

@@ -6255,6 +6255,58 @@ def fuzzy_join_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "blocking_selectivity",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ),
+    b AS (
+      SELECT shingle, COUNT(*) AS sz FROM ex GROUP BY shingle
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           (SELECT COUNT(DISTINCT doc_id) FROM ex) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM((sz * (sz - 1)) // 2) AS BIGINT) AS candidate_pairs,
+           ROUND(CAST(SUM((sz * (sz - 1)) // 2) AS DOUBLE)
+                 / (SELECT COUNT(DISTINCT doc_id) FROM ex), 6)
+             AS pairs_per_doc
+    FROM b
+    """,
+)
+def blocking_selectivity(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-selectivity diagnostic (round 9, corpus entry #153):
+    ``dedup.blocking_stats_df`` over the 3-gram shingle inverted index
+    — the bucket table ``ngram_jaccard_pairs`` / ``containment_pairs``
+    self-join on. One row: distinct memberships, docs, buckets, the
+    largest bucket, and the EXACT pre-verification self-join size
+    (sum over buckets of C(size, 2)) with its per-doc ratio — the
+    run-this-first number that says whether a corpus needs a df-cap
+    before the quadratic join, measured on the same keys the join
+    uses. The r8 edit-distance key was recall-lossless yet put 500/500
+    real docs in ONE bucket; this diagnostic is how that class of
+    defect gets caught on data, not in review."""
+    return dedup.blocking_stats_df(
+        dedup.exploded_shingles(
+            load_table(spark, sf, "documents"), "text", "doc_id", 3
+        ),
+        ["shingle"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6288,19 +6340,25 @@ def fuzzy_join_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 #
 # r10 composer note: round 9 additionally REGISTERS entry #152
 # (fuzzy_join_edit_distance, the R-S fuzzy join over
-# dedup.edit_distance_join — registered after position 50, local
-# dual-sf parity green this round). r10 candidates are therefore
-# language_id (r6) + #152 (never-rowed) + the 50 r7-rowed entries
-# = 52 for 50 slots -> TWO slips from the r7 cohort, designated per
-# policy (proven-stable, >= 3 consecutive greens, code untouched
-# since the last row, truth-set twins first):
+# dedup.edit_distance_join) and entry #153 (blocking_selectivity,
+# the dedup.blocking_stats_df diagnostic over the shingle inverted
+# index) — both after position 50, local dual-sf parity green this
+# round. r10 candidates are therefore language_id (r6) + #152 + #153
+# (never-rowed) + the 50 r7-rowed entries = 53 for 50 slots ->
+# THREE slips from the r7 cohort, designated per policy
+# (proven-stable, >= 3 consecutive greens, code untouched since the
+# last row, truth-set twins first):
 #   1. dedup_embedding_cosine (4 green rows r1/r2/r4/r7, named first
 #      slip candidate when the policy was amended in r8; its capped
 #      production twin keeps the tight cadence and shares the oracle);
 #   2. dedup_ngram_jaccard (4 green rows r1/r2/r4/r7 — the UNCAPPED
 #      truth-set twin of dedup_ngram_jaccard_capped, which stays in
 #      the window; its r7 cache-policy change is re-verified by its
-#      own r7 row, code untouched since).
+#      own r7 row, code untouched since);
+#   3. dedup_clusters (4 green rows r1/r2/r4/r7; connected_components
+#      untouched since creation, and its alternating-star engine twin
+#      dedup_clusters_star STAYS in the window over the same pair
+#      graph — the same twin-keeps-cadence rationale as #1).
 # language_id must NOT slip again — the policy forbids
 # consecutive-cycle slips for the same entry.
 #
