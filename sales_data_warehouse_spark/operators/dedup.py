@@ -332,6 +332,122 @@ def blocking_stats(
     )
 
 
+class BucketJoinStats(NamedTuple):
+    """One measured row from :func:`bucket_join_stats` — see there."""
+
+    left_rows: int
+    right_rows: int
+    n_left_docs: int
+    left_buckets: int
+    right_buckets: int
+    matched_buckets: int
+    max_bucket_product: int
+    candidate_rows: int
+    candidates_per_left_doc: float
+
+
+def bucket_join_stats_df(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_doc: str = "doc_a",
+) -> DataFrame:
+    """Two-sided counterpart of :func:`blocking_stats_df` for
+    probe x index candidate generators (the PassJoin engine of
+    :func:`edit_distance_near_pairs` / :func:`edit_distance_join`,
+    or any R-S bucket join): the pre-verification join size is
+    sum over matching buckets of |left bucket| x |right bucket|,
+    not C(n, 2).
+
+    ``on`` pairs the two sides' key columns, e.g.
+    ``[("tlen", "len_b"), ("i", "j"), ("sub", "seg")]`` for the
+    PassJoin tables (append ``("blk_a", "blk_b")`` when blocked) —
+    pass the SAME frames the operator joins so the numbers describe
+    the real plan. Membership rows are deliberately NOT deduplicated:
+    the PassJoin probe can emit the same substring at several start
+    positions and the join pays for every row (pairs dedup AFTER the
+    join) — raw-row counts are the honest join size, unlike the
+    self-join diagnostic whose operators dedup memberships first.
+
+    One row: per-side membership rows and bucket counts, matched
+    buckets, the hottest matched bucket's row product (the skew
+    number), ``candidate_rows`` (the EXACT pre-dedup join output),
+    and ``candidates_per_left_doc`` — the number to watch: if it
+    grows with the right corpus the blocking is degenerating toward
+    cross-product.
+
+    Plan: one groupBy per side at bucket grain, an inner join of the
+    two (small) bucket-size tables, and single-row aggregates; the
+    left side is cached across its two grains (bucket sizes + distinct
+    docs, release-with-result policy)."""
+    lkeys = [lc for lc, _ in on]
+    lf = _multi_consumer_cache(left.select(left_doc, *lkeys))
+    lsizes = lf.groupBy(*lkeys).agg(F.count(F.lit(1)).alias("lsz"))
+    rsizes = (
+        right.select(*[F.col(rc).alias(lc) for lc, rc in on])
+        .groupBy(*lkeys)
+        .agg(F.count(F.lit(1)).alias("rsz"))
+    )
+    matched = lsizes.join(rsizes, lkeys).select(
+        "lsz", "rsz", (F.col("lsz") * F.col("rsz")).alias("prod")
+    )
+    l_tot = lsizes.agg(
+        F.sum("lsz").cast("bigint").alias("left_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("left_buckets"),
+    )
+    r_tot = rsizes.agg(
+        F.sum("rsz").cast("bigint").alias("right_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("right_buckets"),
+    )
+    docs_ct = (
+        lf.select(left_doc)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_left_docs"))
+    )
+    m_tot = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched_buckets"),
+        F.coalesce(F.max("prod"), F.lit(0))
+        .cast("bigint")
+        .alias("max_bucket_product"),
+        F.coalesce(F.sum("prod"), F.lit(0))
+        .cast("bigint")
+        .alias("candidate_rows"),
+    )
+    out = (
+        l_tot.crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(docs_ct))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "left_rows",
+            "right_rows",
+            "n_left_docs",
+            "left_buckets",
+            "right_buckets",
+            "matched_buckets",
+            "max_bucket_product",
+            "candidate_rows",
+            F.round(
+                F.col("candidate_rows").cast("double")
+                / F.col("n_left_docs"),
+                6,
+            ).alias("candidates_per_left_doc"),
+        )
+    )
+    return _release_cache_with(out, lf)
+
+
+def bucket_join_stats(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_doc: str = "doc_a",
+) -> BucketJoinStats:
+    """:func:`bucket_join_stats_df` collected into a
+    :class:`BucketJoinStats` (one driver row)."""
+    row = bucket_join_stats_df(left, right, on, left_doc).collect()[0]
+    return BucketJoinStats(**row.asDict())
+
+
 def _warn_loud(message: str, stacklevel: int = 3) -> None:
     """Shared loud-default contract for quadratic-unless-bounded plan
     shapes: a zero-cost ResourceWarning at plan-BUILD time (never an

@@ -147,6 +147,68 @@ def test_simhash_near_pairs_uses_block_keys_table(spark):
     assert as_set(got) == as_set(expected)
 
 
+def test_bucket_join_stats_hand_computed(spark):
+    """Two-sided arithmetic against a hand-counted fixture. Left has a
+    REPEATED membership row (doc 1, x) that must count twice —
+    probe-side rows are not deduplicated, the join pays for each.
+    Buckets: left {x: 3 rows, y: 1, w: 1}, right {x: 2, y: 1, z: 1};
+    matched = {x, y}; candidate_rows = 3*2 + 1*1 = 7."""
+    left = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (1, "y"), (3, "w")],
+        "doc_a long, kl string",
+    )
+    right = spark.createDataFrame(
+        [(10, "x"), (11, "x"), (12, "y"), (13, "z")],
+        "doc_b long, kr string",
+    )
+    s = dedup.bucket_join_stats(left, right, [("kl", "kr")])
+    assert s.left_rows == 5
+    assert s.right_rows == 4
+    assert s.n_left_docs == 3
+    assert s.left_buckets == 3
+    assert s.right_buckets == 3
+    assert s.matched_buckets == 2
+    assert s.max_bucket_product == 6
+    assert s.candidate_rows == 7
+    assert abs(s.candidates_per_left_doc - 7 / 3) < 1e-6
+
+
+def test_bucket_join_stats_equals_actual_passjoin_size(spark):
+    """candidate_rows must equal the row count of the join the PassJoin
+    engine actually executes (pre pair-dedup, pre verify) — measured on
+    the real probe/index tables over driver documents."""
+    import pyspark.sql.functions as F
+
+    from sales_data_warehouse_spark.operators.dedup import (
+        _edit_probe_substrings,
+        edit_distance_segment_keys,
+    )
+
+    docs = _docs(spark)
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    probe = _edit_probe_substrings(
+        docs.filter(par == 0), "text", "doc_id", 2, 32, None
+    )
+    index = edit_distance_segment_keys(
+        docs.filter(par == 1), max_dist=2, prefix_chars=32
+    ).select(
+        F.col("doc").alias("doc_b"), F.col("klen").alias("len_b"),
+        F.col("seg_idx").alias("j"), "seg",
+    )
+    on = [("tlen", "len_b"), ("i", "j"), ("sub", "seg")]
+    s = dedup.bucket_join_stats(probe, index, on)
+    actual = probe.join(
+        index,
+        (F.col("tlen") == F.col("len_b"))
+        & (F.col("i") == F.col("j"))
+        & (F.col("sub") == F.col("seg")),
+    ).count()
+    assert s.candidate_rows == actual
+    # and the blocking is actually selective on real text: candidates
+    # per probe doc stay far below the right corpus size
+    assert s.candidates_per_left_doc < index.select("doc_b").distinct().count() * 0.1
+
+
 def test_shingle_index_df_cap_bounds_max_bucket(spark):
     """The df-cap story, measured: blocking_stats over the raw shingle
     index reports the hottest bucket, and after the max_df filter (the
