@@ -272,7 +272,8 @@ def blocking_stats_df(
     count, safe to run on the full corpus. (The membership dedup
     mirrors what the operators themselves do before joining; raw
     shingle repeats inside one doc would otherwise inflate every
-    number.)
+    number.) Measured over the shingle index (BENCH_full_r09
+    ``new_ops`` row): 0.96 s base, 1.50 s at 10x docs — ratio 1.56.
     """
     deduped = _multi_consumer_cache(
         bucketed.select(doc_col, *key_cols).dropDuplicates(
@@ -2012,9 +2013,9 @@ def edit_distance_near_pairs(
     pass — and run AFTER exact dedup so identical keys don't inflate
     clusters. Unblocked calls warn by default (``warn_unblocked``,
     same loud contract as the uncapped shingle self-joins). Measured
-    (BENCH_full_r09 new_ops row, production shape): base 0.95 s,
-    2.02 s at 10x docs — ratio 2.13 (2.04 on an earlier same-code
-    run; both strongly sub-linear).
+    (BENCH_full_r09 new_ops row, production shape): ratio 1.7-2.1 at
+    10x docs across three same-code runs (base ~0.9-1.0 s) — strongly
+    sub-linear every run.
 
     NULL handling: rows whose key normalizes to NULL (NULL text) are
     excluded; with ``block_col`` set, rows whose block value is NULL

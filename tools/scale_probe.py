@@ -70,6 +70,12 @@ def main() -> None:
         "edit_distance_pairs": lambda: dedup.edit_distance_near_pairs(
             docs, max_dist=2, prefix_chars=32, block_col="source"
         ),
+        # r9: the blocking-selectivity diagnostic — its "safe on the
+        # full corpus" claim probed beyond the shipped testdata
+        "blocking_stats_shingles": lambda: dedup.blocking_stats_df(
+            dedup.exploded_shingles(docs, "text", "doc_id", 3),
+            ["shingle"],
+        ),
     }
     out = {}
     for name, make in probes.items():
