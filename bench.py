@@ -133,6 +133,11 @@ EXTRA_SCALING = [
     # + one map-side-combinable groupBy; should scale like dedup_exact,
     # far below any pair join).
     "blocking_selectivity",
+    # round-9: the two-sided R-S diagnostic (corpus entry #154) over
+    # the decontamination join's frames — one groupBy per side plus a
+    # bucket-grain join of the two size tables, so it should scale
+    # with the training-side explode, not the candidate count.
+    "bucket_join_selectivity",
 ]
 
 
@@ -633,7 +638,7 @@ def main() -> None:
     # Calibration: a PROBE SUITE (r7 VERDICT #6 — the single min-of-3
     # range->sum probe swung 0.060-0.124 s across rounds and moved
     # OPPOSITE to the queries in r7, so it cannot normalize a 20 s
-    # headline on its own) plus per-table input row counts. Three
+    # headline on its own) plus per-table input row counts. Four
     # probes, each isolating one cost axis the queries actually pay:
     #   * probe_range_sum_sec   — pure-JVM codegen + noop sink
     #     (median of 5; field name kept from r3-r7 for ledger
@@ -645,7 +650,12 @@ def main() -> None:
     #     fork/startup drift the JVM probe is blind to;
     #   * probe_parquet_scan_sec — scan+hash-agg over the sf dir's
     #     customer table (median of 3): I/O + decode path, catches
-    #     page-cache/filesystem drift.
+    #     page-cache/filesystem drift;
+    #   * probe_parquet_write_sec — 2M-row parquet write to a temp
+    #     dir (median of 3, added r9): write path — dirty-page
+    #     throttling / fs flush pressure that none of the read-side
+    #     probes see (the r9 run_etl/dense_fact intra-round doubling
+    #     was unattributable without it).
     # Attribution rule: untouched-code query moves with ALL probes
     # stable = code regression; moves tracking a probe = machine drift
     # on that axis. value_per_probe keeps using the JVM probe.
@@ -700,6 +710,29 @@ def main() -> None:
         probe_scan = _probe(_parquet_scan, 3)
     except Exception:  # noqa: BLE001 — probe must not kill the bench
         probe_scan = -1.0
+
+    def _parquet_write() -> None:
+        # disk-WRITE axis (added r9): run_etl/dense_fact/bucket-write
+        # rows are write-heavy and the three r8 probes are all blind
+        # to write-path drift (page-cache flush pressure, dirty-page
+        # throttling) — the r9 intra-round doubling of run_etl
+        # (4.4->7.5 s) and dense_fact (6.6->11.4 s) on identical code
+        # moved with NO read-side probe, exactly the unattributable
+        # shape this probe exists to catch
+        spark.range(2_000_000).selectExpr(
+            "id", "cast(id as string) s", "id % 97 k"
+        ).write.mode("overwrite").parquet(f"{_write_probe_dir}/p")
+
+    import shutil
+    import tempfile
+
+    _write_probe_dir = tempfile.mkdtemp(prefix="bench_write_probe_")
+    try:
+        probe_write = _probe(_parquet_write, 3)
+    except Exception:  # noqa: BLE001 — probe must not kill the bench
+        probe_write = -1.0
+    finally:
+        shutil.rmtree(_write_probe_dir, ignore_errors=True)
     input_rows = {}
     for t in _BENCH_TABLES:
         try:
@@ -774,17 +807,18 @@ def main() -> None:
                     f"({sum(1 for q in HEADLINE if q in timings)}"
                     " queries). op_*/run_etl*/dense_fact/streaming_* "
                     "are extra rows, not in value. calibration holds "
-                    "the three-probe suite (JVM codegen / Python "
-                    "round-trip / parquet scan, medians): untouched-"
-                    "code moves with all probes stable = code "
-                    "regression; moves tracking a probe = machine "
-                    "drift on that axis."
+                    "the four-probe suite (JVM codegen / Python "
+                    "round-trip / parquet scan / parquet write, "
+                    "medians): untouched-code moves with all probes "
+                    "stable = code regression; moves tracking a probe "
+                    "= machine drift on that axis."
                 ),
                 "input_rows": input_rows,
                 "calibration": {
                     "probe_range_sum_sec": round(probe, 3),
                     "probe_python_rt_sec": round(probe_py, 3),
                     "probe_parquet_scan_sec": round(probe_scan, 3),
+                    "probe_parquet_write_sec": round(probe_write, 3),
                     "bench_runs": runs,
                 },
                 "metric": "headline_queries_total_runtime",

@@ -6307,6 +6307,74 @@ def blocking_selectivity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "bucket_join_selectivity",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, source, LIST_DISTINCT(LIST_TRANSFORM(
+        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 3),
+        i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+             STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+             STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2] || ' ' ||
+             STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+3])) AS shingles
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+      WHERE source <> 'src0'
+    ),
+    bench AS (
+      SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh
+      WHERE source = 'src0'
+    ),
+    lsizes AS (SELECT shingle, COUNT(*) AS lsz FROM tr GROUP BY 1),
+    matched AS (SELECT lsz FROM lsizes JOIN bench USING (shingle))
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS left_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bench) AS right_rows,
+      (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tr)
+        AS n_left_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lsizes) AS left_buckets,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bench) AS right_buckets,
+      CAST(COUNT(*) AS BIGINT) AS matched_buckets,
+      CAST(COALESCE(MAX(lsz), 0) AS BIGINT) AS max_bucket_product,
+      CAST(COALESCE(SUM(lsz), 0) AS BIGINT) AS candidate_rows,
+      ROUND(CAST(COALESCE(SUM(lsz), 0) AS DOUBLE)
+            / (SELECT COUNT(DISTINCT doc_id) FROM tr), 6)
+        AS candidates_per_left_doc
+    FROM matched
+    """,
+)
+def bucket_join_selectivity(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided bucket-join selectivity diagnostic (round 9, corpus
+    entry #154): ``dedup.bucket_join_stats_df`` over the EXACT frames
+    the ``decontaminate_ngrams`` join runs — training-side deduped
+    (doc, 4-gram) memberships (source != src0) probed against the
+    benchmark side's distinct 4-gram set (source = src0). One row:
+    per-side membership rows and bucket counts, matched buckets, the
+    hottest matched bucket's row product, ``candidate_rows`` (the
+    EXACT pre-aggregation join output the decontamination pays), and
+    candidates-per-training-doc — the degenerating-toward-cross-
+    product signal for ANY probe x index R-S bucket join (the PassJoin
+    fuzzy family routes through the same diagnostic; this entry uses
+    the decontamination shape because both sides are SQL-expressible,
+    so the oracle pins the arithmetic end to end)."""
+    docs = load_table(spark, sf, "documents")
+    tr = dedup.exploded_shingles(
+        docs.filter(F.col("source") != "src0"), "text", "doc_id", 4
+    ).dropDuplicates(["doc", "shingle"])
+    bench = (
+        dedup.exploded_shingles(
+            docs.filter(F.col("source") == "src0"), "text", "doc_id", 4
+        )
+        .select("shingle")
+        .distinct()
+    )
+    return dedup.bucket_join_stats_df(
+        tr, bench, on=[("shingle", "shingle")], left_doc="doc"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6340,12 +6408,14 @@ def blocking_selectivity(spark: SparkSession, sf: str) -> DataFrame:
 #
 # r10 composer note: round 9 additionally REGISTERS entry #152
 # (fuzzy_join_edit_distance, the R-S fuzzy join over
-# dedup.edit_distance_join) and entry #153 (blocking_selectivity,
+# dedup.edit_distance_join), entry #153 (blocking_selectivity,
 # the dedup.blocking_stats_df diagnostic over the shingle inverted
-# index) — both after position 50, local dual-sf parity green this
-# round. r10 candidates are therefore language_id (r6) + #152 + #153
-# (never-rowed) + the 50 r7-rowed entries = 53 for 50 slots ->
-# THREE slips from the r7 cohort, designated per policy
+# index), and entry #154 (bucket_join_selectivity, the two-sided
+# dedup.bucket_join_stats_df diagnostic over the decontamination
+# join's own frames) — all after position 50, local dual-sf parity
+# green this round. r10 candidates are therefore language_id (r6) +
+# #152 + #153 + #154 (never-rowed) + the 50 r7-rowed entries = 54 for
+# 50 slots -> FOUR slips from the r7 cohort, designated per policy
 # (proven-stable, >= 3 consecutive greens, code untouched since the
 # last row, truth-set twins first):
 #   1. dedup_embedding_cosine (4 green rows r1/r2/r4/r7, named first
@@ -6358,7 +6428,13 @@ def blocking_selectivity(spark: SparkSession, sf: str) -> DataFrame:
 #   3. dedup_clusters (4 green rows r1/r2/r4/r7; connected_components
 #      untouched since creation, and its alternating-star engine twin
 #      dedup_clusters_star STAYS in the window over the same pair
-#      graph — the same twin-keeps-cadence rationale as #1).
+#      graph — the same twin-keeps-cadence rationale as #1);
+#   4. dedup_exact (4 green rows r1/r2/r4/r7; exact_duplicates
+#      untouched since creation, and it is the corpus's most
+#      redundantly covered entry anyway — a HEADLINE bench member
+#      timed every round, re-verified by the oracle-parity suite at
+#      two sfs each session, and probed at 200k-1M rows by
+#      tools/scale_probe.py).
 # language_id must NOT slip again — the policy forbids
 # consecutive-cycle slips for the same entry.
 #

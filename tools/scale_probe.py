@@ -5,6 +5,16 @@ times representative operators, printing one JSON line. Use to check an
 operator's behavior beyond the shipped testdata scales:
 
     python tools/scale_probe.py 1000000
+
+Probes share one session, so accumulated JVM state (old-gen growth,
+un-GC'd shuffle/broadcast state from earlier probes) can inflate LATE
+probes and masquerade as super-linear scaling. Measured at 1M rows:
+``bm25_topk`` read 72.6 s as the 8th probe of a shared run vs 18.2 s
+isolated on the same code and rows — a 4x distortion entirely from
+probe ORDER. The loop now clears the cache and forces a JVM GC between
+probes (Spark's ContextCleaner piggybacks on GC, so this also reclaims
+dead shuffle/broadcast state); when a single probe still looks
+super-linear, re-measure it ISOLATED before believing the number.
 """
 
 from __future__ import annotations
@@ -79,6 +89,12 @@ def main() -> None:
     }
     out = {}
     for name, make in probes.items():
+        # isolate probes from each other: drop any cache the previous
+        # operator left and force a GC so the ContextCleaner reclaims
+        # its shuffle/broadcast state — without this, late probes pay
+        # for earlier ones (see module docstring: 4x on bm25)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         make().write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
