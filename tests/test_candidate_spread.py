@@ -230,3 +230,69 @@ def test_shingle_index_df_cap_bounds_max_bucket(spark):
     capped = dedup.blocking_stats(deduped.join(kept, "shingle"), ["shingle"])
     assert capped.max_bucket <= cap
     assert capped.candidate_pairs < raw.candidate_pairs
+
+
+def test_blocking_recall_hand_computed(spark):
+    """Recall arithmetic against a hand-counted fixture: truth pairs
+    {(1,2), (3,4)}; docs 1 and 2 share bucket x, docs 3 and 4 do not
+    share any bucket -> caught 1 of 2, recall 0.5. A duplicate truth
+    row and a duplicate membership row must not double-count."""
+    truth = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    bucketed = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (3, "y"), (4, "z")],
+        "doc long, key string",
+    )
+    s = dedup.blocking_recall_stats(truth, bucketed, ["key"])
+    assert s.truth_pairs == 2
+    assert s.caught_pairs == 1
+    assert s.recall == 0.5
+
+
+def test_blocking_recall_uncapped_shingles_is_total(spark):
+    """The invariant the docstring pins: an UNCAPPED shingle index
+    catches every pair with Jaccard > 0 (positive Jaccard IS sharing a
+    shingle), so recall against the exact Jaccard truth set must be
+    exactly 1.0 on real text. A deviation means the bucket table and
+    the truth set normalized differently — the bug class this
+    diagnostic exists to surface."""
+    docs = _docs(spark)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.1, warn_uncapped=False  # deliberate truth set
+    ).select("doc_a", "doc_b")
+    sh = dedup.exploded_shingles(docs, "text", "doc_id", 3)
+    s = dedup.blocking_recall_stats(truth, sh, ["shingle"])
+    assert s.truth_pairs > 0  # the corpus actually has near-dups
+    assert s.caught_pairs == s.truth_pairs
+    assert s.recall == 1.0
+
+
+def test_blocking_recall_empty_truth_is_null(spark):
+    """Zero truth pairs is zero EVIDENCE, not perfect recall — the
+    ratio comes back NULL so a dashboard cannot read 'no sample' as
+    'recall 1.0'."""
+    truth = spark.createDataFrame([], "doc_a long, doc_b long")
+    bucketed = spark.createDataFrame(
+        [(1, "x")], "doc long, key string"
+    )
+    row = dedup.blocking_recall_stats_df(
+        truth, bucketed, ["key"]
+    ).collect()[0]
+    assert row["truth_pairs"] == 0
+    assert row["caught_pairs"] == 0
+    assert row["recall"] is None
+
+
+def test_blocking_recall_null_keys_follow_group_semantics(spark):
+    """NULL bucket keys follow groupBy semantics (NULL is a bucket),
+    matching blocking_stats_df's candidate_pairs arithmetic, which
+    counts the NULL group like any other: two docs whose only shared
+    bucket is NULL count as caught (eqNullSafe in the key match)."""
+    truth = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    bucketed = spark.createDataFrame(
+        [(1, None), (2, None)], "doc long, key string"
+    )
+    s = dedup.blocking_recall_stats(truth, bucketed, ["key"])
+    assert s.caught_pairs == 1
+    assert s.recall == 1.0
