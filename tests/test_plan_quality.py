@@ -38,6 +38,13 @@ CARTESIAN_OK = {
     # date / basket count) — 1 x n, constant cost at any scale
     "rfm_segmentation",
     "basket_affinity",
+    # r9 blocking diagnostics assemble their ONE output row by
+    # crossJoining broadcast single-row aggregates (sizes x docs_ct
+    # x matched totals) — 1 x 1 joins, constant cost at any scale;
+    # the corpus-sized work all happens in the upstream groupBys
+    "blocking_selectivity",
+    "bucket_join_selectivity",
+    "blocking_recall",
 }
 
 

@@ -86,6 +86,24 @@ def main() -> None:
             dedup.exploded_shingles(docs, "text", "doc_id", 3),
             ["shingle"],
         ),
+        # r9: the blocking-RECALL audit in its production shape — a
+        # 2-permille deterministic doc sample bounds the quadratic
+        # truth set (the docstring's 100 TB recipe, demonstrated):
+        # cost should track the SAMPLE, staying near-flat as the
+        # corpus grows at fixed permille
+        "blocking_recall_sampled": lambda: (
+            lambda smp: dedup.blocking_recall_stats_df(
+                dedup.ngram_jaccard_pairs(
+                    smp, threshold=0.1, warn_uncapped=False
+                ).select("doc_a", "doc_b"),
+                dedup.exploded_shingles(smp, "text", "doc_id", 3),
+                ["shingle"],
+            )
+        )(
+            docs.filter(
+                sampling.permille_hash(F.col("doc_id")) < 2
+            )
+        ),
     }
     out = {}
     for name, make in probes.items():
