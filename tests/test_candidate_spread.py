@@ -296,3 +296,62 @@ def test_blocking_recall_null_keys_follow_group_semantics(spark):
     s = dedup.blocking_recall_stats(truth, bucketed, ["key"])
     assert s.caught_pairs == 1
     assert s.recall == 1.0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# random bucket tables: up to 8 docs, each holding 0-3 memberships over
+# a 4-key universe (so shared buckets, missing docs, and multi-bucket
+# docs all occur); truth pairs drawn over the same doc universe
+_memberships = st.lists(
+    st.tuples(st.integers(0, 7), st.sampled_from(["w", "x", "y", "z"])),
+    max_size=20,
+)
+_truth = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda p: p[0] < p[1]
+    ),
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(memberships=_memberships, truth=_truth)
+def test_blocking_recall_matches_set_logic(spark, memberships, truth):
+    """Property: for random bucket tables and truth sets, the measured
+    recall equals plain Python set logic — caught iff the pair's two
+    docs share >= 1 bucket key."""
+    from sales_data_warehouse_spark.operators import dedup
+
+    truth_df = spark.createDataFrame(
+        truth or [(None, None)], "doc_a long, doc_b long"
+    ).filter("doc_a IS NOT NULL")
+    bucketed = spark.createDataFrame(
+        memberships or [(None, None)], "doc long, key string"
+    ).filter("doc IS NOT NULL")
+    row = dedup.blocking_recall_stats_df(
+        truth_df, bucketed, ["key"]
+    ).collect()[0]
+
+    buckets: dict[int, set[str]] = {}
+    for d, k in memberships:
+        buckets.setdefault(d, set()).add(k)
+    want_truth = set(truth)
+    want_caught = {
+        (a, b)
+        for a, b in want_truth
+        if buckets.get(a, set()) & buckets.get(b, set())
+    }
+    assert row["truth_pairs"] == len(want_truth)
+    assert row["caught_pairs"] == len(want_caught)
+    if want_truth:
+        assert row["recall"] == round(
+            len(want_caught) / len(want_truth), 6
+        )
+    else:
+        assert row["recall"] is None
