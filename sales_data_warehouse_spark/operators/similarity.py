@@ -824,6 +824,101 @@ def ivf_cell_stats(spark, path: str) -> IvfCellStats:
     )
 
 
+class IvfRecallStats(NamedTuple):
+    """One measured row from :func:`ivf_recall_audit` — see there."""
+
+    n_queries: int
+    truth_hits: int
+    caught_hits: int
+    recall_at_k: float | None
+
+
+def ivf_recall_audit_df(
+    index: IvfIndex,
+    k: int = 5,
+    nprobe: int = 4,
+    sample_permille: int = 2,
+) -> DataFrame:
+    """Measured recall@k of a built/persisted IVF index on its OWN
+    corpus — the QUALITY counterpart of :func:`ivf_cell_stats` (which
+    monitors only the COST side of append drift). The skew ratio says
+    cells went lopsided; this says whether search quality actually
+    paid: a deterministic ``permille_hash`` sample of the indexed
+    vectors queries the index (``nprobe`` as in production) AND an
+    exact brute-force top-k over the full corpus, and recall@k is the
+    measured overlap. Run it after appends alongside the skew monitor;
+    the two together are the rebuild decision — rebuild when recall
+    drops below budget, not when a proxy number looks big.
+
+    Cost: the brute-force truth side is one full corpus scan x
+    |sample| dot products (block GEMM, never |q| x |c| shuffle rows)
+    — linear in the corpus at fixed permille, the honest audit price.
+    Returns one row: ``n_queries``, ``truth_hits`` (brute-force rows,
+    <= k per query on tiny corpora), ``caught_hits`` (hits the IVF
+    search also returned), ``recall_at_k`` (NULL when the sample is
+    empty — no evidence is not perfect recall). Both paths rank
+    through the same deterministic tie-break (sim desc, neighbor id
+    asc), so tie choices never read as misses."""
+    corpus = index.assigned.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cv").alias("embedding"),
+    )
+    from sales_data_warehouse_spark.operators.sampling import (
+        permille_hash,
+    )
+
+    queries = corpus.filter(
+        permille_hash(F.col("vec_id")) < sample_permille
+    )
+    truth = brute_force_topk(corpus, queries, k=k)
+    got = ivf_search(index, queries, k=k, nprobe=nprobe)
+    caught = got.join(
+        truth.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    n_q = queries.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries")
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("truth_hits")
+    )
+    n_caught = caught.agg(
+        F.count(F.lit(1)).cast("bigint").alias("caught_hits")
+    )
+    return (
+        n_q.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_caught))
+        .select(
+            "n_queries",
+            "truth_hits",
+            "caught_hits",
+            F.when(
+                F.col("truth_hits") > 0,
+                F.round(
+                    F.col("caught_hits").cast("double")
+                    / F.col("truth_hits"),
+                    6,
+                ),
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ivf_recall_audit(
+    index: IvfIndex,
+    k: int = 5,
+    nprobe: int = 4,
+    sample_permille: int = 2,
+) -> IvfRecallStats:
+    """:func:`ivf_recall_audit_df` collected into an
+    :class:`IvfRecallStats` (one driver row)."""
+    row = ivf_recall_audit_df(
+        index, k, nprobe, sample_permille
+    ).collect()[0]
+    return IvfRecallStats(**row.asDict())
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

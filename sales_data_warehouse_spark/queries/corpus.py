@@ -6465,6 +6465,46 @@ def blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.blocking_recall_stats_df(truth, capped, ["shingle"])
 
 
+@query(
+    "ivf_recall_audit",
+    r"""
+    WITH q AS (
+      SELECT COUNT(*) AS n FROM embeddings
+      WHERE ((vec_id % 1000003 + 1000003) % 1000003) * 2654435761
+            % 4294967296 % 1000 < 100
+    )
+    SELECT CAST(n AS BIGINT) AS n_queries,
+           CAST(n * 5 AS BIGINT) AS truth_hits,
+           TRUE AS recall_ok
+    FROM q
+    """,
+)
+def ivf_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF recall audit (round 9, corpus entry #156):
+    ``similarity.ivf_recall_audit_df`` — the QUALITY counterpart of
+    the ``ivf_cell_stats`` skew monitor, run at production shape
+    (nprobe=4-of-16, k=5) over a deterministic 10 % ``permille_hash``
+    sample of the indexed vectors, with exact block-GEMM brute force
+    as truth.
+
+    Property oracle (k-means cells are engine-specific): the sample
+    size and the truth-hit count are pinned exactly in SQL (the
+    permille hash is pure BIGINT arithmetic, reproduced verbatim;
+    every query has >= k non-self neighbors at these corpus sizes so
+    truth_hits = 5 x n_queries), and measured recall@5 must clear the
+    same 0.5 floor as ``ann_ivf_topk`` (measured 0.675 at sf0.001,
+    0.692 at sf0.01 with 48 queries)."""
+    emb = load_table(spark, sf, "embeddings")
+    idx = similarity.build_ivf_index(emb)
+    return similarity.ivf_recall_audit_df(
+        idx, k=5, nprobe=4, sample_permille=100
+    ).select(
+        "n_queries",
+        "truth_hits",
+        (F.col("recall_at_k") >= 0.5).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6502,15 +6542,18 @@ def blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
 # the dedup.blocking_stats_df diagnostic over the shingle inverted
 # index), entry #154 (bucket_join_selectivity, the two-sided
 # dedup.bucket_join_stats_df diagnostic over the decontamination
-# join's own frames), and entry #155 (blocking_recall, the
+# join's own frames), entry #155 (blocking_recall, the
 # dedup.blocking_recall_stats_df quality-side diagnostic: measured
 # recall of the df-capped shingle blocking against the uncapped
-# Jaccard truth set) — all after position 50, local dual-sf parity
-# green this round. r10 candidates are therefore language_id (r6) +
-# #152 + #153 + #154 + #155 (never-rowed) + the 50 r7-rowed entries
-# = 55 for 50 slots -> FIVE slips from the r7 cohort, designated per
-# policy (proven-stable, >= 3 consecutive greens, code untouched
-# since the last row, truth-set twins first):
+# Jaccard truth set), and entry #156 (ivf_recall_audit, the
+# similarity.ivf_recall_audit_df quality-side monitor for persisted
+# IVF indexes: sampled measured recall@k vs exact brute force) — all
+# after position 50, local dual-sf parity green this round. r10
+# candidates are therefore language_id (r6) + #152 + #153 + #154 +
+# #155 + #156 (never-rowed) + the 50 r7-rowed entries = 56 for 50
+# slots -> SIX slips from the r7 cohort, designated per policy
+# (proven-stable, >= 3 consecutive greens, code untouched since the
+# last row, truth-set twins first):
 #   1. dedup_embedding_cosine (4 green rows r1/r2/r4/r7, named first
 #      slip candidate when the policy was amended in r8; its capped
 #      production twin keeps the tight cadence and shares the oracle);
@@ -6531,7 +6574,11 @@ def blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
 #   5. join_multiway (4 green rows r1/r2/r4/r7; the time-dimension
 #      5-way hierarchy join — fact.py/time_dimension.py untouched
 #      since creation, and it is likewise a HEADLINE bench member
-#      timed every round with an sf1 scaling row).
+#      timed every round with an sf1 scaling row);
+#   6. dense_cube_crossjoin (4 green rows r1/r2/r4/r7; fact.py
+#      untouched since creation, a HEADLINE bench member, and its
+#      5,569,280-row golden is additionally pinned every session by
+#      tests/test_etl_reference.py).
 # language_id must NOT slip again — the policy forbids
 # consecutive-cycle slips for the same entry.
 #

@@ -302,3 +302,52 @@ def test_edit_distance_join_matches_bruteforce(spark, lt, rt):
         if _lev(_norm(x), _norm(y)) <= 2
     )
     assert got == want
+
+
+def test_ivf_recall_audit_full_probe_is_exact(spark):
+    """Invariant: probing EVERY cell makes IVF search identical to
+    brute force (same candidates, same deterministic tie-break), so
+    the audit must report recall exactly 1.0 — any deviation means
+    the two top-k paths rank or tie differently, which is the bug
+    class the audit must never mask."""
+    from sales_data_warehouse_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = similarity.build_ivf_index(emb, num_centroids=4)
+    s = similarity.ivf_recall_audit(
+        idx, k=5, nprobe=4, sample_permille=60
+    )
+    assert s.n_queries > 0
+    assert s.truth_hits == s.n_queries * 5
+    assert s.caught_hits == s.truth_hits
+    assert s.recall_at_k == 1.0
+
+
+def test_ivf_recall_audit_partial_probe_bounds(spark):
+    """nprobe=1-of-8 must stay below full-probe recall (it sees a
+    fraction of the corpus) while the audit arithmetic still holds:
+    caught <= truth, recall = caught/truth rounded 6."""
+    from sales_data_warehouse_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = similarity.build_ivf_index(emb, num_centroids=8)
+    s = similarity.ivf_recall_audit(
+        idx, k=5, nprobe=1, sample_permille=60
+    )
+    assert 0 < s.caught_hits < s.truth_hits
+    assert s.recall_at_k == round(s.caught_hits / s.truth_hits, 6)
+
+
+def test_ivf_recall_audit_empty_sample_is_null(spark):
+    """A permille of 0 samples no queries: zero evidence must come
+    back as NULL recall, never 1.0."""
+    from sales_data_warehouse_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = similarity.build_ivf_index(emb, num_centroids=4)
+    row = similarity.ivf_recall_audit_df(
+        idx, k=5, nprobe=4, sample_permille=0
+    ).collect()[0]
+    assert row["n_queries"] == 0
+    assert row["truth_hits"] == 0
+    assert row["recall_at_k"] is None
