@@ -36,8 +36,11 @@ from pyspark.sql import types as T
 
 from sales_data_warehouse_spark.operators.similarity import (
     IvfCellStats,
+    IvfRecallStats,
     ivf_append,
     ivf_cell_stats,
+    ivf_recall_audit,
+    load_ivf_index,
 )
 from sales_data_warehouse_spark.sources.compaction import fs_exists
 
@@ -118,6 +121,12 @@ def start_streaming_ivf_append(
     on_stats: Callable[[int, IvfCellStats], None] | None = None,
     skew_warn_ratio: float = 8.0,
     stats_every_n_batches: int = 1,
+    recall_audit_every_n_batches: int | None = None,
+    recall_floor: float = 0.5,
+    recall_k: int = 5,
+    recall_nprobe: int = 4,
+    recall_sample_permille: int = 2,
+    on_recall: Callable[[int, IvfRecallStats], None] | None = None,
 ):
     """Continuous drop-dir → IVF index growth with the drift monitor
     in the loop: every micro-batch appends (replay-guarded), then
@@ -136,7 +145,19 @@ def start_streaming_ivf_append(
     appended batches. Fine for the default one-file-per-trigger
     backfill shape; for a long-running high-frequency stream set it
     to sample every Nth batch (drift is gradual — a sampled monitor
-    catches it just as surely, N batches later at worst)."""
+    catches it just as surely, N batches later at worst).
+
+    ``recall_audit_every_n_batches`` (default None = off) runs the
+    QUALITY half of the rebuild decision in the same loop:
+    ``ivf_recall_audit`` on the persisted index every Nth batch, the
+    report pushed to ``on_recall``, with a UserWarning once measured
+    recall@k drops below ``recall_floor``. The skew number says cells
+    went lopsided; this says search quality actually paid — warn on
+    the number the SLA is written against. Off by default because the
+    audit's brute-force truth side is a full index scan x sample dot
+    products per run — at streaming cadence reserve it for every Nth
+    batch (or leave it to an offline scheduler calling
+    ``ivf_recall_audit`` directly)."""
 
     checkpoint = checkpoint_dir or f"{index_path}/_append_checkpoint"
     # batch_id is unique only within one checkpoint lineage — scope
@@ -162,23 +183,51 @@ def start_streaming_ivf_append(
             compute_stats=compute,
             marker_namespace=namespace,
         )
-        if stats is None:
-            return
-        if on_stats is not None:
-            on_stats(batch_id, stats)
-        if stats.skew_ratio >= skew_warn_ratio:
-            import warnings
+        if stats is not None:
+            if on_stats is not None:
+                on_stats(batch_id, stats)
+            if stats.skew_ratio >= skew_warn_ratio:
+                import warnings
 
-            warnings.warn(
-                f"streaming ivf_append: skew_ratio "
-                f"{stats.skew_ratio:.2f} >= {skew_warn_ratio} after "
-                f"batch {batch_id} (max cell {stats.max_rows} rows vs "
-                f"median {stats.median_rows}) — the appended "
-                "distribution has drifted off the trained centroids; "
-                "rebuild the index",
-                UserWarning,
-                stacklevel=2,
+                warnings.warn(
+                    f"streaming ivf_append: skew_ratio "
+                    f"{stats.skew_ratio:.2f} >= {skew_warn_ratio} after "
+                    f"batch {batch_id} (max cell {stats.max_rows} rows "
+                    f"vs median {stats.median_rows}) — the appended "
+                    "distribution has drifted off the trained "
+                    "centroids; rebuild the index",
+                    UserWarning,
+                    stacklevel=2,
+                )
+        if (
+            recall_audit_every_n_batches
+            and batch_id % recall_audit_every_n_batches == 0
+        ):
+            audit = ivf_recall_audit(
+                load_ivf_index(spark, index_path),
+                k=recall_k,
+                nprobe=recall_nprobe,
+                sample_permille=recall_sample_permille,
             )
+            if on_recall is not None:
+                on_recall(batch_id, audit)
+            if (
+                audit.recall_at_k is not None
+                and audit.recall_at_k < recall_floor
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"streaming ivf_append: measured recall@"
+                    f"{recall_k} {audit.recall_at_k:.3f} < "
+                    f"{recall_floor} after batch {batch_id} "
+                    f"({audit.caught_hits}/{audit.truth_hits} hits "
+                    f"over {audit.n_queries} sampled queries at "
+                    f"nprobe={recall_nprobe}) — append drift is now "
+                    "COSTING search quality; rebuild the index",
+                    UserWarning,
+                    stacklevel=2,
+                )
 
     stream = read_embeddings_stream(spark, drop_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -351,3 +351,60 @@ def test_ivf_recall_audit_empty_sample_is_null(spark):
     assert row["n_queries"] == 0
     assert row["truth_hits"] == 0
     assert row["recall_at_k"] is None
+
+
+def test_streaming_ivf_append_recall_monitor(spark, tmp_path):
+    """The QUALITY half of the rebuild decision must fire inside the
+    streaming loop too: with the audit scheduled every batch at
+    nprobe=1-of-4 and a floor the partial probe cannot clear, each
+    micro-batch reports a measured recall row via on_recall (sane
+    arithmetic: truth = 5 x queries, recall < 1) and raises the
+    recall-specific rebuild warning."""
+    from sales_data_warehouse_spark.operators import similarity
+    from sales_data_warehouse_spark.streaming import (
+        start_streaming_ivf_append,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seed = emb.limit(64)
+    path = str(tmp_path / "ivf")
+    index = similarity.build_ivf_index(seed, num_centroids=4, cache=False)
+    similarity.save_ivf_index(index, path)
+
+    extra = emb.filter(
+        (F.col("vec_id") >= 64) & (F.col("vec_id") < 164)
+    ).collect()
+    drop = str(tmp_path / "drop")
+    for half in (extra[:50], extra[50:]):
+        spark.createDataFrame(
+            [(r.vec_id, r.embedding, r.label) for r in half],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("append").parquet(drop)
+
+    audits: list[tuple[int, similarity.IvfRecallStats]] = []
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = start_streaming_ivf_append(
+            spark,
+            drop,
+            path,
+            available_now=True,
+            recall_audit_every_n_batches=1,
+            recall_nprobe=1,
+            recall_floor=0.95,
+            recall_sample_permille=100,
+            on_recall=lambda bid, a: audits.append((bid, a)),
+        )
+        q.awaitTermination(120)
+    assert len(audits) == 2, f"expected 2 audits, saw {audits}"
+    for _, a in audits:
+        assert a.n_queries > 0
+        assert a.truth_hits == a.n_queries * 5
+        assert a.caught_hits < a.truth_hits  # 1-of-4 probe misses some
+        assert a.recall_at_k < 0.95
+    recall_warns = [
+        w for w in caught
+        if issubclass(w.category, UserWarning)
+        and "COSTING search quality" in str(w.message)
+    ]
+    assert len(recall_warns) == 2, "sub-floor recall must warn per audit"
