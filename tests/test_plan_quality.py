@@ -45,6 +45,7 @@ CARTESIAN_OK = {
     "blocking_selectivity",
     "bucket_join_selectivity",
     "blocking_recall",
+    "ivf_recall_audit",
 }
 
 
