@@ -6510,81 +6510,75 @@ def ivf_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
 # (CORRECTNESS_r01-r06 all equal registration positions 0-49; r7+ use
-# the frozen rotation below).  Round-9 window — after r8's 50/50 green
-# run, ALL 151 entries' latest driver row is green and 150 hold a hard
-# row (50 r8 / 50 r7 / 50 r6); the single never-rowed entry is
-# dedup_edit_distance (#151, registered r8 after the freeze). This
-# rotation is the r9 window the r8 composer pre-designated, composed
-# by the amended GREEDY MOST-STALE-FIRST policy (below): #151 plus 49
-# of the 50 r6-rowed entries.
+# the frozen rotation below).  Round-10 window — after r9's 50/50
+# green run, ALL 156 entries' latest driver row is green; 151 hold a
+# hard row (50 r9 / 50 r8 / 50 r7 / 1 r6) and five are never-rowed
+# (#152-156, registered in r9 after the freeze). This rotation is the
+# r10 window the r9 composer pre-designated, composed by the amended
+# GREEDY MOST-STALE-FIRST policy (below): language_id (the designated
+# r9 slip, r6-stale, forbidden from slipping twice) + the five
+# never-rowed r9 registrations + 44 of the 50 r7-rowed entries.
 #
 # Notable slots:
-# * dedup_edit_distance — first-ever hard row, and it verifies the
-#   ROUND-9 REWRITE: PassJoin segment blocking replaced the r8
-#   length-band key (degenerate on real corpora — every doc longer
-#   than prefix_chars landed in ONE band). The oracle is still the
-#   UNBLOCKED within-source truth set, so the row re-proves the new
-#   blocking recall-lossless on driver data;
-# * semantic_dedup, dedup_containment_capped — r6 rows but r7 code
-#   changes (error-path cache release / warn-param plumbing); their
-#   fresh rows finally postdate the code they verify (r8 VERDICT
-#   "What's missing" #2);
-# * the r5-stale cohort is empty — everything else here is simply the
-#   r6 cohort at the two-round staleness boundary.
+# * fuzzy_join_edit_distance (#152) — first hard row for the R-S
+#   fuzzy join built on the PassJoin engine (two-sided segment
+#   blocking across two relations);
+# * blocking_selectivity (#153) / bucket_join_selectivity (#154) /
+#   blocking_recall (#155) / ivf_recall_audit (#156) — first hard
+#   rows for the round-9 measurement layer (blocking COST, join
+#   selectivity, blocking QUALITY, ANN recall);
+# * language_id — r6-stale, slipped once (r9, pre-designated); the
+#   policy forbids consecutive-cycle slips, so it leads this window.
 #
-# The ONE slip this round (51 candidates, 50 slots): language_id —
-# 3 green rows (r1/r3/r6), operator code untouched since creation —
-# slips to r10 as pre-designated by the r8 composer.
-#
-# r10 composer note: round 9 additionally REGISTERS entry #152
-# (fuzzy_join_edit_distance, the R-S fuzzy join over
-# dedup.edit_distance_join), entry #153 (blocking_selectivity,
-# the dedup.blocking_stats_df diagnostic over the shingle inverted
-# index), entry #154 (bucket_join_selectivity, the two-sided
-# dedup.bucket_join_stats_df diagnostic over the decontamination
-# join's own frames), entry #155 (blocking_recall, the
-# dedup.blocking_recall_stats_df quality-side diagnostic: measured
-# recall of the df-capped shingle blocking against the uncapped
-# Jaccard truth set), and entry #156 (ivf_recall_audit, the
-# similarity.ivf_recall_audit_df quality-side monitor for persisted
-# IVF indexes: sampled measured recall@k vs exact brute force) — all
-# after position 50, local dual-sf parity green this round. r10
-# candidates are therefore language_id (r6) + #152 + #153 + #154 +
-# #155 + #156 (never-rowed) + the 50 r7-rowed entries = 56 for 50
-# slots -> SIX slips from the r7 cohort, designated per policy
+# SIX slips this round (56 candidates, 50 slots), all from the
+# r7-rowed cohort, designated by the r9 composer per policy
 # (proven-stable, >= 3 consecutive greens, code untouched since the
-# last row, truth-set twins first):
-#   1. dedup_embedding_cosine (4 green rows r1/r2/r4/r7, named first
-#      slip candidate when the policy was amended in r8; its capped
-#      production twin keeps the tight cadence and shares the oracle);
-#   2. dedup_ngram_jaccard (4 green rows r1/r2/r4/r7 — the UNCAPPED
-#      truth-set twin of dedup_ngram_jaccard_capped, which stays in
-#      the window; its r7 cache-policy change is re-verified by its
-#      own r7 row, code untouched since);
-#   3. dedup_clusters (4 green rows r1/r2/r4/r7; connected_components
-#      untouched since creation, and its alternating-star engine twin
-#      dedup_clusters_star STAYS in the window over the same pair
-#      graph — the same twin-keeps-cadence rationale as #1);
-#   4. dedup_exact (4 green rows r1/r2/r4/r7; exact_duplicates
-#      untouched since creation, and it is the corpus's most
-#      redundantly covered entry anyway — a HEADLINE bench member
-#      timed every round, re-verified by the oracle-parity suite at
-#      two sfs each session, and probed at 200k-1M rows by
-#      tools/scale_probe.py);
-#   5. join_multiway (4 green rows r1/r2/r4/r7; the time-dimension
-#      5-way hierarchy join — fact.py/time_dimension.py untouched
-#      since creation, and it is likewise a HEADLINE bench member
-#      timed every round with an sf1 scaling row);
-#   6. dense_cube_crossjoin (4 green rows r1/r2/r4/r7; fact.py
-#      untouched since creation, a HEADLINE bench member, and its
-#      5,569,280-row golden is additionally pinned every session by
-#      tests/test_etl_reference.py).
-# language_id must NOT slip again — the policy forbids
-# consecutive-cycle slips for the same entry.
+# last row, truth-set twins first): dedup_embedding_cosine,
+# dedup_ngram_jaccard, dedup_clusters (truth-set/engine twins whose
+# production twins stay in the window), dedup_exact, join_multiway,
+# dense_cube_crossjoin (headline bench members timed every round;
+# dense_cube's 5,569,280-row golden is pinned every session by
+# tests/test_etl_reference.py). None of the six slipped in the
+# previous cycle; none may slip again in r11.
 #
-# Staleness after this round: nothing older than r7 except language_id
-# (r6, designated); every entry whose code changed since its last row
-# will have a row postdating the change.
+# r11 composer note: round 10 additionally REGISTERS entry #157
+# (fuzzy_lookup_edit_distance, the best-match lookup variant of
+# dedup.edit_distance_join via dedup.edit_distance_lookup — one
+# min-dist, id-tiebroken right row per matched left row) after
+# position 50, local dual-sf parity green this round. r11 candidates
+# are therefore the six r7-stale entries slipped above + #157
+# (never-rowed) + the 50 r8-rowed entries = 57 for 50 slots -> SEVEN
+# slips from the r8 cohort, designated per policy (proven-stable,
+# >= 3 consecutive greens, code untouched since the last row,
+# truth-set twins and redundantly-pinned entries first):
+#   1. set_except (greens r1/r2/r5/r8; its EXCEPT ALL twin
+#      set_except_all carries a fresh r9 row over the same engine
+#      surface — the twin-keeps-cadence rationale);
+#   2. anti_join (greens r1/r2/r5/r8; left_anti corpus shape, and
+#      the same plan family carries not_exists_customers' fresh r9
+#      row);
+#   3. semi_join_having (greens r1/r2/r5/r8; decorrelation
+#      additionally pinned every session by test_plan_quality.py);
+#   4. distinct_dedup (greens r1/r2/r5/r8; cleansing.py untouched;
+#      the TRUNCATE+DISTINCT reference shape is also pinned by the
+#      ETL goldens in tests/test_etl_reference.py every session);
+#   5. scalar_aggregates (greens r1/r2/r5/r8; trivial MIN/MAX corpus
+#      shape over untouched code);
+#   6. date_spine (greens r1/r2/r5/r8; F.sequence calendar spine,
+#      time_dimension.py untouched, re-pinned by the ETL goldens);
+#   7. string_functions (greens r1/r2/r5/r8; pure built-in function
+#      battery over untouched code, re-verified type-strictly by the
+#      parity suite each session).
+# If any of these seven had a code change by r11 composition time,
+# promote it into the window and slip the next most redundantly
+# pinned r8 entry instead. None of this round's six slips may slip
+# again in r11.
+#
+# Staleness after this round: nothing older than r8 except the six
+# designated r10 slips (r7 rows); zero never-rowed entries except
+# #157 (registered this round, first in line for r11); every entry
+# whose code changed since its last row will have a row postdating
+# the change.
 #
 # CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically
 # infeasible: 50 slots/round supports a universal k-round cadence only
@@ -6612,56 +6606,56 @@ def ivf_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    "dedup_edit_distance",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "asof_join_nearest",
-    "attribution_last_touch",
-    "bigram_surprisal",
-    "bpe_pair_counts",
-    "corpus_filter_pipeline",
-    "decontaminate_ngrams",
-    "dedup_canonical_text",
-    "dedup_containment_capped",
-    "doc_chunking",
-    "doc_fingerprint",
-    "doc_pii_scrub",
-    "doc_winnowing",
-    "embedding_stats",
-    "exists_subquery_orders",
-    "funnel_conversion",
-    "fuzzy_name_match",
-    "gap_fill_locf",
-    "hypertable_rollup",
-    "in_subquery_big_orders",
-    "mixture_interleave",
-    "multimodal_audio_windows",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "not_exists_customers",
-    "range_join_weeks",
-    "repetition_quality",
-    "retention_cohorts",
-    "rolling_range_avg",
-    "scalar_subquery_share",
-    "semantic_dedup",
-    "session_stats",
-    "set_except_all",
-    "set_intersect_all",
-    "sketch_union_rollup",
-    "skew_salted_join",
-    "snapshot_upsert",
-    "stratified_sample",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_budget_select",
-    "token_counting",
-    "token_frequencies",
-    "topk_unshipped_revenue",
-    "trend_slope_per_user",
-    "value_histogram",
-    "zscore_outliers",
+    "language_id",
+    "fuzzy_join_edit_distance",
+    "blocking_selectivity",
+    "bucket_join_selectivity",
+    "blocking_recall",
+    "ivf_recall_audit",
+    "asof_join_grouped_pricelist",
+    "asof_join_pricelist",
+    "basket_affinity",
+    "bm25_topk",
+    "cohort_ltv",
+    "corpus_health_report",
+    "curation_pipeline",
+    "dedup_clusters_star",
+    "dedup_keep_best",
+    "dedup_lines",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped",
+    "dedup_repeated_spans",
+    "dedup_simhash",
+    "doc_sequence_packing",
+    "embedding_centroids",
+    "embedding_normalize",
+    "embedding_quantize",
+    "embedding_truncate",
+    "epoch_shuffle",
+    "full_outer_join",
+    "gopher_quality_filter",
+    "hybrid_retrieval_rrf",
+    "join_composite_key",
+    "leakage_safe_split",
+    "multimodal_features",
+    "quality_logit",
+    "quality_select_top",
+    "rfm_segmentation",
+    "rolling_active_users",
+    "semantic_outliers",
+    "session_funnel",
+    "source_lexical_diversity",
+    "source_overlap_matrix",
+    "stats_correlation",
+    "table_drift_report",
+    "table_profile",
+    "temperature_mixture",
+    "topk_rank_ties",
+    "unigram_surprisal",
+    "union_by_name_missing",
+    "user_paths",
+    "window_cume_dist",
 )
 
 
