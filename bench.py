@@ -127,6 +127,10 @@ EXTRA_SCALING = [
     # because the cross-relation plan has no doc_a < doc_b pruning and
     # its probe/index sides scale with different tables.
     "fuzzy_join_edit_distance",
+    # round-10: the best-match lookup on top of the same join (corpus
+    # entry #157) — adds one left-keyed groupBy (map-side partial min)
+    # to the #152 plan, so its ratio should track #152's, not exceed it.
+    "fuzzy_lookup_edit_distance",
     # round-9: the blocking-selectivity diagnostic (corpus entry #153).
     # Its docstring claims "same cost class as a count, safe on the
     # full corpus" — this row is that claim measured (shingle explode
@@ -789,6 +793,18 @@ def main() -> None:
                     "quadratic_by_design": [
                         "dedup_embedding_cosine",
                         "ann_bruteforce_topk",
+                    ],
+                    # deliberate full-scan audits, run on purpose and
+                    # off any hot path — EXCLUDED from scaling rows by
+                    # design, not by omission: blocking_recall's truth
+                    # side is the quarantined exact pair join (its
+                    # production recipe bounds it to a permille_hash
+                    # sample), and ivf_recall_audit's truth side is a
+                    # full index scan x sampled queries (off-by-default
+                    # in the stream, offline-scheduler cadence)
+                    "audit_by_design": [
+                        "blocking_recall",
+                        "ivf_recall_audit",
                     ],
                     # round-4 text/dedup ops: base + 10x measured here
                     # (not HEADLINE members, so the headline total

@@ -292,13 +292,20 @@ def blocking_stats_df(
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     out = sizes.agg(
-        F.sum("sz").cast("bigint").alias("n_rows"),
+        # coalesce(0): an EMPTY bucket table must yield an all-zero row,
+        # not NULLs that explode downstream NamedTuple arithmetic
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.coalesce(F.max("sz"), F.lit(0))
+        .cast("bigint")
+        .alias("max_bucket"),
         # integer DIV keeps the sum exact long arithmetic (a double sum
         # would round above 2^53 — exactly the corpus sizes where this
         # diagnostic matters most)
-        F.sum(F.expr("(cast(sz AS BIGINT) * (sz - 1)) DIV 2"))
+        F.coalesce(
+            F.sum(F.expr("(cast(sz AS BIGINT) * (sz - 1)) DIV 2")),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("candidate_pairs"),
     ).crossJoin(F.broadcast(docs_ct)).select(
@@ -307,8 +314,12 @@ def blocking_stats_df(
         "n_buckets",
         "max_bucket",
         "candidate_pairs",
-        F.round(
-            F.col("candidate_pairs").cast("double") / F.col("n_docs"), 6
+        F.coalesce(
+            F.round(
+                F.col("candidate_pairs").cast("double") / F.col("n_docs"),
+                6,
+            ),
+            F.lit(0.0),
         ).alias("pairs_per_doc"),
     )
     return _release_cache_with(out, deduped)
@@ -392,12 +403,18 @@ def bucket_join_stats_df(
     matched = lsizes.join(rsizes, lkeys).select(
         "lsz", "rsz", (F.col("lsz") * F.col("rsz")).alias("prod")
     )
+    # coalesce(0): empty sides must yield zeros, not NULLs (the
+    # NamedTuple's int fields feed arithmetic downstream)
     l_tot = lsizes.agg(
-        F.sum("lsz").cast("bigint").alias("left_rows"),
+        F.coalesce(F.sum("lsz"), F.lit(0))
+        .cast("bigint")
+        .alias("left_rows"),
         F.count(F.lit(1)).cast("bigint").alias("left_buckets"),
     )
     r_tot = rsizes.agg(
-        F.sum("rsz").cast("bigint").alias("right_rows"),
+        F.coalesce(F.sum("rsz"), F.lit(0))
+        .cast("bigint")
+        .alias("right_rows"),
         F.count(F.lit(1)).cast("bigint").alias("right_buckets"),
     )
     docs_ct = (
@@ -427,10 +444,13 @@ def bucket_join_stats_df(
             "matched_buckets",
             "max_bucket_product",
             "candidate_rows",
-            F.round(
-                F.col("candidate_rows").cast("double")
-                / F.col("n_left_docs"),
-                6,
+            F.coalesce(
+                F.round(
+                    F.col("candidate_rows").cast("double")
+                    / F.col("n_left_docs"),
+                    6,
+                ),
+                F.lit(0.0),
             ).alias("candidates_per_left_doc"),
         )
     )
@@ -463,6 +483,7 @@ def blocking_recall_stats_df(
     key_cols: list[str],
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     doc_col: str = "doc",
+    null_keys: str = "bucket",
 ) -> DataFrame:
     """Recall of a candidate-generation blocking scheme against a
     known truth set, measured on the ACTUAL corpus — the quality
@@ -493,11 +514,18 @@ def blocking_recall_stats_df(
     different normalization, which is itself a bug this diagnostic
     surfaces.
 
-    NULL bucket keys follow groupBy semantics (NULL is a bucket,
-    matched via eqNullSafe), consistent with how
-    :func:`blocking_stats_df` counts the NULL group in
-    ``candidate_pairs`` — the two diagnostics describe the same
-    hypothetical bucket join.
+    ``null_keys`` picks the NULL-bucket-key semantics. The default
+    ``"bucket"`` follows groupBy semantics (NULL is a bucket, matched
+    via eqNullSafe), consistent with how :func:`blocking_stats_df`
+    counts the NULL group in ``candidate_pairs`` — the two diagnostics
+    then describe the same hypothetical bucket join. ``"reject"``
+    mirrors the operators' ACTUAL null-rejecting ``=`` joins instead:
+    a pair whose only shared key is NULL is reported missed, because
+    the real candidate join would miss it. The two modes differ only
+    when the bucket table emits NULL keys (the in-package schemes
+    never do — shingles, bands, SimHash blocks, and PassJoin segments
+    are all built from non-NULL text); pass ``"reject"`` when auditing
+    an external bucket table whose join you don't control.
 
     Plan: dedup the membership table once, then two equi-joins keyed
     on the pair's doc ids plus the bucket keys (truth-pair-driven —
@@ -505,6 +533,10 @@ def blocking_recall_stats_df(
     and one count each side. Cost scales with |truth| x memberships
     per doc, safe wherever the truth set itself was computable.
     """
+    if null_keys not in ("bucket", "reject"):
+        raise ValueError(
+            f"null_keys must be 'bucket' or 'reject', got {null_keys!r}"
+        )
     a_col, b_col = pair_cols
     m = _multi_consumer_cache(
         bucketed.select(doc_col, *key_cols).dropDuplicates(
@@ -524,9 +556,14 @@ def blocking_recall_stats_df(
     )
     key_match = F.lit(True)
     for k in key_cols:
-        key_match = key_match & F.col(f"__ka_{k}").eqNullSafe(
-            F.col(f"__kb_{k}")
-        )
+        if null_keys == "bucket":
+            key_match = key_match & F.col(f"__ka_{k}").eqNullSafe(
+                F.col(f"__kb_{k}")
+            )
+        else:
+            key_match = key_match & (
+                F.col(f"__ka_{k}") == F.col(f"__kb_{k}")
+            )
     caught = (
         pairs.join(ma, F.col(a_col) == F.col("__ra"))
         .join(
@@ -564,11 +601,12 @@ def blocking_recall_stats(
     key_cols: list[str],
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     doc_col: str = "doc",
+    null_keys: str = "bucket",
 ) -> BlockingRecallStats:
     """:func:`blocking_recall_stats_df` collected into a
     :class:`BlockingRecallStats` (one driver row)."""
     row = blocking_recall_stats_df(
-        truth_pairs, bucketed, key_cols, pair_cols, doc_col
+        truth_pairs, bucketed, key_cols, pair_cols, doc_col, null_keys
     ).collect()[0]
     return BlockingRecallStats(**row.asDict())
 
@@ -1903,6 +1941,14 @@ def edit_distance_segment_keys(
             f"edit_distance_segment_keys: max_dist ({max_dist}) must be"
             " >= 0"
         )
+    if prefix_chars < 1:
+        # same guard as the two operators: prefix_chars=0 would key
+        # every document to the empty string, silently degenerating the
+        # diagnostic bucket table to ONE bucket
+        raise ValueError(
+            f"edit_distance_segment_keys: prefix_chars ({prefix_chars})"
+            " must be >= 1"
+        )
     k_segments = max_dist + 1
     cols = [
         F.col(id_col).alias("doc"),
@@ -1962,13 +2008,20 @@ def _edit_probe_substrings(
         .filter(F.col("k_a").isNotNull())
         .withColumn("len_a", F.length("k_a"))
         # candidate partner lengths: |len_a - tlen| <= d is the
-        # classic length filter, built into the enumeration
+        # classic length filter, built into the enumeration; the upper
+        # bound is additionally clamped to prefix_chars — index keys
+        # are truncated there, so no partner can be longer, and for the
+        # common all-long-docs corpus (len_a == prefix_chars) the
+        # unclamped range would carry d dead tlen values (and their
+        # segment/position explosions) through the shuffle per doc
         .withColumn(
             "tlen",
             F.explode(
                 F.sequence(
                     F.greatest(F.lit(0), F.col("len_a") - d),
-                    F.col("len_a") + d,
+                    F.least(
+                        F.col("len_a") + d, F.lit(prefix_chars)
+                    ),
                 )
             ),
         )
@@ -2216,8 +2269,9 @@ def edit_distance_join(
     titles against a canonical list, OCR'd names against a registry)
     that an exact equi-join silently drops. Returns
     (left_id, right_id, dist) with ``dist <= max_dist``; a left row can
-    match many right rows and vice versa (use a downstream
-    top-1-per-group — ``min_by`` on dist — for a best-match lookup).
+    match many right rows and vice versa — for the one-best-match
+    lookup shape use :func:`edit_distance_lookup`, which wraps this
+    join with the (dist, right_id) tie-broken top-1-per-left-row.
 
     Same PassJoin engine as :func:`edit_distance_near_pairs` (segments
     of RIGHT indexed, substrings of LEFT probed — the pigeonhole
@@ -2279,4 +2333,61 @@ def edit_distance_join(
         F.col("doc_a").alias("left_id"),
         F.col("doc_b").alias("right_id"),
         "dist",
+    )
+
+
+def edit_distance_lookup(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    max_dist: int = 2,
+    prefix_chars: int = 64,
+    left_block: str | None = None,
+    right_block: str | None = None,
+    warn_unblocked: bool = True,
+) -> DataFrame:
+    """Best-match variant of :func:`edit_distance_join` — the lookup
+    shape a dirty-key join is almost always consumed in (each typo'd
+    title resolved to ONE canonical row, each OCR'd name to ONE
+    registry entry): one (left_id, right_id, dist) row per matched
+    left row, picking the minimum-distance right match, ties broken by
+    the smallest ``right_id`` so the result is deterministic.
+    Unmatched left rows are absent (inner-lookup semantics — LEFT-join
+    them back if you need the misses).
+
+    Plan: the full fuzzy join, then one groupBy(left_id) taking
+    ``min(struct(dist, right_id))`` — struct ordering IS the
+    (dist, id) lexicographic tie-break, all JVM-side with a map-side
+    partial min, and the post-join shuffle is keyed on left_id (no
+    skew beyond the left corpus' own key distribution). The quadratic
+    cluster blow-up note on :func:`edit_distance_join` still applies
+    to the INTERMEDIATE pair set, so the same ``warn_unblocked``
+    contract is inherited — the reduction to one row per left key
+    happens after those pairs are formed.
+
+    Reference has no fuzzy lookup (extension; its dimension lookups
+    are exact composite-key joins, ``FactTable.sql:31-45``)."""
+    pairs = edit_distance_join(
+        left,
+        right,
+        left_text=left_text,
+        right_text=right_text,
+        left_id=left_id,
+        right_id=right_id,
+        max_dist=max_dist,
+        prefix_chars=prefix_chars,
+        left_block=left_block,
+        right_block=right_block,
+        warn_unblocked=warn_unblocked,
+    )
+    best = pairs.groupBy("left_id").agg(
+        F.min(F.struct("dist", "right_id")).alias("__best")
+    )
+    return best.select(
+        "left_id",
+        F.col("__best.right_id").alias("right_id"),
+        F.col("__best.dist").alias("dist"),
     )

@@ -670,7 +670,16 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     """Persist a built IVF index: cell assignments as parquet
     PARTITIONED BY cell (so a search's probed cells map to directory
     pruning — the scan never touches unprobed cells), plus the tiny
-    centroid codebook as its own parquet table."""
+    centroid codebook as its own parquet table.
+
+    Also clears ``{path}/_ingest_batches`` — the streaming-append
+    replay markers (``streaming.embeddings.ivf_append_batch``) belong
+    to the PREVIOUS index generation. A rebuild that kept them, fed by
+    a stream that reuses its checkpoint path with cleared contents,
+    would silently skip batches 0..N (the markers would claim those
+    appends already landed in an index that no longer contains them)."""
+    from sales_data_warehouse_spark.sources.compaction import fs_delete
+
     index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/assigned"
     )
@@ -681,6 +690,7 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centers")
+    fs_delete(spark, f"{path}/_ingest_batches")
 
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
@@ -858,7 +868,14 @@ def ivf_recall_audit_df(
     search also returned), ``recall_at_k`` (NULL when the sample is
     empty — no evidence is not perfect recall). Both paths rank
     through the same deterministic tie-break (sim desc, neighbor id
-    asc), so tie choices never read as misses."""
+    asc), so tie choices never read as misses.
+
+    Choosing ``nprobe``: pick it from the measured nprobe→recall
+    curve, not from the default — OPERATORS.md records the r10 curve
+    for the 16-centroid test indexes (nprobe 1/2/4/8/16 → recall@5
+    ≈ 0.29/0.45/0.68/0.91/1.0; cost is ~linear in nprobe). Re-measure
+    with THIS function whenever centroid count or corpus distribution
+    changes — the curve is index-specific."""
     corpus = index.assigned.select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("cv").alias("embedding"),

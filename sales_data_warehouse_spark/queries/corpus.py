@@ -6505,6 +6505,60 @@ def ivf_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_lookup_edit_distance",
+    r"""
+    WITH k AS (
+      SELECT doc_id, lang,
+             CAST(SUBSTRING(source, 4) AS INT) % 2 AS par,
+             SUBSTRING(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ',
+                                           'g')), 1, 32) AS s
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             LEVENSHTEIN(a.s, b.s) AS dist
+      FROM k a JOIN k b ON a.lang = b.lang AND a.par = 0 AND b.par = 1
+      WHERE LEVENSHTEIN(a.s, b.s) <= 2
+    )
+    SELECT left_id, right_id, CAST(dist AS BIGINT) AS dist
+    FROM (
+      SELECT left_id, right_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY left_id
+                                ORDER BY dist, right_id) AS rn
+      FROM p
+    )
+    WHERE rn = 1
+    """,
+)
+def fuzzy_lookup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-match fuzzy lookup (round 10, corpus entry #157):
+    ``dedup.edit_distance_lookup`` over the same even/odd-source split
+    and language blocking as ``fuzzy_join_edit_distance`` (#152), but
+    resolving each left document to its ONE best right match — min
+    distance, ties broken by the smallest right id — the shape every
+    dirty-key consumer actually wants (r9 VERDICT "What's missing" #5).
+
+    The oracle is the all-pairs LEVENSHTEIN join reduced by a
+    ROW_NUMBER window ordered (dist, right_id) — the exact semantics
+    of the operator's ``min(struct(dist, right_id))`` aggregate — so a
+    green row proves both the cross-relation blocking (inherited from
+    the #152 contract) and the deterministic tie-break."""
+    docs = load_table(spark, sf, "documents")
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    best = dedup.edit_distance_lookup(
+        docs.filter(par == 0),
+        docs.filter(par == 1),
+        max_dist=2,
+        prefix_chars=32,
+        left_block="lang",
+        right_block="lang",
+    )
+    return best.select(
+        "left_id", "right_id", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------

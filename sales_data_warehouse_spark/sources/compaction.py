@@ -40,6 +40,14 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API (same
+    any-store rationale as :func:`fs_exists`); returns whether the path
+    existed."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.delete(hpath, True))
+
+
 def staged_overwrite(spark, df, path: str) -> None:
     """Overwrite ``path`` with ``df`` crash-safely: write to a staging
     dir, then swap via two renames. A plain ``mode('overwrite')``

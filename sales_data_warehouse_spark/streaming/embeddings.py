@@ -153,11 +153,21 @@ def start_streaming_ivf_append(
     report pushed to ``on_recall``, with a UserWarning once measured
     recall@k drops below ``recall_floor``. The skew number says cells
     went lopsided; this says search quality actually paid — warn on
-    the number the SLA is written against. Off by default because the
-    audit's brute-force truth side is a full index scan x sample dot
-    products per run — at streaming cadence reserve it for every Nth
-    batch (or leave it to an offline scheduler calling
-    ``ivf_recall_audit`` directly)."""
+    the number the SLA is written against.
+
+    **Production default: leave this off and run the audit from an
+    offline scheduler** calling ``ivf_recall_audit(load_ivf_index(...))``
+    on a time cadence (hourly/daily). The in-loop cost arithmetic is
+    unavoidable: each audit reloads the index and scans the ENTIRE
+    assigned table for its brute-force truth side, so after N appended
+    batches of b rows at cadence k the cumulative rows scanned are
+    sum over audits of (i·k·b) ≈ N²·b/(2k) — quadratic in stream
+    length for ANY fixed k, the same curve the stats monitor had
+    before its throttle, and unlike skew the quality signal does not
+    need batch-cadence latency (recall degrades over many appends, not
+    one). Reserve the in-loop hook for bounded backfills
+    (``available_now=True``) and short-lived ingest streams where N is
+    small by construction."""
 
     checkpoint = checkpoint_dir or f"{index_path}/_append_checkpoint"
     # batch_id is unique only within one checkpoint lineage — scope

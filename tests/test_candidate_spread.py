@@ -355,3 +355,94 @@ def test_blocking_recall_matches_set_logic(spark, memberships, truth):
         )
     else:
         assert row["recall"] is None
+
+
+def test_blocking_recall_null_keys_reject_mirrors_real_join(spark):
+    """null_keys='reject' mirrors the operators' null-rejecting '='
+    joins: a pair whose ONLY shared bucket key is NULL is reported
+    missed (the real candidate join would miss it), while a non-NULL
+    shared key still counts. Invalid modes raise. (r9 ADVICE #1.)"""
+    import pytest
+
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    bucketed = spark.createDataFrame(
+        [(1, None), (2, None), (3, "k"), (4, "k")],
+        "doc long, key string",
+    )
+    s = dedup.blocking_recall_stats(
+        truth, bucketed, ["key"], null_keys="reject"
+    )
+    assert s.caught_pairs == 1  # only (3,4) via "k"; (1,2) missed
+    assert s.recall == 0.5
+    # default mode still follows groupBy semantics on the same frames
+    s_bucket = dedup.blocking_recall_stats(truth, bucketed, ["key"])
+    assert s_bucket.caught_pairs == 2
+    with pytest.raises(ValueError, match="null_keys"):
+        dedup.blocking_recall_stats_df(
+            truth, bucketed, ["key"], null_keys="drop"
+        )
+
+
+def test_blocking_stats_empty_bucket_table_is_all_zero(spark):
+    """An empty bucket table yields an all-zero stats row, not NULLs
+    that blow up arithmetic on the NamedTuple's int/float fields
+    (r9 ADVICE #2)."""
+    empty = spark.createDataFrame([], "doc long, key string")
+    s = dedup.blocking_stats(empty, ["key"])
+    assert s == dedup.BlockingStats(0, 0, 0, 0, 0, 0.0)
+    # the fields must support arithmetic (the ADVICE failure mode)
+    assert s.candidate_pairs + s.max_bucket == 0
+
+
+def test_bucket_join_stats_empty_sides_are_all_zero(spark):
+    """Empty probe/index sides yield zeros everywhere (r9 ADVICE #2);
+    bucket counts over an empty groupBy are 0 rows -> count 0."""
+    empty = spark.createDataFrame([], "doc_a long, sub string")
+    right = spark.createDataFrame([(1, "x")], "doc_b long, seg string")
+    s = dedup.bucket_join_stats(empty, right, [("sub", "seg")])
+    assert s.left_rows == 0
+    assert s.n_left_docs == 0
+    assert s.candidate_rows == 0
+    assert s.candidates_per_left_doc == 0.0
+    assert s.right_rows == 1
+
+
+def test_segment_keys_prefix_chars_guard(spark):
+    """edit_distance_segment_keys validates prefix_chars like the two
+    operators do — prefix_chars=0 would silently key every document to
+    the empty string (r9 ADVICE #3)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="prefix_chars"):
+        dedup.edit_distance_segment_keys(docs, prefix_chars=0)
+
+
+def test_probe_tlen_clamped_to_prefix_chars(spark):
+    """The probe side never enumerates partner lengths beyond
+    prefix_chars — index keys are truncated there, so those rows could
+    never join; for an all-long-docs corpus the unclamped range carried
+    d dead tlen values per doc through the shuffle (r9 ADVICE #5).
+    Completeness stays pinned by the hypothesis DP-oracle suite."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark).limit(50)
+    probe = dedup._edit_probe_substrings(
+        docs, "text", "doc_id", max_dist=2, prefix_chars=24,
+        block_col=None,
+    )
+    mx = probe.agg(F.max("tlen").alias("m")).collect()[0]["m"]
+    assert mx <= 24
+    # long docs saturate the key: tlen range is exactly [22, 24],
+    # d+1 = 3 values, never the naive 2d+1 = 5
+    n_per_doc = (
+        probe.groupBy("doc_a")
+        .agg(F.countDistinct("tlen").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert n_per_doc <= 3
