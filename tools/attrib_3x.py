@@ -86,6 +86,14 @@ def main() -> None:
         master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
     )
     dirs = {c: replicate(spark, c) for c in (1, 3, 10)}
+    # warm-up: one untimed run per query — codegen + Python-worker +
+    # broadcast first-call costs otherwise land entirely on whichever
+    # point runs FIRST (a first run measured 1x SLOWER than 3x for
+    # dedup_repeated_spans: 3.18 s vs 2.82 s, pure session warm-up)
+    for name in names:
+        QUERIES[name](spark, dirs[1]).write.format("noop").mode(
+            "overwrite"
+        ).save()
     results: dict[str, dict[int, float]] = {}
     for name in names:
         results[name] = {}
@@ -102,16 +110,25 @@ def main() -> None:
             results[name][copies] = round(best, 3)
             print(f"{name} {copies}x: {best:.3f}s", flush=True)
     for name, r in results.items():
-        m13 = (r[3] - r[1]) / 2
-        m310 = (r[10] - r[3]) / 7
+        # fit t = F + c*copies through the 1x and 10x endpoints; the
+        # 3x point's residual is the super-linearity evidence — a
+        # fixed+linear operator lands near the line, a quadratic stage
+        # lands well BELOW it (endpoints pulled up by the 10x cost)
+        c = (r[10] - r[1]) / 9
+        fixed = r[1] - c
+        pred3 = fixed + 3 * c
+        resid = r[3] - pred3
         verdict = (
-            "fixed-overhead dominated (marginal falls)"
-            if m310 < m13
-            else "SUPER-LINEAR (marginal rises) — needs a fix"
+            "consistent with fixed+linear"
+            if resid >= -max(0.1, 0.05 * r[3])
+            else "3x point far below the endpoint line — super-linear "
+            "stage, needs a fix"
         )
         print(
-            f"SUMMARY {name}: 1x/3x/10x = {r[1]}/{r[3]}/{r[10]}s, "
-            f"marginal s/copy {m13:.3f} -> {m310:.3f} — {verdict}"
+            f"SUMMARY {name}: 1x/3x/10x = {r[1]}/{r[3]}/{r[10]}s; "
+            f"linear fit fixed={fixed:.3f}s, {c:.3f} s/copy; 3x "
+            f"predicted {pred3:.3f} vs measured {r[3]} "
+            f"(resid {resid:+.3f}) — {verdict}"
         )
     for d in dirs.values():
         shutil.rmtree(d, ignore_errors=True)
