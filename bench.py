@@ -131,6 +131,10 @@ EXTRA_SCALING = [
     # entry #157) — adds one left-keyed groupBy (map-side partial min)
     # to the #152 plan, so its ratio should track #152's, not exceed it.
     "fuzzy_lookup_edit_distance",
+    # round-10: deterministic A-ES weighted sampling (corpus entry
+    # #158) — one projection + TakeOrderedAndProject, so the row should
+    # scale with the scan (map-side partial top-k, never a full sort).
+    "weighted_sample",
     # round-9: the blocking-selectivity diagnostic (corpus entry #153).
     # Its docstring claims "same cost class as a count, safe on the
     # full corpus" — this row is that claim measured (shingle explode

@@ -363,3 +363,56 @@ def quality_select_top(
     return scored.filter(
         F.col("logit_milli") >= threshold
     ).withColumn("threshold_milli", F.lit(threshold).cast("bigint"))
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep ``k``
+    rows where a row's inclusion probability is proportional to its
+    weight (the Efraimidis–Spirakis A-ES scheme — each row draws a key
+    ``u^(1/w)`` with u pseudo-uniform in (0,1), the k largest keys win;
+    PVLDB-folklore standard for one-pass distributed weighted
+    sampling). The curation shape this serves: "sample 1M documents for
+    annotation, longer/higher-quality docs proportionally more often",
+    where ``stratified_sample``'s per-class rates are too coarse and
+    a quality SORT would always take the same head.
+
+    Same determinism contract as the rest of this module: u derives
+    from the Knuth id hash (``permille_hash`` arithmetic at full 2^32
+    grain, +0.5 so u is never 0), so every engine replays the exact
+    selection — no RNG state, reruns and the SQL oracle agree row for
+    row. Ties (ids congruent mod the hash prime share u; equal (u, w)
+    gives an exactly equal key — never a last-ulp near-tie) break by
+    smaller id. Rows with NULL or non-positive weight are dropped:
+    zero weight means never sampled, and a negative weight has no A-ES
+    reading.
+
+    Selection key: maximizing ``u^(1/w)`` is maximizing
+    ``ln(u)/w`` (ln u < 0, w > 0 — the transform is monotone), which
+    stays in double precision instead of underflowing the power for
+    tiny u/w. Plan shape at 100 TB: one projection + global top-k —
+    Spark's TakeOrderedAndProject with map-side partial top-k per
+    partition, no full sort, no shuffle beyond k rows per partition.
+    Returns the winning rows with their ``aes_key`` (auditability;
+    drop it downstream).
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample_topk: k ({k}) must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.pmod(
+            F.pmod(F.col(id_col).cast("bigint"), HASH_P) * HASH_A,
+            F.lit(4294967296),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return (
+        docs.filter(w.isNotNull() & (w > 0))
+        .withColumn("aes_key", F.log(u) / w)
+        .orderBy(F.col("aes_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -6559,6 +6559,48 @@ def fuzzy_lookup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_sample",
+    r"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             LN((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761
+                 % 4294967296 + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS aes_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    ORDER BY aes_key DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (round 10,
+    corpus entry #158): ``sampling.weighted_sample_topk`` — 50
+    documents drawn with probability proportional to ``n_chars`` via
+    the Efraimidis–Spirakis key ``u^(1/w)`` (compared as ``ln(u)/w``),
+    u from the module's Knuth id hash at full 2^32 grain. The
+    curation shape: quality/length-weighted annotation or training
+    subsets where per-class rates are too coarse and a plain score
+    sort would always take the same head.
+
+    The oracle replays the EXACT selection — the hash is pure BIGINT
+    arithmetic mirrored verbatim and both engines compute the same
+    IEEE-double ``ln``; adjacent A-ES order statistics at these corpus
+    sizes are ~7 orders of magnitude wider than a double ulp, and
+    exact key ties (ids congruent mod the hash prime with equal
+    weights) break by doc_id in both engines. ``aes_key`` itself stays
+    OUT of the output: a last-ulp representation difference in a
+    transcendental is a hash-mismatch even when the selection agrees."""
+    out = sampling.weighted_sample_topk(
+        load_table(spark, sf, "documents"), "n_chars", 50
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6598,13 +6640,15 @@ def fuzzy_lookup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 # r11 composer note: round 10 additionally REGISTERS entry #157
 # (fuzzy_lookup_edit_distance, the best-match lookup variant of
 # dedup.edit_distance_join via dedup.edit_distance_lookup — one
-# min-dist, id-tiebroken right row per matched left row) after
-# position 50, local dual-sf parity green this round. r11 candidates
-# are therefore the six r7-stale entries slipped above + #157
-# (never-rowed) + the 50 r8-rowed entries = 57 for 50 slots -> SEVEN
-# slips from the r8 cohort, designated per policy (proven-stable,
-# >= 3 consecutive greens, code untouched since the last row,
-# truth-set twins and redundantly-pinned entries first):
+# min-dist, id-tiebroken right row per matched left row) and entry
+# #158 (weighted_sample, deterministic Efraimidis-Spirakis weighted
+# sampling without replacement via sampling.weighted_sample_topk),
+# both after position 50, local dual-sf parity green this round. r11
+# candidates are therefore the six r7-stale entries slipped above +
+# #157 + #158 (never-rowed) + the 50 r8-rowed entries = 58 for 50
+# slots -> EIGHT slips from the r8 cohort, designated per policy
+# (proven-stable, >= 3 consecutive greens, code untouched since the
+# last row, truth-set twins and redundantly-pinned entries first):
 #   1. set_except (greens r1/r2/r5/r8; its EXCEPT ALL twin
 #      set_except_all carries a fresh r9 row over the same engine
 #      surface — the twin-keeps-cadence rationale);
@@ -6622,17 +6666,20 @@ def fuzzy_lookup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 #      time_dimension.py untouched, re-pinned by the ETL goldens);
 #   7. string_functions (greens r1/r2/r5/r8; pure built-in function
 #      battery over untouched code, re-verified type-strictly by the
-#      parity suite each session).
-# If any of these seven had a code change by r11 composition time,
+#      parity suite each session);
+#   8. set_intersect (greens r1/r2/r5/r8; its INTERSECT ALL twin
+#      set_intersect_all carries a fresh r9 row over the same engine
+#      surface — the same twin-keeps-cadence rationale as slip #1).
+# If any of these eight had a code change by r11 composition time,
 # promote it into the window and slip the next most redundantly
 # pinned r8 entry instead. None of this round's six slips may slip
 # again in r11.
 #
 # Staleness after this round: nothing older than r8 except the six
 # designated r10 slips (r7 rows); zero never-rowed entries except
-# #157 (registered this round, first in line for r11); every entry
-# whose code changed since its last row will have a row postdating
-# the change.
+# #157/#158 (registered this round, first in line for r11); every
+# entry whose code changed since its last row will have a row
+# postdating the change.
 #
 # CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically
 # infeasible: 50 slots/round supports a universal k-round cadence only

@@ -113,3 +113,102 @@ def test_edit_distance_lookup_is_groupmin_of_join(spark, lt, rt):
                 best[a] = (d, b)
     want = sorted((a, b, d) for a, (d, b) in best.items())
     assert got == want
+
+
+# --- weighted_sample_topk (deterministic A-ES) ------------------------
+
+
+def _aes_key(doc_id: int, w: float) -> float:
+    """Python twin of the operator's key arithmetic — the module's
+    Knuth hash at full 2^32 grain, +0.5, then ln(u)/w."""
+    import math
+
+    from sales_data_warehouse_spark.operators.sampling import (
+        HASH_A,
+        HASH_P,
+    )
+
+    h = ((doc_id % HASH_P + HASH_P) % HASH_P) * HASH_A % 4294967296
+    return math.log((h + 0.5) / 4294967296.0) / w
+
+
+def test_weighted_sample_guards_and_determinism(spark):
+    """NULL/zero/negative weights are dropped; k >= 1 is enforced; two
+    runs select the identical row set (no RNG state anywhere)."""
+    import pytest
+
+    from sales_data_warehouse_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 0.0), (4, -5.0), (5, 3.0)],
+        "doc_id long, w double",
+    )
+    got = sampling.weighted_sample_topk(docs, "w", 10)
+    ids = {r.doc_id for r in got.collect()}
+    assert ids == {1, 5}  # the only positive-weight rows
+    assert ids == {
+        r.doc_id for r in sampling.weighted_sample_topk(
+            docs, "w", 10
+        ).collect()
+    }
+    with pytest.raises(ValueError, match="k"):
+        sampling.weighted_sample_topk(docs, "w", 0)
+
+
+def test_weighted_sample_heavy_rows_win_more(spark):
+    """Weight actually steers inclusion: with ids 0..999 and one
+    100x-weight block, the heavy block must dominate the sample (A-ES
+    inclusion probability is ~proportional to weight)."""
+    from sales_data_warehouse_spark.operators import sampling
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sampling.weighted_sample_topk(docs, "w", 50).collect()
+    heavy = sum(1 for r in got if r.doc_id < 100)
+    # 100 rows at weight 100 vs 900 at weight 1: heavy block holds
+    # ~91% of the total weight — expect the sample to be mostly heavy
+    assert heavy >= 35, f"only {heavy}/50 heavy rows sampled"
+
+
+from hypothesis import example  # noqa: E402
+
+_weights = st.lists(
+    st.tuples(
+        st.integers(0, 2_000_005),  # ids spanning > HASH_P for ties
+        st.floats(
+            min_value=0.01, max_value=1000.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(rows=[(7, 1.0), (7 + 1_000_003, 1.0), (3, 2.0)])  # exact tie
+@given(rows=_weights)
+def test_weighted_sample_matches_python_aes(spark, rows):
+    """Property: the selection equals the Python A-ES oracle — top-k
+    by ln(u)/w desc with the id-asc tie-break — including ids
+    congruent mod HASH_P (identical u, exactly equal keys)."""
+    from sales_data_warehouse_spark.operators import sampling
+
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    k = max(1, len(rows) // 2)
+    got = sorted(
+        r.doc_id
+        for r in sampling.weighted_sample_topk(docs, "w", k).collect()
+    )
+    want = sorted(
+        i
+        for i, _ in sorted(
+            rows, key=lambda t: (-_aes_key(t[0], t[1]), t[0])
+        )[:k]
+    )
+    assert got == want
