@@ -706,6 +706,78 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     return IvfIndex(assigned, centers)
 
 
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    num_centroids: int = 16,
+    seed: int = 42,
+) -> IvfIndex:
+    """Re-train a persisted index on its CURRENT vectors, in place —
+    the one-call answer to the monitors' "rebuild the index" warning
+    (``ivf_cell_stats`` skew or ``ivf_recall_audit`` recall crossing
+    budget after many :func:`ivf_append` batches assigned drifted data
+    to stale centroids). Fresh KMeans over every vector in the index,
+    fresh cell assignments, same path.
+
+    Crash-safe despite reading and replacing the same location: a
+    plain ``save_ivf_index`` here would ``mode("overwrite")`` the very
+    parquet directory its input plan is still scanning mid-job. The
+    rebuild instead writes the new ``assigned``/``centers`` to staging
+    directories, then swaps each in with two renames (the
+    ``compact_table`` pattern) — a crash before the first rename
+    leaves the old index intact, a crash between renames leaves both
+    generations on disk for recovery under ``*.rebuild_old``. The
+    streaming replay markers (``_ingest_batches``) are cleared LAST,
+    after both swaps: they belong to the previous generation (see
+    :func:`save_ivf_index`), and clearing them only once the new data
+    is live means a crash mid-rebuild can only over-append (IVF search
+    tolerates duplicates), never silently drop.
+
+    Scale: one full index scan for the KMeans fit (maxIter-bounded)
+    plus one assignment-and-write pass — the same cost class as the
+    original build, which is the honest price of moving centroids;
+    everything cheaper is :func:`ivf_append`."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        _hadoop_fs,
+        fs_delete,
+    )
+
+    corpus = spark.read.parquet(f"{path}/assigned").select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cv").alias("embedding"),
+    )
+    # cache=False: the assigned frame is written once below, and a
+    # release-with-result cache would pin the pre-swap scan lineage
+    index = build_ivf_index(
+        corpus, num_centroids=num_centroids, seed=seed, cache=False
+    )
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assigned.rebuild_tmp"
+    )
+    rows = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(index.centers)
+    ]
+    spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centers.rebuild_tmp")
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for part in ("assigned", "centers"):
+        live = f"{path}/{part}"
+        tmp = f"{live}.rebuild_tmp"
+        old = f"{live}.rebuild_old"
+        fs.delete(P(old), True)
+        if fs.exists(P(live)) and not fs.rename(P(live), P(old)):
+            raise IOError(f"rebuild_ivf_index: could not stage {live}")
+        if not fs.rename(P(tmp), P(live)):
+            fs.rename(P(old), P(live))
+            raise IOError(f"rebuild_ivf_index: could not swap {live}")
+        fs.delete(P(old), True)
+    fs_delete(spark, f"{path}/_ingest_batches")
+    return load_ivf_index(spark, path)
+
+
 def assign_cells(
     vectors: DataFrame,
     centers: list[list[float]],

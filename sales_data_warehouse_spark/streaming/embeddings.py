@@ -2,7 +2,8 @@
 extension; the LLM-pipeline shape ``operators.similarity.ivf_append``'s
 docstring describes: train once on a seed corpus, append every new
 micro-batch, REBUILD when the cell-size monitor says the distribution
-has drifted off the trained centroids).
+has drifted off the trained centroids — one call,
+``similarity.rebuild_ivf_index``, crash-safe in place).
 
 Round 9 (r8 VERDICT #6): ``ivf_cell_stats`` existed but nothing called
 it — the rebuild signal never fired in the pipeline that needs it. The
@@ -205,7 +206,8 @@ def start_streaming_ivf_append(
                     f"batch {batch_id} (max cell {stats.max_rows} rows "
                     f"vs median {stats.median_rows}) — the appended "
                     "distribution has drifted off the trained "
-                    "centroids; rebuild the index",
+                    "centroids; rebuild the index "
+                    "(similarity.rebuild_ivf_index)",
                     UserWarning,
                     stacklevel=2,
                 )
@@ -234,7 +236,8 @@ def start_streaming_ivf_append(
                     f"({audit.caught_hits}/{audit.truth_hits} hits "
                     f"over {audit.n_queries} sampled queries at "
                     f"nprobe={recall_nprobe}) — append drift is now "
-                    "COSTING search quality; rebuild the index",
+                    "COSTING search quality; rebuild the index "
+                    "(similarity.rebuild_ivf_index)",
                     UserWarning,
                     stacklevel=2,
                 )

@@ -115,6 +115,49 @@ def test_edit_distance_lookup_is_groupmin_of_join(spark, lt, rt):
     assert got == want
 
 
+def test_rebuild_ivf_index_in_place(spark, tmp_path):
+    """The one-call rebuild the monitors prescribe: after lopsided
+    appends, rebuild_ivf_index re-trains on the CURRENT vectors in
+    place — skew drops back toward balanced, every vector survives,
+    search still answers, replay markers are cleared, and no staging
+    directories are left behind."""
+    from sales_data_warehouse_spark.sources.compaction import fs_exists
+    from sales_data_warehouse_spark.streaming import ivf_append_batch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(
+        similarity.build_ivf_index(emb, num_centroids=4, cache=False),
+        path,
+    )
+    # lopsided append: 200 copies of one vector crowd one cell
+    one = emb.limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [(200_000 + i, one.embedding, 0) for i in range(200)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ivf_append_batch(spark, path, batch, batch_id=0, compute_stats=False)
+    before = similarity.ivf_cell_stats(spark, path)
+    assert before.skew_ratio > 4.0
+
+    rebuilt = similarity.rebuild_ivf_index(spark, path, num_centroids=4)
+    after = similarity.ivf_cell_stats(spark, path)
+    assert after.total_rows == 264  # nothing lost
+    assert after.skew_ratio < before.skew_ratio  # centroids moved
+    assert len(rebuilt.centers) == 4
+    assert not fs_exists(spark, f"{path}/_ingest_batches")
+    for leftover in (
+        "assigned.rebuild_tmp", "assigned.rebuild_old",
+        "centers.rebuild_tmp", "centers.rebuild_old",
+    ):
+        assert not fs_exists(spark, f"{path}/{leftover}")
+    # the rebuilt index still answers searches
+    hits = similarity.ivf_search(
+        rebuilt, emb.limit(2), k=3, nprobe=4
+    ).count()
+    assert hits == 6
+
+
 # --- weighted_sample_topk (deterministic A-ES) ------------------------
 
 
