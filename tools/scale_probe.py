@@ -104,6 +104,14 @@ def main() -> None:
                 sampling.permille_hash(F.col("doc_id")) < 2
             )
         ),
+        # r10: the A-ES weighted sampler — its global top-k must stay
+        # a TakeOrderedAndProject (map-side partial top-k, never a
+        # full sort), so the probe should scale with the scan
+        "weighted_sample_topk": lambda: sampling.weighted_sample_topk(
+            docs.withColumn("w", F.length("text").cast("double")),
+            "w",
+            1000,
+        ),
     }
     out = {}
     for name, make in probes.items():
