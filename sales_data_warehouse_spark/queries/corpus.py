@@ -6601,6 +6601,61 @@ def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonl_roundtrip",
+    r"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL landing ingest (round 10, corpus entry #159): the S1/S2
+    reject-routing semantics for the format LLM corpora actually ship
+    in. The documents table is exported to JSON Lines
+    (``sources.jsonl.write_jsonl``), a sidecar shard of garbage is
+    dropped next to it (an unparseable line, a type-mismatched object,
+    a blank line — the three landing failure modes), and ``read_jsonl``
+    reads the directory back with a DECLARED schema (never inference —
+    schema inference is a full extra corpus pass at 100 TB) over its
+    round-10 text-scan + ``from_json`` PERMISSIVE plan (the json
+    source forbids corrupt-column-only scans; its documented cache
+    workaround is a non-starter at scale, ``sources/jsonl.py``).
+
+    Oracle: the original table — the ingest must return EXACTLY the
+    real documents, which simultaneously proves the round-trip
+    lossless and the three garbage lines routed out of the valid side
+    (a leaked corrupt row fails the row-count, a mangled field fails
+    the hash)."""
+    import os
+    import tempfile
+
+    from sales_data_warehouse_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="sdw_jsonl_rt_")
+    write_jsonl(docs, path)
+    with open(os.path.join(path, "part-garbage.json"), "w") as fh:
+        fh.write(
+            "definitely not json\n"
+            "\n"
+            '{"doc_id": "not-a-number", "text": "type mismatch"}\n'
+        )
+    good, _bad, _src = read_jsonl(
+        spark,
+        path,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    )
+    return good.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6640,15 +6695,19 @@ def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 # r11 composer note: round 10 additionally REGISTERS entry #157
 # (fuzzy_lookup_edit_distance, the best-match lookup variant of
 # dedup.edit_distance_join via dedup.edit_distance_lookup — one
-# min-dist, id-tiebroken right row per matched left row) and entry
-# #158 (weighted_sample, deterministic Efraimidis-Spirakis weighted
+# min-dist, id-tiebroken right row per matched left row), entry #158
+# (weighted_sample, deterministic Efraimidis-Spirakis weighted
 # sampling without replacement via sampling.weighted_sample_topk),
-# both after position 50, local dual-sf parity green this round. r11
-# candidates are therefore the six r7-stale entries slipped above +
-# #157 + #158 (never-rowed) + the 50 r8-rowed entries = 58 for 50
-# slots -> EIGHT slips from the r8 cohort, designated per policy
-# (proven-stable, >= 3 consecutive greens, code untouched since the
-# last row, truth-set twins and redundantly-pinned entries first):
+# and entry #159 (jsonl_roundtrip, JSONL landing ingest with
+# reject routing via sources.jsonl.read_jsonl, rewritten this round
+# to a cache-free text-scan + from_json plan — the S1/S2 semantics
+# for the dominant LLM-corpus format), all after position 50, local
+# dual-sf parity green this round. r11 candidates are therefore the
+# six r7-stale entries slipped above + #157 + #158 + #159
+# (never-rowed) + the 50 r8-rowed entries = 59 for 50 slots -> NINE
+# slips from the r8 cohort, designated per policy (proven-stable,
+# >= 3 consecutive greens, code untouched since the last row,
+# truth-set twins and redundantly-pinned entries first):
 #   1. set_except (greens r1/r2/r5/r8; its EXCEPT ALL twin
 #      set_except_all carries a fresh r9 row over the same engine
 #      surface — the twin-keeps-cadence rationale);
@@ -6669,16 +6728,19 @@ def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 #      parity suite each session);
 #   8. set_intersect (greens r1/r2/r5/r8; its INTERSECT ALL twin
 #      set_intersect_all carries a fresh r9 row over the same engine
-#      surface — the same twin-keeps-cadence rationale as slip #1).
-# If any of these eight had a code change by r11 composition time,
+#      surface — the same twin-keeps-cadence rationale as slip #1);
+#   9. time_hierarchy (greens r1/r2/r5/r8; time_dimension.py untouched
+#      since its r8 row, and the hierarchy build is re-pinned every
+#      session by the ETL goldens in tests/test_etl_reference.py).
+# If any of these nine had a code change by r11 composition time,
 # promote it into the window and slip the next most redundantly
 # pinned r8 entry instead. None of this round's six slips may slip
 # again in r11.
 #
 # Staleness after this round: nothing older than r8 except the six
 # designated r10 slips (r7 rows); zero never-rowed entries except
-# #157/#158 (registered this round, first in line for r11); every
-# entry whose code changed since its last row will have a row
+# #157/#158/#159 (registered this round, first in line for r11);
+# every entry whose code changed since its last row will have a row
 # postdating the change.
 #
 # CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically

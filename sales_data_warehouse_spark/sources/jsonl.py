@@ -2,17 +2,29 @@
 routing — the JSON twin of the CSV load-error trap (SURVEY S2).
 
 Document corpora commonly arrive as JSONL shards. The scale contract
-matches the CSV path: ``spark.read.json`` splits by file/byte-range, so
-ingest parallelizes across the cluster with no custom code, and the
-explicit schema keeps the reader off schema inference (which would scan
-the data twice and melt at 100 TB).
+matches the CSV path: the read splits by file/byte-range, so ingest
+parallelizes across the cluster with no custom code, and the explicit
+schema keeps the reader off schema inference (which would scan the
+data twice and melt at 100 TB).
 
-Reject routing uses PERMISSIVE mode's ``columnNameOfCorruptRecord``:
-rows that fail to parse (or fail the schema) land with the raw line
-preserved in ``_corrupt_record`` and NULLs elsewhere; ``read_jsonl``
-splits them into (good, bad) like the cleansing stage's reject table,
-so a bad shard degrades to a quarantine file instead of aborting the
-load.
+Plan shape (round 10 — replaces the original ``spark.read.json`` +
+``.cache()`` implementation): a TEXT scan + ``from_json``. The json
+source refuses any query whose scan references only the internal
+corrupt-record column (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+RECORD_COLUMN``) — which is exactly what the ``bad`` side prunes to —
+and its documented workaround is caching the WHOLE parsed corpus,
+which made the caller own a cache lifecycle and is a non-starter at
+100 TB. ``from_json`` with the same schema + PERMISSIVE +
+``columnNameOfCorruptRecord`` reproduces the json source's corrupt
+semantics (unparseable line OR type-mismatched field → corrupt column
+set, raw line preserved) over an unrestricted text scan, so both sides
+of the split stay lazy single-scan plans and nothing needs caching or
+unpersisting. Whitespace-only lines are dropped to match
+``spark.read.json``, which skips them silently.
+
+A syntactically-valid object that merely MISSES fields is data for the
+cleansing stage (NULL-completeness routing), not a parse reject — the
+same division of labor as the CSV path.
 """
 
 from __future__ import annotations
@@ -21,18 +33,17 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
 
 class JsonlRead(NamedTuple):
-    """The (good, bad) split plus the cached source it derives from.
+    """The (good, bad) split plus the shared parsed frame.
 
-    Spark refuses to filter on the corrupt-record column of an uncached
-    JSON scan, so the parsed source must be cached; the caller OWNS
-    that cache — call ``unpersist()`` (or ``source.unpersist()``) once
-    the split has been consumed, or a per-shard ingest loop accumulates
-    one cached parse per shard until storage-memory pressure sets in.
+    ``source`` is the lazy parsed text frame both sides derive from
+    (nothing is cached — ``unpersist()`` is kept as a no-op so callers
+    written against the pre-r10 cache-owning API keep working).
     """
 
     good: DataFrame
@@ -52,25 +63,35 @@ def read_jsonl(
 
     Returns ``JsonlRead(good, bad, source)`` — unpacks as ``good, bad,
     src = ...``; good rows carry the schema's columns, bad rows one
-    ``raw`` string column with the offending line. See ``JsonlRead``
-    for the cache-lifecycle contract.
+    ``raw`` string column with the offending line (unparseable JSON or
+    a type-mismatched field). Both sides are lazy plans over one text
+    scan each; no caching, no caller-owned lifecycle.
     """
-    full = f"{schema}, {CORRUPT_COL} STRING"
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    fields = T.StructType.fromDDL(schema)
+    full = T.StructType(
+        [*fields.fields, T.StructField(CORRUPT_COL, T.StringType())]
     )
-    # Spark requires materializing the parsed struct before the corrupt
-    # column can be filtered (the reader is lazy about it); a cache
-    # boundary makes the split read the source once.
-    df = df.cache()
-    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw")
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.col("value"),
+            F.from_json(
+                F.col("value"),
+                full,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": CORRUPT_COL,
+                },
+            ).alias("j"),
+        )
     )
-    return JsonlRead(good, bad, df)
+    is_bad = F.col(f"j.{CORRUPT_COL}").isNotNull()
+    good = parsed.filter(~is_bad).select(
+        *[F.col(f"j.{f.name}").alias(f.name) for f in fields.fields]
+    )
+    bad = parsed.filter(is_bad).select(F.col("value").alias("raw"))
+    return JsonlRead(good, bad, parsed)
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None):

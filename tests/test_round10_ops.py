@@ -115,6 +115,71 @@ def test_edit_distance_lookup_is_groupmin_of_join(spark, lt, rt):
     assert got == want
 
 
+def test_jsonl_text_scan_plan_no_cache(spark, tmp_path):
+    """The r10 read_jsonl rewrite: the bad side must be a plain lazy
+    plan over a text scan — queryable without the json source's
+    corrupt-column-only restriction and WITHOUT the old
+    whole-corpus-cache workaround (nothing lands in the CacheManager);
+    blank lines are skipped like spark.read.json; type-mismatched
+    objects route bad with the raw line preserved."""
+    from sales_data_warehouse_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        "not json at all\n"
+        "\n"
+        '{"doc_id": "abc", "text": "bad id type"}\n'
+        '{"doc_id": 2, "text": "missing fields ok"}\n'
+    )
+    spark.catalog.clearCache()
+    good, bad, _src = read_jsonl(
+        spark, str(p), "doc_id BIGINT, text STRING"
+    )
+    # the pre-r10 implementation could not run this query uncached
+    assert sorted(x.raw for x in bad.collect()) == [
+        "not json at all",
+        '{"doc_id": "abc", "text": "bad id type"}',
+    ]
+    assert sorted((x.doc_id, x.text) for x in good.collect()) == [
+        (1, "hello"), (2, "missing fields ok"),
+    ]
+    cached = spark._jsparkSession.sharedState().cacheManager()
+    assert cached.isEmpty(), "read_jsonl must not register a cache"
+
+
+def test_jsonl_roundtrip_lossless_full_schema(spark, tmp_path):
+    """write_jsonl -> read_jsonl is an identity on the full documents
+    schema (text content through JSON escaping included), zero bad
+    rows."""
+    from sales_data_warehouse_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "rt")
+    write_jsonl(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"), out
+    )
+    good, bad, _src = read_jsonl(
+        spark,
+        out,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    )
+    assert bad.count() == 0
+    got = {
+        (x.doc_id, x.text, x.lang, x.source, x.n_chars)
+        for x in good.collect()
+    }
+    want = {
+        (x.doc_id, x.text, x.lang, x.source, x.n_chars)
+        for x in docs.collect()
+    }
+    assert got == want
+
+
 def test_rebuild_ivf_index_in_place(spark, tmp_path):
     """The one-call rebuild the monitors prescribe: after lopsided
     appends, rebuild_ivf_index re-trains on the CURRENT vectors in
