@@ -373,10 +373,11 @@ def weighted_sample_topk(
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement: keep ``k``
     rows where a row's inclusion probability is proportional to its
-    weight (the Efraimidis–Spirakis A-ES scheme — each row draws a key
-    ``u^(1/w)`` with u pseudo-uniform in (0,1), the k largest keys win;
-    PVLDB-folklore standard for one-pass distributed weighted
-    sampling). The curation shape this serves: "sample 1M documents for
+    weight (the A-ES scheme of Efraimidis & Spirakis, "Weighted random
+    sampling with a reservoir", Inf. Process. Lett. 97(5), 2006 — each
+    row draws a key ``u^(1/w)`` with u pseudo-uniform in (0,1), the k
+    largest keys win; the standard one-pass distributed weighted
+    sampler). The curation shape this serves: "sample 1M documents for
     annotation, longer/higher-quality docs proportionally more often",
     where ``stratified_sample``'s per-class rates are too coarse and
     a quality SORT would always take the same head.
