@@ -54,6 +54,35 @@ class JsonlRead(NamedTuple):
         self.source.unpersist()
 
 
+def _split_jsonl_lines(lines: DataFrame, schema: str) -> JsonlRead:
+    """The (good, bad) split over any ``value: string`` frame — shared
+    by the batch and streaming readers so their corrupt semantics
+    cannot drift apart. ``from_json`` works identically on streaming
+    plans, which is what makes the streaming reader a two-line
+    wrapper."""
+    fields = T.StructType.fromDDL(schema)
+    full = T.StructType(
+        [*fields.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = lines.filter(F.trim(F.col("value")) != "").select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+            },
+        ).alias("j"),
+    )
+    is_bad = F.col(f"j.{CORRUPT_COL}").isNotNull()
+    good = parsed.filter(~is_bad).select(
+        *[F.col(f"j.{f.name}").alias(f.name) for f in fields.fields]
+    )
+    bad = parsed.filter(is_bad).select(F.col("value").alias("raw"))
+    return JsonlRead(good, bad, parsed)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -67,31 +96,29 @@ def read_jsonl(
     a type-mismatched field). Both sides are lazy plans over one text
     scan each; no caching, no caller-owned lifecycle.
     """
-    fields = T.StructType.fromDDL(schema)
-    full = T.StructType(
-        [*fields.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    return _split_jsonl_lines(spark.read.text(path), schema)
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    schema: str,
+    max_files_per_trigger: int = 1,
+) -> JsonlRead:
+    """Streaming twin of :func:`read_jsonl` over a drop directory —
+    the shape LLM corpora actually arrive in (shard files landing
+    continuously). Same declared-schema / reject-routing contract via
+    the shared split: ``good`` and ``bad`` are STREAMING DataFrames,
+    each startable as its own query (route ``bad`` to a quarantine
+    sink, ``good`` into the curation pipeline). One file per trigger
+    by default, matching the other drop-dir readers, so backfills
+    exercise the same micro-batch path as live tails."""
+    lines = (
+        spark.readStream.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        ).text(drop_dir)
     )
-    parsed = (
-        spark.read.text(path)
-        .filter(F.trim(F.col("value")) != "")
-        .select(
-            F.col("value"),
-            F.from_json(
-                F.col("value"),
-                full,
-                {
-                    "mode": "PERMISSIVE",
-                    "columnNameOfCorruptRecord": CORRUPT_COL,
-                },
-            ).alias("j"),
-        )
-    )
-    is_bad = F.col(f"j.{CORRUPT_COL}").isNotNull()
-    good = parsed.filter(~is_bad).select(
-        *[F.col(f"j.{f.name}").alias(f.name) for f in fields.fields]
-    )
-    bad = parsed.filter(is_bad).select(F.col("value").alias("raw"))
-    return JsonlRead(good, bad, parsed)
+    return _split_jsonl_lines(lines, schema)
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None):

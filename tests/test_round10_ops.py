@@ -148,6 +148,54 @@ def test_jsonl_text_scan_plan_no_cache(spark, tmp_path):
     assert cached.isEmpty(), "read_jsonl must not register a cache"
 
 
+def test_jsonl_stream_reject_routing(spark, tmp_path):
+    """The streaming JSONL reader routes the same way the batch one
+    does (shared split helper): shards dropped into the directory
+    stream through as micro-batches, good rows land in one sink and
+    corrupt lines in the quarantine sink with the raw line intact."""
+    from sales_data_warehouse_spark.sources.jsonl import (
+        read_jsonl_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "shard0.jsonl").write_text(
+        '{"doc_id": 1, "text": "a"}\nnot json\n'
+    )
+    (drop / "shard1.jsonl").write_text(
+        '{"doc_id": "bad", "text": "t"}\n{"doc_id": 2, "text": "b"}\n'
+    )
+    r = read_jsonl_stream(
+        spark, str(drop), "doc_id BIGINT, text STRING"
+    )
+    assert r.good.isStreaming and r.bad.isStreaming
+    qg = (
+        r.good.writeStream.format("memory")
+        .queryName("jsonl_good")
+        .option("checkpointLocation", str(tmp_path / "cp_g"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qb = (
+        r.bad.writeStream.format("memory")
+        .queryName("jsonl_bad")
+        .option("checkpointLocation", str(tmp_path / "cp_b"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qg.awaitTermination(120)
+    qb.awaitTermination(120)
+    good = sorted(
+        (x.doc_id, x.text)
+        for x in spark.sql("SELECT * FROM jsonl_good").collect()
+    )
+    bad = sorted(
+        x.raw for x in spark.sql("SELECT * FROM jsonl_bad").collect()
+    )
+    assert good == [(1, "a"), (2, "b")]
+    assert bad == ["not json", '{"doc_id": "bad", "text": "t"}']
+
+
 def test_jsonl_roundtrip_lossless_full_schema(spark, tmp_path):
     """write_jsonl -> read_jsonl is an identity on the full documents
     schema (text content through JSON escaping included), zero bad
