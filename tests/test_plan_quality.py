@@ -225,3 +225,30 @@ def test_unigram_surprisal_aggregates_are_partial(spark):
     # map-side; HashAggregate appears in partial+final pairs
     plan = _lib_executed_plan(QUERIES["unigram_surprisal"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark):
+    # the A-ES sampler's global top-k must compile to
+    # TakeOrderedAndProject (map-side partial top-k per partition,
+    # k rows shuffled) — a Sort+Limit regression would serialize the
+    # whole corpus through a global sort at 100 TB. The weight filter
+    # must also reach the scan.
+    df = QUERIES["weighted_sample"](spark, SF_DIR)
+    plan = _lib_executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Sort [" not in plan.replace("TakeOrdered", ""), plan[:2000]
+    assert pushed_filters(df), "n_chars filter must push to the scan"
+
+
+def test_lookup_join_min_is_partial_aggregate(spark):
+    # edit_distance_lookup's per-left best-match reduction must
+    # partial-aggregate BEFORE the left_id shuffle (min over a struct
+    # can't use HashAggregate — immutable buffer type — so Spark picks
+    # SortAggregate; the scale property is the partial_min phase, which
+    # shrinks the shuffle to one row per (partition, left_id)), and it
+    # must never be a window sort over the whole pair set
+    plan = _lib_executed_plan(
+        QUERIES["fuzzy_lookup_edit_distance"](spark, SF_DIR)
+    )
+    assert "partial_min(struct" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
