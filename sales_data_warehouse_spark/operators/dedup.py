@@ -2348,6 +2348,7 @@ def edit_distance_lookup(
     left_block: str | None = None,
     right_block: str | None = None,
     warn_unblocked: bool = True,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """Best-match variant of :func:`edit_distance_join` — the lookup
     shape a dirty-key join is almost always consumed in (each typo'd
@@ -2355,8 +2356,13 @@ def edit_distance_lookup(
     registry entry): one (left_id, right_id, dist) row per matched
     left row, picking the minimum-distance right match, ties broken by
     the smallest ``right_id`` so the result is deterministic.
-    Unmatched left rows are absent (inner-lookup semantics — LEFT-join
-    them back if you need the misses).
+    Unmatched left rows are absent by default (inner-lookup
+    semantics); ``keep_unmatched=True`` LEFT-joins the best-match
+    table back onto the distinct left ids, so every left row comes
+    back exactly once — misses with NULL ``right_id``/``dist`` (the
+    coverage-report shape: "which titles did the registry NOT
+    resolve?"). The extra cost is one broadcast-or-shuffle join
+    against the (small) best-match table keyed on left_id.
 
     Plan: the full fuzzy join, then one groupBy(left_id) taking
     ``min(struct(dist, right_id))`` — struct ordering IS the
@@ -2386,8 +2392,14 @@ def edit_distance_lookup(
     best = pairs.groupBy("left_id").agg(
         F.min(F.struct("dist", "right_id")).alias("__best")
     )
-    return best.select(
+    matched = best.select(
         "left_id",
         F.col("__best.right_id").alias("right_id"),
         F.col("__best.dist").alias("dist"),
     )
+    if not keep_unmatched:
+        return matched
+    all_left = left.select(
+        F.col(left_id).alias("left_id")
+    ).dropDuplicates(["left_id"])
+    return all_left.join(matched, "left_id", "left")

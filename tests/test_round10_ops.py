@@ -72,6 +72,14 @@ def test_edit_distance_lookup_fixture(spark):
         ).collect()
     }
     assert got == {(0, 10, 1), (1, 13, 0)}
+    # keep_unmatched: every left row exactly once, misses as NULLs
+    full = {
+        (r.left_id, r.right_id, r.dist)
+        for r in dedup.edit_distance_lookup(
+            L, R, max_dist=2, warn_unblocked=False, keep_unmatched=True
+        ).collect()
+    }
+    assert full == {(0, 10, 1), (1, 13, 0), (2, None, None)}
 
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
