@@ -6602,6 +6602,99 @@ def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_join_minhash",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(SUBSTRING(source, 4) AS INT) % 2 AS par,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, par, LEN(shingles) AS n_shingles,
+             UNNEST(shingles) AS shingle
+      FROM sh
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM exploded a JOIN exploded b USING (shingle)
+      WHERE a.par = 0 AND b.par = 1
+      GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+      HAVING ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / (a.n_shingles + b.n_shingles - COUNT(*)), 6) >= 0.3
+    )
+    SELECT COUNT(*) AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_ok
+    FROM truth
+    """,
+)
+def fuzzy_join_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus MinHash LSH join (round 10, corpus entry #160):
+    ``dedup.minhash_lsh_join`` across the even/odd-source split — the
+    Jaccard-granularity R-S fuzzy join (fuzzy decontamination, near-dup
+    linkage between two crawls) completing the fuzzy-join family next
+    to the edit-distance R-S join (#152).
+
+    Property oracle (minhash values are engine-specific, same contract
+    as ``dedup_minhash_lsh``): the candidate pair set at est-Jaccard
+    >= 0.3 must achieve recall >= 0.9 and precision >= 0.8 against the
+    CROSS-PARITY exact Jaccard >= 0.3 pair set, which the oracle
+    computes in SQL; the exact-pair count rides along so the truth side
+    is pinned too. The Spark truth side is the same relational
+    shingle-intersection arithmetic over the two filtered frames."""
+    docs = load_table(spark, sf, "documents")
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    left = docs.filter(par == 0)
+    right = docs.filter(par == 1)
+
+    def side_shingles(df, out_id):
+        sh = dedup.exploded_shingles(df, "text", "doc_id", 3)
+        sh = sh.dropDuplicates(["doc", "shingle"])
+        sizes = sh.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
+        return (
+            sh.join(sizes, "doc")
+            .select(
+                F.col("doc").alias(out_id),
+                F.col("n_sh").alias(f"n_{out_id}"),
+                "shingle",
+            )
+        )
+
+    a = side_shingles(left, "doc_a")
+    b = side_shingles(right, "doc_b")
+    truth = (
+        a.join(b, "shingle")
+        .groupBy("doc_a", "doc_b", "n_doc_a", "n_doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_doc_a") + F.col("n_doc_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jac") >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    cand = dedup.minhash_lsh_join(left, right).select(
+        F.col("left_id").alias("doc_a"),
+        F.col("right_id").alias("doc_b"),
+    )
+    return _pair_recall_stats(
+        truth, cand, {"recall": 0.9, "precision": 0.8}
+    )
+
+
+@query(
     "jsonl_roundtrip",
     r"""
     SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
@@ -6698,13 +6791,16 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 # min-dist, id-tiebroken right row per matched left row), entry #158
 # (weighted_sample, deterministic Efraimidis-Spirakis weighted
 # sampling without replacement via sampling.weighted_sample_topk),
-# and entry #159 (jsonl_roundtrip, JSONL landing ingest with
-# reject routing via sources.jsonl.read_jsonl, rewritten this round
-# to a cache-free text-scan + from_json plan — the S1/S2 semantics
-# for the dominant LLM-corpus format), all after position 50, local
-# dual-sf parity green this round. r11 candidates are therefore the
-# six r7-stale entries slipped above + #157 + #158 + #159
-# (never-rowed) + the 50 r8-rowed entries = 59 for 50 slots -> NINE
+# entry #159 (fuzzy_join_minhash, the Jaccard-granularity R-S fuzzy
+# join via dedup.minhash_lsh_join — cross-corpus near-dup /
+# fuzzy decontamination, property oracle vs the cross-parity exact
+# Jaccard truth), and entry #160 (jsonl_roundtrip, JSONL landing
+# ingest with reject routing via sources.jsonl.read_jsonl, rewritten
+# this round to a cache-free text-scan + from_json plan — the S1/S2
+# semantics for the dominant LLM-corpus format), all after position
+# 50, local dual-sf parity green this round. r11 candidates are
+# therefore the six r7-stale entries slipped above + #157-#160
+# (never-rowed) + the 50 r8-rowed entries = 60 for 50 slots -> TEN
 # slips from the r8 cohort, designated per policy (proven-stable,
 # >= 3 consecutive greens, code untouched since the last row,
 # truth-set twins and redundantly-pinned entries first):
@@ -6731,17 +6827,21 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 #      surface — the same twin-keeps-cadence rationale as slip #1);
 #   9. time_hierarchy (greens r1/r2/r5/r8; time_dimension.py untouched
 #      since its r8 row, and the hierarchy build is re-pinned every
-#      session by the ETL goldens in tests/test_etl_reference.py).
-# If any of these nine had a code change by r11 composition time,
+#      session by the ETL goldens in tests/test_etl_reference.py);
+#  10. scd2_versions (greens r1/r2/r5/r8; product_dimension.py
+#      untouched since its r8 row, and the SCD2 build is re-pinned
+#      every session by the ETL goldens — product 19 / dense
+#      5,569,280 both depend on the version table).
+# If any of these ten had a code change by r11 composition time,
 # promote it into the window and slip the next most redundantly
 # pinned r8 entry instead. None of this round's six slips may slip
 # again in r11.
 #
 # Staleness after this round: nothing older than r8 except the six
 # designated r10 slips (r7 rows); zero never-rowed entries except
-# #157/#158/#159 (registered this round, first in line for r11);
-# every entry whose code changed since its last row will have a row
-# postdating the change.
+# #157/#158/#159/#160 (registered this round, first in line for
+# r11); every entry whose code changed since its last row will have
+# a row postdating the change.
 #
 # CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically
 # infeasible: 50 slots/round supports a universal k-round cadence only

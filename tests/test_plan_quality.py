@@ -31,6 +31,9 @@ CARTESIAN_OK = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_minhash_lsh",
+    # same _pair_recall_stats 1x1 precision crossJoin as
+    # dedup_minhash_lsh — the corpus-sized work is the bucket join
+    "fuzzy_join_minhash",
     "dedup_simhash",
     "date_spine",
     "time_hierarchy",

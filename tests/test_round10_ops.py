@@ -279,6 +279,69 @@ def test_rebuild_ivf_index_in_place(spark, tmp_path):
     assert hits == 6
 
 
+# --- minhash_lsh_join (cross-corpus fuzzy join) ------------------------
+
+
+def test_minhash_lsh_join_fixture(spark):
+    """Identical texts across the two relations pair at est_jaccard
+    1.0; an unrelated text pairs with nothing. Signatures are
+    comparable across relations because both sides hash with the same
+    seeds."""
+    L = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "zzz qqq xxx yyy www vvv uuu ttt sss rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.left_id, r.right_id, r.est_jaccard)
+        for r in dedup.minhash_lsh_join(L, R, threshold=0.3).collect()
+    }
+    assert got == {(1, 10, 1.0)}
+
+
+def test_minhash_lsh_join_equals_self_join_cross_slice(spark):
+    """On real documents, the R-S join across the even/odd-source
+    split must produce EXACTLY the self-join's candidate set
+    restricted to cross-parity pairs — same signatures, same banding,
+    same threshold, so the two plans may not disagree on a single
+    pair."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    tagged = docs.withColumn("par", par)
+    left = tagged.filter("par = 0")
+    right = tagged.filter("par = 1")
+
+    rs = {
+        (r.left_id, r.right_id, r.est_jaccard)
+        for r in dedup.minhash_lsh_join(
+            left, right, threshold=0.3
+        ).collect()
+    }
+    parity = {
+        r.doc_id: r.par for r in tagged.select("doc_id", "par").collect()
+    }
+    self_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    want = set()
+    for r in self_pairs:
+        pa, pb = parity[r.doc_a], parity[r.doc_b]
+        if pa == 0 and pb == 1:
+            want.add((r.doc_a, r.doc_b, r.est_jaccard))
+        elif pa == 1 and pb == 0:
+            want.add((r.doc_b, r.doc_a, r.est_jaccard))
+    assert rs == want and rs, f"{len(rs)} vs {len(want)}"
+
+
 # --- weighted_sample_topk (deterministic A-ES) ------------------------
 
 
