@@ -391,6 +391,22 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             max_cell_rows=None,
         )
     )
+
+    # r10: the cross-corpus MinHash R-S join, OPERATOR alone — its
+    # corpus entry (#159) also computes the quadratic cross-parity
+    # Jaccard truth set for the property oracle, which is verification
+    # cost, not the operator (the op_semantic_dedup rationale).
+    def _op_minhash_join(d):
+        from sales_data_warehouse_spark.operators import dedup as _dd
+        from pyspark.sql import functions as _F
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        par = _F.expr("cast(substring(source, 4) as int) % 2")
+        return _dd.minhash_lsh_join(
+            docs.filter(par == 0), docs.filter(par == 1)
+        )
+
+    extra_builders["op_minhash_join"] = _op_minhash_join
     # values are floats except the optional string scaling_note
     extras: dict[str, dict] = {}
     for name, make in extra_builders.items():
