@@ -112,6 +112,14 @@ def main() -> None:
             "w",
             1000,
         ),
+        # r10: the cross-corpus MinHash R-S join on an even/odd id
+        # split — cost should track the two sides' signature builds
+        # (one explode + one map-side-combined groupBy each) plus the
+        # banded bucket join, same class as the self-join probe above
+        "minhash_lsh_join": lambda: dedup.minhash_lsh_join(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ),
     }
     out = {}
     for name, make in probes.items():
