@@ -209,6 +209,40 @@ def test_bucket_join_stats_equals_actual_passjoin_size(spark):
     assert s.candidates_per_left_doc < index.select("doc_b").distinct().count() * 0.1
 
 
+def test_bucket_join_stats_equals_actual_minhash_join_size(spark):
+    """Same contract for the r10 MinHash R-S join: candidate_rows over
+    the two banded tables must equal the (band, bucket) join Spark
+    actually executes (pre pair-dedup), measured on real documents —
+    so minhash_lsh_join's docstring advice ('measure bucket
+    selectivity with bucket_join_stats_df before a big run') is
+    verified to describe the real plan."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark)
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    bl = dedup.banded_signatures(docs.filter(par == 0)).select(
+        F.col("doc").alias("doc_a"), "band", "bucket"
+    )
+    br = dedup.banded_signatures(docs.filter(par == 1)).select(
+        F.col("doc").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    s = dedup.bucket_join_stats(
+        bl, br, [("band", "band_b"), ("bucket", "bucket_b")]
+    )
+    actual = bl.join(
+        br,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bucket") == F.col("bucket_b")),
+    ).count()
+    assert s.candidate_rows == actual
+    # selective on real text: far below |L| x |R|
+    n_l = bl.select("doc_a").distinct().count()
+    n_r = br.select("doc_b").distinct().count()
+    assert s.candidate_rows < 0.05 * n_l * n_r
+
+
 def test_shingle_index_df_cap_bounds_max_bucket(spark):
     """The df-cap story, measured: blocking_stats over the raw shingle
     index reports the hottest bucket, and after the max_df filter (the

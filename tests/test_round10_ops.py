@@ -399,9 +399,12 @@ def test_weighted_sample_heavy_rows_win_more(spark):
 
 from hypothesis import example  # noqa: E402
 
+# ids span negative values too (xxhash64-style keys cover the full
+# signed-64 range; the pmod in the hash must keep u non-negative) and
+# exceed HASH_P so congruent-id exact key ties occur
 _weights = st.lists(
     st.tuples(
-        st.integers(0, 2_000_005),  # ids spanning > HASH_P for ties
+        st.integers(-2_000_005, 2_000_005),
         st.floats(
             min_value=0.01, max_value=1000.0,
             allow_nan=False, allow_infinity=False,
@@ -419,6 +422,7 @@ _weights = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @example(rows=[(7, 1.0), (7 + 1_000_003, 1.0), (3, 2.0)])  # exact tie
+@example(rows=[(-5, 1.0), (-5 + 1_000_003, 1.0), (4, 0.5)])  # neg ids
 @given(rows=_weights)
 def test_weighted_sample_matches_python_aes(spark, rows):
     """Property: the selection equals the Python A-ES oracle — top-k
