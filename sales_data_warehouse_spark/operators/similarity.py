@@ -672,13 +672,24 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     pruning — the scan never touches unprobed cells), plus the tiny
     centroid codebook as its own parquet table.
 
+    Both parts are stamped with the same ``_generation`` marker (an
+    underscore-prefixed file inside each parquet directory — invisible
+    to scans) so :func:`load_ivf_index` can verify the cell assignments
+    and the centroid codebook come from the SAME build: probing cells
+    against another generation's centroids silently collapses recall.
+
     Also clears ``{path}/_ingest_batches`` — the streaming-append
     replay markers (``streaming.embeddings.ivf_append_batch``) belong
     to the PREVIOUS index generation. A rebuild that kept them, fed by
     a stream that reuses its checkpoint path with cleared contents,
     would silently skip batches 0..N (the markers would claim those
     appends already landed in an index that no longer contains them)."""
-    from sales_data_warehouse_spark.sources.compaction import fs_delete
+    import uuid
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_delete,
+        fs_write_text,
+    )
 
     index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/assigned"
@@ -690,6 +701,9 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centers")
+    gen = uuid.uuid4().hex
+    fs_write_text(spark, f"{path}/assigned/_generation", gen)
+    fs_write_text(spark, f"{path}/centers/_generation", gen)
     fs_delete(spark, f"{path}/_ingest_batches")
 
 
@@ -697,7 +711,28 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     """Reopen a saved index. ``assigned`` stays a lazy partitioned scan:
     when ``ivf_search`` joins it against the probed (broadcast) cells,
     dynamic partition pruning / broadcast-hash-join filtering restricts
-    the read to the probed cell directories."""
+    the read to the probed cell directories.
+
+    Verifies the two parts carry the SAME ``_generation`` marker and
+    fails loudly on mismatch — the signature of a rebuild that crashed
+    between the assigned swap and the centers swap (new cell
+    assignments, old codebook). A mixed-generation index loads without
+    any structural error but probes cells against the wrong centroids,
+    silently collapsing recall; loud is the only safe failure mode.
+    Indexes saved before generation stamping (both markers absent) are
+    accepted for back-compat."""
+    from sales_data_warehouse_spark.sources.compaction import fs_read_text
+
+    gen_a = fs_read_text(spark, f"{path}/assigned/_generation")
+    gen_c = fs_read_text(spark, f"{path}/centers/_generation")
+    if gen_a != gen_c:
+        raise IOError(
+            f"load_ivf_index: generation mismatch at {path} "
+            f"(assigned={gen_a!r}, centers={gen_c!r}) — the index mixes "
+            "two builds (most likely a rebuild crashed between part "
+            "swaps). Recover the matching part from "
+            f"{path}/*.rebuild_old or re-run rebuild_ivf_index."
+        )
     assigned = spark.read.parquet(f"{path}/assigned")
     centers_rows = (
         spark.read.parquet(f"{path}/centers").orderBy("cell").collect()
@@ -726,7 +761,14 @@ def rebuild_ivf_index(
     directories, then swaps each in with two renames (the
     ``compact_table`` pattern) — a crash before the first rename
     leaves the old index intact, a crash between renames leaves both
-    generations on disk for recovery under ``*.rebuild_old``. The
+    generations on disk for recovery under ``*.rebuild_old``. The two
+    part swaps are NOT atomic together, so a crash after the assigned
+    swap but before the centers swap leaves a mixed-generation index
+    on disk (new cell assignments, old codebook); both staging parts
+    are therefore stamped with the same ``_generation`` marker BEFORE
+    the swaps (the renames carry the markers with the data), and
+    :func:`load_ivf_index` refuses a mixed pair loudly instead of
+    probing cells against the wrong centroids. The
     streaming replay markers (``_ingest_batches``) are cleared LAST,
     after both swaps: they belong to the previous generation (see
     :func:`save_ivf_index`), and clearing them only once the new data
@@ -737,9 +779,12 @@ def rebuild_ivf_index(
     plus one assignment-and-write pass — the same cost class as the
     original build, which is the honest price of moving centroids;
     everything cheaper is :func:`ivf_append`."""
+    import uuid
+
     from sales_data_warehouse_spark.sources.compaction import (
         _hadoop_fs,
         fs_delete,
+        fs_write_text,
     )
 
     corpus = spark.read.parquet(f"{path}/assigned").select(
@@ -760,6 +805,9 @@ def rebuild_ivf_index(
     spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centers.rebuild_tmp")
+    gen = uuid.uuid4().hex
+    fs_write_text(spark, f"{path}/assigned.rebuild_tmp/_generation", gen)
+    fs_write_text(spark, f"{path}/centers.rebuild_tmp/_generation", gen)
 
     fs, _, jvm = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path

@@ -6635,7 +6635,7 @@ def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fuzzy_join_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Cross-corpus MinHash LSH join (round 10, corpus entry #160):
+    """Cross-corpus MinHash LSH join (round 10, corpus entry #159):
     ``dedup.minhash_lsh_join`` across the even/odd-source split — the
     Jaccard-granularity R-S fuzzy join (fuzzy decontamination, near-dup
     linkage between two crawls) completing the fuzzy-join family next
@@ -6702,12 +6702,13 @@ def fuzzy_join_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """JSONL landing ingest (round 10, corpus entry #159): the S1/S2
+    """JSONL landing ingest (round 10, corpus entry #160): the S1/S2
     reject-routing semantics for the format LLM corpora actually ship
     in. The documents table is exported to JSON Lines
     (``sources.jsonl.write_jsonl``), a sidecar shard of garbage is
     dropped next to it (an unparseable line, a type-mismatched object,
-    a blank line — the three landing failure modes), and ``read_jsonl``
+    a blank line, a JSON literal ``null`` line that parses to a NULL
+    struct — the four landing failure modes), and ``read_jsonl``
     reads the directory back with a DECLARED schema (never inference —
     schema inference is a full extra corpus pass at 100 TB) over its
     round-10 text-scan + ``from_json`` PERMISSIVE plan (the json
@@ -6719,6 +6720,7 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     lossless and the three garbage lines routed out of the valid side
     (a leaked corrupt row fails the row-count, a mangled field fails
     the hash)."""
+    import hashlib
     import os
     import tempfile
 
@@ -6730,13 +6732,20 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = tempfile.mkdtemp(prefix="sdw_jsonl_rt_")
+    # Fixed per-sf path with overwrite semantics: repeated parity /
+    # driver / bench invocations reuse one directory instead of leaking
+    # a corpus copy into /tmp per run. The export write is a setup side
+    # effect inside the query timing — noted on the bench scaling
+    # quarantine should this entry ever be timed at sf1.
+    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"sdw_jsonl_rt_{tag}")
     write_jsonl(docs, path)
     with open(os.path.join(path, "part-garbage.json"), "w") as fh:
         fh.write(
             "definitely not json\n"
             "\n"
             '{"doc_id": "not-a-number", "text": "type mismatch"}\n'
+            "null\n"
         )
     good, _bad, _src = read_jsonl(
         spark,
@@ -6754,171 +6763,190 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries
 # (CORRECTNESS_r01-r06 all equal registration positions 0-49; r7+ use
-# the frozen rotation below).  Round-10 window — after r9's 50/50
-# green run, ALL 156 entries' latest driver row is green; 151 hold a
-# hard row (50 r9 / 50 r8 / 50 r7 / 1 r6) and five are never-rowed
-# (#152-156, registered in r9 after the freeze). This rotation is the
-# r10 window the r9 composer pre-designated, composed by the amended
-# GREEDY MOST-STALE-FIRST policy (below): language_id (the designated
-# r9 slip, r6-stale, forbidden from slipping twice) + the five
-# never-rowed r9 registrations + 44 of the 50 r7-rowed entries.
+# the frozen rotation below).  Round-11 window — after r10's 50/50
+# green run, ALL 160 entries' latest driver row is green; 156 hold a
+# hard row (50 r10 / 50 r9 / 50 r8 / 6 r7) and four are never-rowed
+# (#157-160, registered in r10 after the freeze). This rotation is
+# the r11 window the r10 composer pre-designated, composed by the
+# GREEDY MOST-STALE-FIRST policy (below): the six r10-slipped
+# r7-stale entries (dedup_embedding_cosine, dedup_ngram_jaccard,
+# dedup_clusters, dedup_exact, join_multiway, dense_cube_crossjoin —
+# each slipped once, forbidden from slipping twice, so they lead) +
+# the four never-rowed r10 registrations (#157
+# fuzzy_lookup_edit_distance, #158 weighted_sample, #159
+# fuzzy_join_minhash, #160 jsonl_roundtrip — first hard rows) + 40
+# of the 50 r8-rowed entries.
 #
-# Notable slots:
-# * fuzzy_join_edit_distance (#152) — first hard row for the R-S
-#   fuzzy join built on the PassJoin engine (two-sided segment
-#   blocking across two relations);
-# * blocking_selectivity (#153) / bucket_join_selectivity (#154) /
-#   blocking_recall (#155) / ivf_recall_audit (#156) — first hard
-#   rows for the round-9 measurement layer (blocking COST, join
-#   selectivity, blocking QUALITY, ANN recall);
-# * language_id — r6-stale, slipped once (r9, pre-designated); the
-#   policy forbids consecutive-cycle slips, so it leads this window.
-#
-# SIX slips this round (56 candidates, 50 slots), all from the
-# r7-rowed cohort, designated by the r9 composer per policy
-# (proven-stable, >= 3 consecutive greens, code untouched since the
-# last row, truth-set twins first): dedup_embedding_cosine,
-# dedup_ngram_jaccard, dedup_clusters (truth-set/engine twins whose
-# production twins stay in the window), dedup_exact, join_multiway,
-# dense_cube_crossjoin (headline bench members timed every round;
-# dense_cube's 5,569,280-row golden is pinned every session by
-# tests/test_etl_reference.py). None of the six slipped in the
-# previous cycle; none may slip again in r11.
-#
-# r11 composer note: round 10 additionally REGISTERS entry #157
-# (fuzzy_lookup_edit_distance, the best-match lookup variant of
-# dedup.edit_distance_join via dedup.edit_distance_lookup — one
-# min-dist, id-tiebroken right row per matched left row), entry #158
-# (weighted_sample, deterministic Efraimidis-Spirakis weighted
-# sampling without replacement via sampling.weighted_sample_topk),
-# entry #159 (fuzzy_join_minhash, the Jaccard-granularity R-S fuzzy
-# join via dedup.minhash_lsh_join — cross-corpus near-dup /
-# fuzzy decontamination, property oracle vs the cross-parity exact
-# Jaccard truth), and entry #160 (jsonl_roundtrip, JSONL landing
-# ingest with reject routing via sources.jsonl.read_jsonl, rewritten
-# this round to a cache-free text-scan + from_json plan — the S1/S2
-# semantics for the dominant LLM-corpus format), all after position
-# 50, local dual-sf parity green this round. r11 candidates are
-# therefore the six r7-stale entries slipped above + #157-#160
-# (never-rowed) + the 50 r8-rowed entries = 60 for 50 slots -> TEN
-# slips from the r8 cohort, designated per policy (proven-stable,
-# >= 3 consecutive greens, code untouched since the last row,
-# truth-set twins and redundantly-pinned entries first):
-#   1. set_except (greens r1/r2/r5/r8; its EXCEPT ALL twin
-#      set_except_all carries a fresh r9 row over the same engine
-#      surface — the twin-keeps-cadence rationale);
-#   2. anti_join (greens r1/r2/r5/r8; left_anti corpus shape, and
-#      the same plan family carries not_exists_customers' fresh r9
-#      row);
-#   3. semi_join_having (greens r1/r2/r5/r8; decorrelation
-#      additionally pinned every session by test_plan_quality.py);
+# TEN slips this round (60 candidates, 50 slots; N-150 = 10, see the
+# capacity policy below), all from the r8-rowed cohort, designated by
+# the r10 composer per policy (proven-stable, >= 3 consecutive
+# greens, code untouched since the last row, truth-set twins and
+# redundantly-pinned entries first) and re-verified at r11
+# composition time (none had a code change):
+#   1. set_except (greens r1/r2/r5/r8; EXCEPT ALL twin set_except_all
+#      carries a fresh r9 row over the same engine surface);
+#   2. anti_join (greens r1/r2/r5/r8; not_exists_customers carries a
+#      fresh r9 row over the same left_anti plan family);
+#   3. semi_join_having (greens r1/r2/r5/r8; decorrelation pinned
+#      every session by test_plan_quality.py);
 #   4. distinct_dedup (greens r1/r2/r5/r8; cleansing.py untouched;
-#      the TRUNCATE+DISTINCT reference shape is also pinned by the
-#      ETL goldens in tests/test_etl_reference.py every session);
-#   5. scalar_aggregates (greens r1/r2/r5/r8; trivial MIN/MAX corpus
-#      shape over untouched code);
-#   6. date_spine (greens r1/r2/r5/r8; F.sequence calendar spine,
-#      time_dimension.py untouched, re-pinned by the ETL goldens);
-#   7. string_functions (greens r1/r2/r5/r8; pure built-in function
-#      battery over untouched code, re-verified type-strictly by the
-#      parity suite each session);
-#   8. set_intersect (greens r1/r2/r5/r8; its INTERSECT ALL twin
-#      set_intersect_all carries a fresh r9 row over the same engine
-#      surface — the same twin-keeps-cadence rationale as slip #1);
-#   9. time_hierarchy (greens r1/r2/r5/r8; time_dimension.py untouched
-#      since its r8 row, and the hierarchy build is re-pinned every
-#      session by the ETL goldens in tests/test_etl_reference.py);
+#      TRUNCATE+DISTINCT re-pinned by the ETL goldens every session);
+#   5. scalar_aggregates (greens r1/r2/r5/r8; trivial MIN/MAX shape
+#      over untouched code);
+#   6. date_spine (greens r1/r2/r5/r8; F.sequence spine re-pinned by
+#      the ETL goldens);
+#   7. string_functions (greens r1/r2/r5/r8; built-in battery,
+#      re-verified type-strictly by the parity suite each session);
+#   8. set_intersect (greens r1/r2/r5/r8; INTERSECT ALL twin
+#      set_intersect_all carries a fresh r9 row);
+#   9. time_hierarchy (greens r1/r2/r5/r8; time_dimension.py
+#      untouched, re-pinned every session by the ETL goldens);
 #  10. scd2_versions (greens r1/r2/r5/r8; product_dimension.py
-#      untouched since its r8 row, and the SCD2 build is re-pinned
-#      every session by the ETL goldens — product 19 / dense
-#      5,569,280 both depend on the version table).
-# If any of these ten had a code change by r11 composition time,
-# promote it into the window and slip the next most redundantly
-# pinned r8 entry instead. None of this round's six slips may slip
-# again in r11.
+#      untouched, SCD2 re-pinned every session by the ETL goldens —
+#      product 19 / dense 5,569,280 both depend on the version
+#      table).
+# None of these ten may slip again in r12 — all ten are IN the r12
+# window by construction.
 #
-# Staleness after this round: nothing older than r8 except the six
-# designated r10 slips (r7 rows); zero never-rowed entries except
-# #157/#158/#159/#160 (registered this round, first in line for
-# r11); every entry whose code changed since its last row will have
-# a row postdating the change.
+# r12 composer note: round 11 additionally REGISTERS entry #161
+# (weighted_sample_grouped, the per-group k-docs-per-stratum variant
+# of sampling.weighted_sample_topk via weighted_sample_topk_grouped),
+# after position 50, local dual-sf parity green this round. r12
+# candidates are therefore the ten r8-stale entries slipped above +
+# #161 (never-rowed) + the 50 r9-rowed entries = 61 for 50 slots ->
+# ELEVEN slips from the r9 cohort (N-150 = 11 at N=161), designated
+# per policy (proven-stable, >= 3 consecutive greens — i.e. the
+# r3/r6/r9-rowed subcohort; code untouched since the last row;
+# truth-set twins and redundantly-pinned entries first):
+#   1. set_except_all (greens r3/r6/r9; its EXCEPT twin set_except is
+#      rowed in r12 by construction — twin-keeps-cadence);
+#   2. set_intersect_all (greens r3/r6/r9; twin set_intersect rowed
+#      in r12 — same rationale);
+#   3. not_exists_customers (greens r3/r6/r9; twin anti_join rowed in
+#      r12 over the same left_anti plan family);
+#   4. exists_subquery_orders (greens r3/r6/r9; twin semi_join_having
+#      rowed in r12; decorrelation pinned by test_plan_quality.py);
+#   5. in_subquery_big_orders (greens r3/r6/r9; same left_semi
+#      subquery family as #4, re-verified by the parity suite);
+#   6. ann_bruteforce_topk (greens r3/r6/r9; the exact truth-set twin
+#      — production twins ann_ivf_topk/ann_lsh_topk stay in window
+#      and ann_ivf_persisted carries a fresh r11 row);
+#   7. multimodal_decode (greens r3/r6/r9; multimodal.py untouched;
+#      multimodal_features carries a fresh r10 row over the same
+#      mapInPandas kernel surface);
+#   8. multimodal_frame_sample (greens r3/r6/r9; same rationale);
+#   9. multimodal_audio_windows (greens r3/r6/r9; same rationale);
+#  10. doc_fingerprint (greens r3/r6/r9; rolling-hash kernel family
+#      shared with doc_winnowing, which stays in window);
+#  11. token_counting (greens r3/r6/r9; token_frequencies and the BPE
+#      entries stay in window over the same tokenizer surface).
+# dedup_edit_distance (single r9 row), asof_join_nearest,
+# dedup_canonical_text, dedup_containment_capped (two rows each) are
+# NOT slip-eligible and stay in the r12 window. If any designated
+# slip has a code change by r12 composition time, promote it and slip
+# the next most redundantly pinned r9 entry instead. None of this
+# round's ten slips may slip again in r12.
 #
-# CAPACITY POLICY (amended round 8 — the r7 wording was arithmetically
-# infeasible: 50 slots/round supports a universal k-round cadence only
-# up to 50k entries, so 150 is EXACTLY the 3-round capacity and at #151
-# someone must exceed 3 rounds in each cycle; "everyone at least every
-# three rounds" cannot hold at 151+). Amended rule, feasible by
-# construction: from #151 the window is composed GREEDY MOST-STALE-
-# FIRST (ties by registration order), which guarantees every entry a
-# hard row at least every ceil(N/50) rounds and concentrates any
-# slack on at most N-150 entries per 3-round cycle. Those slip slots
-# are assigned to proven-stable entries — >= 3 consecutive green hard
-# rows AND operator code untouched since the last row — drawn from the
-# exact truth-set twins first (dedup_embedding_cosine is the first
-# designated candidate: 4 green rows r1/r2/r4/r7; its capped/
-# approximate production twin keeps the tighter cadence and the shared
-# oracle re-verifies the semantics), rotating so no entry slips in two
-# consecutive cycles. Code-changed entries are still promoted into the
-# next window regardless of staleness. Off-rotation rounds stay
-# covered by the local tests/test_oracle_parity.py run, which
-# re-verifies ALL entries type-strictly every round regardless of the
-# driver window. (Mirrored in OPERATORS.md.)
+# Staleness after this round: nothing older than r8 except nothing —
+# the six r7-stale entries are rowed this round; the ten designated
+# slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
+# entries except #161 (registered this round, first in line for
+# r12); every entry whose code changed since its last row has a row
+# postdating the change (jsonl_roundtrip, fuzzy_join_minhash, and
+# weighted_sample — the three r11-touched surfaces — are all in this
+# window; ann_ivf_persisted covers the rebuild_ivf_index touch).
+#
+# CAPACITY POLICY (restated round 11 for the actual corpus size — the
+# r8 wording reasoned from the 150-entry ceiling, which the corpus
+# outgrew at r10's #157-160). The rule, as a formula of corpus size N
+# with a fixed 50-row driver window, for 150 < N <= 200:
+#
+#   * STEADY-STATE SLIPS PER ROUND = N - 150. Each round's candidate
+#     set is (last cycle's slips, which may not slip again) + (new
+#     never-rowed registrations) + (the oldest full 50-entry cohort);
+#     that is 50 + (N - 150) candidates for 50 slots. (r10: N=156 ->
+#     6 slips; r11: N=160 -> 10; r12: N=161 -> 11.)
+#   * MAX STALENESS = ceil(N/50) rounds (= 4 at 151-200): the window
+#     is composed GREEDY MOST-STALE-FIRST (ties by registration
+#     order), a slipped entry leads the next window by construction,
+#     and NO ENTRY SLIPS IN TWO CONSECUTIVE CYCLES — so a slip costs
+#     exactly one extra round, never two.
+#   * SLIP ELIGIBILITY: only proven-stable entries — >= 3 consecutive
+#     green hard rows AND operator code untouched since the last row
+#     — drawn truth-set twins first (the exact/uncapped twin slips,
+#     the capped/approximate production twin keeps the tighter
+#     cadence and the shared oracle re-verifies the semantics), then
+#     entries redundantly pinned by every-session suites (ETL
+#     goldens, test_plan_quality, the parity suite).
+#   * CODE-CHANGED entries are promoted into the next window
+#     regardless of staleness; never-rowed registrations are first in
+#     line for the next window.
+#
+# Off-rotation rounds stay covered by the local
+# tests/test_oracle_parity.py run, which re-verifies ALL entries
+# type-strictly at two scale factors every round regardless of the
+# driver window. A per-round freshness histogram lives in OPERATORS.md
+# so the staleness bound is checkable at a glance. (Policy mirrored in
+# OPERATORS.md.)
 #
 # The window is FROZEN as an explicit list: adding a new query anywhere
 # above cannot silently shift which entries the driver checks — new
 # registrations land after position 50 until deliberately promoted here.
 
 FIRST_50 = (
-    "language_id",
-    "fuzzy_join_edit_distance",
-    "blocking_selectivity",
-    "bucket_join_selectivity",
-    "blocking_recall",
-    "ivf_recall_audit",
-    "asof_join_grouped_pricelist",
-    "asof_join_pricelist",
-    "basket_affinity",
-    "bm25_topk",
-    "cohort_ltv",
-    "corpus_health_report",
-    "curation_pipeline",
-    "dedup_clusters_star",
-    "dedup_keep_best",
-    "dedup_lines",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_capped",
-    "dedup_repeated_spans",
-    "dedup_simhash",
-    "doc_sequence_packing",
-    "embedding_centroids",
-    "embedding_normalize",
-    "embedding_quantize",
-    "embedding_truncate",
-    "epoch_shuffle",
-    "full_outer_join",
-    "gopher_quality_filter",
-    "hybrid_retrieval_rrf",
-    "join_composite_key",
-    "leakage_safe_split",
-    "multimodal_features",
-    "quality_logit",
-    "quality_select_top",
-    "rfm_segmentation",
-    "rolling_active_users",
-    "semantic_outliers",
-    "session_funnel",
-    "source_lexical_diversity",
-    "source_overlap_matrix",
-    "stats_correlation",
-    "table_drift_report",
-    "table_profile",
-    "temperature_mixture",
-    "topk_rank_ties",
-    "unigram_surprisal",
-    "union_by_name_missing",
-    "user_paths",
-    "window_cume_dist",
+    # six r10-slipped r7-stale entries (may not slip twice — they lead)
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_exact",
+    "join_multiway",
+    "dense_cube_crossjoin",
+    # first hard rows for the r10 registrations #157-160
+    "fuzzy_lookup_edit_distance",
+    "weighted_sample",
+    "fuzzy_join_minhash",
+    "jsonl_roundtrip",
+    # 40 of the 50 r8-rowed entries (ten designated slips — see note)
+    "ann_ivf_persisted",
+    "approx_frequent_items_exact",
+    "approx_sketches",
+    "asof_join_forward",
+    "asof_join_tolerance",
+    "bm25_search_persisted",
+    "case_when_classify",
+    "cleanse_reject_routing",
+    "cube_quantity",
+    "date_functions",
+    "dedup_containment",
+    "dedup_exact_incremental",
+    "dedup_jaccard_prefix",
+    "filter_projection",
+    "group_having",
+    "grouping_sets_revenue",
+    "json_props_extract",
+    "knn_label_vote",
+    "left_join_coalesce",
+    "location_hierarchy",
+    "ntile_buckets",
+    "percentile_quantity",
+    "pivot_status_by_year",
+    "pricing_summary",
+    "rollup_revenue",
+    "sessionize",
+    "set_union",
+    "sliding_window_rate",
+    "source_dup_ratio",
+    "streaming_dedup_batch_contract",
+    "topk_global_sort",
+    "topk_revenue_orders",
+    "train_test_split",
+    "tumbling_window_agg",
+    "unpivot_lineitem_metrics",
+    "window_dense_rank",
+    "window_frame_first_last",
+    "window_lag_gap",
+    "window_running_total",
+    "window_top1_per_group",
 )
 
 

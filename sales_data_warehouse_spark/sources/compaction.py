@@ -48,6 +48,37 @@ def fs_delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(hpath, True))
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small ASCII marker/manifest file through the Hadoop
+    FileSystem API (overwrite). Underscore-prefixed names placed inside
+    a parquet directory are invisible to scans (Spark's file index
+    skips ``_``/``.`` entries), which is what makes per-part generation
+    markers safe to co-locate with the data they describe."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.writeBytes(text)
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read back a :func:`fs_write_text` marker's first line; ``None``
+    if the file does not exist."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream)
+        )
+        line = reader.readLine()
+        return "" if line is None else str(line)
+    finally:
+        stream.close()
+
+
 def staged_overwrite(spark, df, path: str) -> None:
     """Overwrite ``path`` with ``df`` crash-safely: write to a staging
     dir, then swap via two renames. A plain ``mode('overwrite')``

@@ -20,7 +20,12 @@ semantics (unparseable line OR type-mismatched field → corrupt column
 set, raw line preserved) over an unrestricted text scan, so both sides
 of the split stay lazy single-scan plans and nothing needs caching or
 unpersisting. Whitespace-only lines are dropped to match
-``spark.read.json``, which skips them silently.
+``spark.read.json``, which skips them silently. A JSON literal
+``null`` (or scalar-root) line is the one case ``from_json`` treats
+differently from a parse failure — it parses successfully to a NULL
+struct with the corrupt column unset — so the split additionally
+routes NULL-struct rows to the bad side (round 11): an all-NULL
+document row is never valid data.
 
 A syntactically-valid object that merely MISSES fields is data for the
 cleansing stage (NULL-completeness routing), not a parse reject — the
@@ -75,7 +80,12 @@ def _split_jsonl_lines(lines: DataFrame, schema: str) -> JsonlRead:
             },
         ).alias("j"),
     )
-    is_bad = F.col(f"j.{CORRUPT_COL}").isNotNull()
+    # A JSON literal ``null`` (or scalar-root) line parses SUCCESSFULLY
+    # to a NULL struct — the corrupt column stays NULL — so testing the
+    # corrupt column alone would leak an all-NULL row into the good
+    # side. A NULL struct can never be a valid document, so route it to
+    # the bad side with its raw line.
+    is_bad = F.col("j").isNull() | F.col(f"j.{CORRUPT_COL}").isNotNull()
     good = parsed.filter(~is_bad).select(
         *[F.col(f"j.{f.name}").alias(f.name) for f in fields.fields]
     )

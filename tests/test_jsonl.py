@@ -17,6 +17,10 @@ def test_corrupt_records_route_to_bad(spark, tmp_path):
         "this is not json\n"
         '{"doc_id": 2, "text": "world"}\n'
         '{"doc_id": "not-an-int", "text": "bad type"}\n'
+        # a JSON literal null parses SUCCESSFULLY to a NULL struct (the
+        # corrupt column stays NULL) — it must route bad, not emit an
+        # all-NULL good row
+        "null\n"
     )
     good, bad, src = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
     assert sorted(map(tuple, good.collect())) == [
@@ -24,8 +28,9 @@ def test_corrupt_records_route_to_bad(spark, tmp_path):
         (2, "world"),
     ]
     bad_rows = [r.raw for r in bad.collect()]
-    assert len(bad_rows) == 2
+    assert len(bad_rows) == 3
     assert "this is not json" in bad_rows
+    assert "null" in bad_rows
     src.unpersist()
 
 

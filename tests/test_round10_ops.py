@@ -172,6 +172,7 @@ def test_jsonl_stream_reject_routing(spark, tmp_path):
     )
     (drop / "shard1.jsonl").write_text(
         '{"doc_id": "bad", "text": "t"}\n{"doc_id": 2, "text": "b"}\n'
+        "null\n"
     )
     r = read_jsonl_stream(
         spark, str(drop), "doc_id BIGINT, text STRING"
@@ -201,7 +202,11 @@ def test_jsonl_stream_reject_routing(spark, tmp_path):
         x.raw for x in spark.sql("SELECT * FROM jsonl_bad").collect()
     )
     assert good == [(1, "a"), (2, "b")]
-    assert bad == ["not json", '{"doc_id": "bad", "text": "t"}']
+    assert bad == [
+        "not json",
+        "null",
+        '{"doc_id": "bad", "text": "t"}',
+    ]
 
 
 def test_jsonl_roundtrip_lossless_full_schema(spark, tmp_path):

@@ -1,0 +1,89 @@
+"""Round-11 changes (r10 VERDICT/ADVICE): JSONL NULL-struct routing
+(pinned in test_jsonl.py / test_round10_ops.py next to the reader),
+IVF index generation stamping (a rebuild crash between the assigned
+and centers swaps must fail loudly at load, not silently collapse
+recall), minhash_lsh_join's optional exact-Jaccard rescoring, and the
+per-group weighted-sampling variant.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators import dedup, sampling, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- IVF generation manifest (r10 ADVICE #2) ---------------------------
+
+
+def _tiny_index(spark, tmp_path, name="ivf"):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(32)
+    path = str(tmp_path / name)
+    similarity.save_ivf_index(
+        similarity.build_ivf_index(emb, num_centroids=4, cache=False),
+        path,
+    )
+    return emb, path
+
+
+def test_ivf_generation_matched_pair_loads(spark, tmp_path):
+    """save_ivf_index stamps both parts with one generation; load
+    verifies and succeeds. rebuild_ivf_index restamps — the reloaded
+    index still answers searches."""
+    from sales_data_warehouse_spark.sources.compaction import fs_read_text
+
+    emb, path = _tiny_index(spark, tmp_path)
+    gen_a = fs_read_text(spark, f"{path}/assigned/_generation")
+    gen_c = fs_read_text(spark, f"{path}/centers/_generation")
+    assert gen_a is not None and gen_a == gen_c
+
+    idx = similarity.load_ivf_index(spark, path)
+    assert similarity.ivf_search(idx, emb.limit(2), k=3, nprobe=4).count() == 6
+
+    rebuilt = similarity.rebuild_ivf_index(spark, path, num_centroids=4)
+    gen_a2 = fs_read_text(spark, f"{path}/assigned/_generation")
+    gen_c2 = fs_read_text(spark, f"{path}/centers/_generation")
+    assert gen_a2 == gen_c2 and gen_a2 != gen_a  # fresh generation
+    assert (
+        similarity.ivf_search(rebuilt, emb.limit(2), k=3, nprobe=4).count()
+        == 6
+    )
+
+
+def test_ivf_generation_mismatch_fails_loudly(spark, tmp_path):
+    """The crash signature the manifest exists for: assigned swapped to
+    the new generation, centers still the old one. load_ivf_index must
+    refuse — a mixed index loads structurally fine but probes cells
+    against the wrong centroids (silent recall collapse)."""
+    from sales_data_warehouse_spark.sources.compaction import fs_write_text
+
+    _, path = _tiny_index(spark, tmp_path)
+    fs_write_text(spark, f"{path}/assigned/_generation", "other-gen")
+    with pytest.raises(IOError, match="generation mismatch"):
+        similarity.load_ivf_index(spark, path)
+
+
+def test_ivf_generation_one_marker_missing_fails(spark, tmp_path):
+    """One stamped part plus one unstamped part is also a mixed pair
+    (e.g. new assigned swapped in over a pre-stamping index)."""
+    from sales_data_warehouse_spark.sources.compaction import fs_delete
+
+    _, path = _tiny_index(spark, tmp_path)
+    fs_delete(spark, f"{path}/centers/_generation")
+    with pytest.raises(IOError, match="generation mismatch"):
+        similarity.load_ivf_index(spark, path)
+
+
+def test_ivf_pre_generation_index_back_compat(spark, tmp_path):
+    """Indexes saved before generation stamping carry no markers at
+    all; load accepts them (both-absent is consistent)."""
+    from sales_data_warehouse_spark.sources.compaction import fs_delete
+
+    emb, path = _tiny_index(spark, tmp_path)
+    fs_delete(spark, f"{path}/assigned/_generation")
+    fs_delete(spark, f"{path}/centers/_generation")
+    idx = similarity.load_ivf_index(spark, path)
+    assert similarity.ivf_search(idx, emb.limit(2), k=3, nprobe=4).count() == 6
