@@ -403,6 +403,21 @@ def weighted_sample_topk(
     """
     if k < 1:
         raise ValueError(f"weighted_sample_topk: k ({k}) must be >= 1")
+    return (
+        _aes_keyed(docs, weight_col, id_col)
+        .orderBy(F.col("aes_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _aes_keyed(
+    docs: DataFrame, weight_col: str, id_col: str
+) -> DataFrame:
+    """Positive-weight rows with their A-ES selection key ``aes_key``
+    (= ln(u)/w, u from the Knuth id hash) — the ONE definition of the
+    key arithmetic, shared by the global and grouped samplers so their
+    selections cannot drift apart (a row wins a grouped sample exactly
+    when it would win the global algorithm run on its group alone)."""
     w = F.col(weight_col).cast("double")
     u = (
         F.pmod(
@@ -411,9 +426,59 @@ def weighted_sample_topk(
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
+    return docs.filter(w.isNotNull() & (w > 0)).withColumn(
+        "aes_key", F.log(u) / w
+    )
+
+
+def weighted_sample_topk_grouped(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: str | list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling WITHOUT replacement:
+    for each distinct value of ``group_cols``, keep the ``k`` rows
+    whose inclusion probability is proportional to their weight — the
+    curation ask :func:`weighted_sample_topk` cannot express and
+    :func:`stratified_sample` only approximates ("k docs per
+    language/source, longer/higher-quality ones proportionally more
+    often": stratified gives RATES per stratum, not a weighted exact-k
+    draw). Identical A-ES key arithmetic via the shared
+    :func:`_aes_keyed` projection, so the per-group result is exactly
+    the global algorithm applied to each group in isolation (the
+    property the test suite pins), with the same determinism contract:
+    no RNG state, reruns and the SQL oracle agree row for row, ties
+    break by smaller id.
+
+    Plan shape at 100 TB: one projection + ROW_NUMBER over
+    ``Window.partitionBy(group).orderBy(aes_key desc, id)`` ≤ k — one
+    shuffle keyed on the group columns, rank truncation inside each
+    partition (the QUALIFY shape). Unlike the global sampler there is
+    no TakeOrderedAndProject shortcut: top-k PER KEY is a window, and
+    Spark's WindowGroupLimit pushes the rank filter below the sort at
+    the physical level so each partition keeps only k rows per group
+    pre-truncated. Group-size skew is the hazard to watch — a single
+    giant group serializes its own sort; salt upstream only if a group
+    exceeds executor memory. Returns the winning rows with their
+    ``aes_key`` (auditability; drop it downstream — and keep it out of
+    hashed comparisons, transcendental last-ulp repr differences are
+    spurious mismatches).
+    """
+    if k < 1:
+        raise ValueError(
+            f"weighted_sample_topk_grouped: k ({k}) must be >= 1"
+        )
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not groups:
+        raise ValueError("weighted_sample_topk_grouped: group_cols is empty")
+    win = Window.partitionBy(*groups).orderBy(
+        F.col("aes_key").desc(), F.col(id_col).asc()
+    )
     return (
-        docs.filter(w.isNotNull() & (w > 0))
-        .withColumn("aes_key", F.log(u) / w)
-        .orderBy(F.col("aes_key").desc(), F.col(id_col).asc())
-        .limit(k)
+        _aes_keyed(docs, weight_col, id_col)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

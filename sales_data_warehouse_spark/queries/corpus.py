@@ -6758,6 +6758,51 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_sample_grouped",
+    r"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY
+                 LN((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761
+                     % 4294967296 + 0.5) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) DESC,
+                 doc_id ASC
+             ) AS rn
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    WHERE rn <= 10
+    """,
+)
+def weighted_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group deterministic weighted sampling (round 11, corpus
+    entry #161): ``sampling.weighted_sample_topk_grouped`` — 10
+    documents PER LANGUAGE drawn with probability proportional to
+    ``n_chars``, the "k docs per stratum, weighted" curation ask that
+    the global sampler (#158) cannot express and
+    ``stratified_sample``'s rates only approximate. Same A-ES key
+    arithmetic as #158 via the shared ``_aes_keyed`` projection; the
+    plan is one group-keyed shuffle + ROW_NUMBER truncation (the
+    QUALIFY shape) instead of the global TakeOrderedAndProject.
+
+    The oracle replays the exact per-group selection with the
+    identical ROW_NUMBER-over-key window; as with #158 the hash is
+    pure BIGINT arithmetic mirrored verbatim, both engines compute the
+    same IEEE-double ``ln``, exact ties break by doc_id, and
+    ``aes_key`` stays OUT of the output (transcendental last-ulp repr
+    differences would hash-mismatch even when the selection agrees)."""
+    out = sampling.weighted_sample_topk_grouped(
+        load_table(spark, sf, "documents"), "n_chars", 10, "lang"
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------

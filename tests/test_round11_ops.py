@@ -9,6 +9,8 @@ per-group weighted-sampling variant.
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from sales_data_warehouse_spark.operators import dedup, sampling, similarity
@@ -153,6 +155,98 @@ def test_minhash_join_exact_precision_and_recall(spark):
     assert len(exact & truth) / n_truth >= len(est & truth) / n_truth
     est_precision = len(est & truth) / max(len(est), 1)
     assert 1.0 >= est_precision  # exact mode's 1.0 can only be >= this
+
+
+# --- weighted_sample_topk_grouped (r10 VERDICT next-round #7) ----------
+
+
+_grouped_weights = st.lists(
+    st.tuples(
+        st.integers(-2_000_005, 2_000_005),
+        st.floats(
+            min_value=0.01, max_value=1000.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.sampled_from(["en", "de", "fr"]),
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(rows=[(7, 1.0, "en"), (7 + 1_000_003, 1.0, "en"), (3, 2.0, "de")])
+@given(rows=_grouped_weights)
+def test_weighted_sample_grouped_equals_global_per_group(spark, rows):
+    """Property: the grouped sampler's per-group winners are EXACTLY
+    the global algorithm applied to each group in isolation — the
+    shared _aes_keyed projection makes any drift a bug, this test
+    makes it a red test."""
+    docs = spark.createDataFrame(rows, "doc_id long, w double, lang string")
+    k = max(1, len(rows) // 3)
+    got = {}
+    for r in sampling.weighted_sample_topk_grouped(
+        docs, "w", k, "lang"
+    ).collect():
+        got.setdefault(r.lang, set()).add(r.doc_id)
+    want = {}
+    for g in {t[2] for t in rows}:
+        sub = docs.filter(F.col("lang") == g)
+        ids = {
+            r.doc_id
+            for r in sampling.weighted_sample_topk(sub, "w", k).collect()
+        }
+        if ids:
+            want[g] = ids
+    assert got == want
+
+
+def test_weighted_sample_grouped_guards_and_exact_k(spark):
+    """NULL/zero/negative weights drop; every group returns min(k,
+    group size) rows; k < 1 and empty group_cols raise; reruns are
+    identical (no RNG state)."""
+    rows = [
+        (1, 10.0, "en"), (2, None, "en"), (3, 0.0, "en"), (4, 2.0, "en"),
+        (5, 1.0, "en"), (6, -3.0, "de"), (7, 5.0, "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, w double, lang string")
+    got = sampling.weighted_sample_topk_grouped(docs, "w", 2, "lang")
+    by_group = {}
+    for r in got.collect():
+        by_group.setdefault(r.lang, set()).add(r.doc_id)
+    assert set(by_group["en"]) <= {1, 4, 5} and len(by_group["en"]) == 2
+    assert by_group["de"] == {7}  # the only positive-weight de row
+    rerun = {
+        (r.lang, r.doc_id)
+        for r in sampling.weighted_sample_topk_grouped(
+            docs, "w", 2, "lang"
+        ).collect()
+    }
+    assert rerun == {(g, d) for g, ids in by_group.items() for d in ids}
+    with pytest.raises(ValueError, match="k"):
+        sampling.weighted_sample_topk_grouped(docs, "w", 0, "lang")
+    with pytest.raises(ValueError, match="group_cols"):
+        sampling.weighted_sample_topk_grouped(docs, "w", 2, [])
+
+
+def test_weighted_sample_grouped_window_limit_plan(spark):
+    """The physical plan must carry the WindowGroupLimit pushdown (each
+    partition pre-truncates to k rows per group before the final rank)
+    — the property that keeps the per-group sampler shuffle-bounded at
+    100 TB."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        sampling.weighted_sample_topk_grouped(docs, "n_chars", 10, "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:2000]
 
 
 def test_ivf_pre_generation_index_back_compat(spark, tmp_path):
