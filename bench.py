@@ -135,6 +135,11 @@ EXTRA_SCALING = [
     # #158) — one projection + TakeOrderedAndProject, so the row should
     # scale with the scan (map-side partial top-k, never a full sort).
     "weighted_sample",
+    # round-11: the per-group variant (corpus entry #161) — one
+    # group-keyed shuffle + ROW_NUMBER <= k with the WindowGroupLimit
+    # pushdown (each partition pre-truncates to k rows per group), so
+    # the row should scale with the scan plus one bounded shuffle.
+    "weighted_sample_grouped",
     # round-9: the blocking-selectivity diagnostic (corpus entry #153).
     # Its docstring claims "same cost class as a count, safe on the
     # full corpus" — this row is that claim measured (shingle explode
@@ -407,6 +412,24 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
         )
 
     extra_builders["op_minhash_join"] = _op_minhash_join
+
+    # r11: the same join with verify='exact' — measures what the
+    # continuous-precision dial costs: the extra candidate-pairs x
+    # shingle-sets join (linear in candidate shingle volume, never
+    # |L| x |R|). In exact mode the candidate pass ships ids only, so
+    # part of the extra join cost is bought back from the narrower
+    # bucket shuffle.
+    def _op_minhash_join_exact(d):
+        from sales_data_warehouse_spark.operators import dedup as _dd
+        from pyspark.sql import functions as _F
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        par = _F.expr("cast(substring(source, 4) as int) % 2")
+        return _dd.minhash_lsh_join(
+            docs.filter(par == 0), docs.filter(par == 1), verify="exact"
+        )
+
+    extra_builders["op_minhash_join_exact"] = _op_minhash_join_exact
     # values are floats except the optional string scaling_note
     extras: dict[str, dict] = {}
     for name, make in extra_builders.items():
