@@ -6803,6 +6803,95 @@ def weighted_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_join_minhash_exact",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(SUBSTRING(source, 4) AS INT) % 2 AS par,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, par, LEN(shingles) AS n_shingles,
+             UNNEST(shingles) AS shingle
+      FROM sh
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM exploded a JOIN exploded b USING (shingle)
+      WHERE a.par = 0 AND b.par = 1
+      GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+      HAVING ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / (a.n_shingles + b.n_shingles - COUNT(*)), 6) >= 0.3
+    )
+    SELECT COUNT(*) AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_ok
+    FROM truth
+    """,
+)
+def fuzzy_join_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-verified cross-corpus MinHash join (round 11, corpus entry
+    #162): ``dedup.minhash_lsh_join(verify='exact')`` across the same
+    even/odd-source split as #159 — the continuous-precision dial the
+    r10 VERDICT asked for, under a STRICTER gate than the estimate
+    entry can hold: because exact mode's filter IS the truth criterion
+    (exact n-gram Jaccard >= 0.3 over the same shingle definition),
+    the precision floor is 1.0 — a single false positive is a red
+    driver row, not a tolerance miss. Recall keeps the 0.9 floor (it
+    is bounded by LSH banding, which exact rescoring cannot lower).
+
+    Property oracle (banding candidates are engine-specific, same
+    contract as #159): n_true_pairs pins the truth side in SQL; the
+    Spark truth side is the same relational shingle-intersection
+    arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    left = docs.filter(par == 0)
+    right = docs.filter(par == 1)
+
+    def side_shingles(df, out_id):
+        sh = dedup.exploded_shingles(df, "text", "doc_id", 3)
+        sh = sh.dropDuplicates(["doc", "shingle"])
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        return sh.join(sizes, "doc").select(
+            F.col("doc").alias(out_id),
+            F.col("n_sh").alias(f"n_{out_id}"),
+            "shingle",
+        )
+
+    a = side_shingles(left, "doc_a")
+    b = side_shingles(right, "doc_b")
+    truth = (
+        a.join(b, "shingle")
+        .groupBy("doc_a", "doc_b", "n_doc_a", "n_doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_doc_a") + F.col("n_doc_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jac") >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    cand = dedup.minhash_lsh_join(left, right, verify="exact").select(
+        F.col("left_id").alias("doc_a"),
+        F.col("right_id").alias("doc_b"),
+    )
+    return _pair_recall_stats(
+        truth, cand, {"recall": 0.9, "precision": 1.0}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6855,14 +6944,17 @@ def weighted_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #
 # r12 composer note: round 11 additionally REGISTERS entry #161
 # (weighted_sample_grouped, the per-group k-docs-per-stratum variant
-# of sampling.weighted_sample_topk via weighted_sample_topk_grouped),
-# after position 50, local dual-sf parity green this round. r12
-# candidates are therefore the ten r8-stale entries slipped above +
-# #161 (never-rowed) + the 50 r9-rowed entries = 61 for 50 slots ->
-# ELEVEN slips from the r9 cohort (N-150 = 11 at N=161), designated
-# per policy (proven-stable, >= 3 consecutive greens — i.e. the
-# r3/r6/r9-rowed subcohort; code untouched since the last row;
-# truth-set twins and redundantly-pinned entries first):
+# of sampling.weighted_sample_topk via weighted_sample_topk_grouped)
+# and entry #162 (fuzzy_join_minhash_exact, the verify='exact'
+# continuous-precision dial of dedup.minhash_lsh_join under a
+# precision-floor-1.0 gate), both after position 50, local dual-sf
+# parity green this round. r12 candidates are therefore the ten
+# r8-stale entries slipped above + #161/#162 (never-rowed) + the 50
+# r9-rowed entries = 62 for 50 slots -> TWELVE slips from the r9
+# cohort (N-150 = 12 at N=162), designated per policy (proven-stable,
+# >= 3 consecutive greens — i.e. the r3/r6/r9-rowed subcohort; code
+# untouched since the last row; truth-set twins and redundantly-
+# pinned entries first):
 #   1. set_except_all (greens r3/r6/r9; its EXCEPT twin set_except is
 #      rowed in r12 by construction — twin-keeps-cadence);
 #   2. set_intersect_all (greens r3/r6/r9; twin set_intersect rowed
@@ -6884,7 +6976,10 @@ def weighted_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #  10. doc_fingerprint (greens r3/r6/r9; rolling-hash kernel family
 #      shared with doc_winnowing, which stays in window);
 #  11. token_counting (greens r3/r6/r9; token_frequencies and the BPE
-#      entries stay in window over the same tokenizer surface).
+#      entries stay in window over the same tokenizer surface);
+#  12. doc_chunking (greens r3/r6/r9; chunking.py untouched since
+#      creation, and it is a HEADLINE bench member timed every round —
+#      the dedup_exact r10-slip rationale).
 # dedup_edit_distance (single r9 row), asof_join_nearest,
 # dedup_canonical_text, dedup_containment_capped (two rows each) are
 # NOT slip-eligible and stay in the r12 window. If any designated
@@ -6895,7 +6990,7 @@ def weighted_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # Staleness after this round: nothing older than r8 except nothing —
 # the six r7-stale entries are rowed this round; the ten designated
 # slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
-# entries except #161 (registered this round, first in line for
+# entries except #161/#162 (registered this round, first in line for
 # r12); every entry whose code changed since its last row has a row
 # postdating the change (jsonl_roundtrip, fuzzy_join_minhash, and
 # weighted_sample — the three r11-touched surfaces — are all in this
@@ -6910,7 +7005,7 @@ def weighted_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #     set is (last cycle's slips, which may not slip again) + (new
 #     never-rowed registrations) + (the oldest full 50-entry cohort);
 #     that is 50 + (N - 150) candidates for 50 slots. (r10: N=156 ->
-#     6 slips; r11: N=160 -> 10; r12: N=161 -> 11.)
+#     6 slips; r11: N=160 -> 10; r12: N=162 -> 12.)
 #   * MAX STALENESS = ceil(N/50) rounds (= 4 at 151-200): the window
 #     is composed GREEDY MOST-STALE-FIRST (ties by registration
 #     order), a slipped entry leads the next window by construction,

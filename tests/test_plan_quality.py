@@ -34,6 +34,7 @@ CARTESIAN_OK = {
     # same _pair_recall_stats 1x1 precision crossJoin as
     # dedup_minhash_lsh — the corpus-sized work is the bucket join
     "fuzzy_join_minhash",
+    "fuzzy_join_minhash_exact",
     "dedup_simhash",
     "date_spine",
     "time_hierarchy",
