@@ -431,6 +431,50 @@ def _aes_keyed(
     )
 
 
+def weighted_sample_incremental(
+    new_batch: DataFrame,
+    reservoir: DataFrame | None,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-over-batch weighted reservoir: fold a new batch into a
+    running k-row A-ES sample — the streaming-ingest shape of
+    :func:`weighted_sample_topk` (shards landing continuously, "keep a
+    weighted 1M-doc annotation sample of everything seen so far"
+    without ever rescanning prior batches).
+
+    Correct by the A-ES merge property: the selection key ``ln(u)/w``
+    is a pure function of (id, weight) — no RNG state — and top-k by
+    key is associative, so ``topk(topk(B1) ∪ B2) = topk(B1 ∪ B2)``
+    exactly. The returned reservoir equals :func:`weighted_sample_topk`
+    run over the union of every batch so far (the invariant the test
+    suite pins), provided rows carry the same (id, weight) whenever
+    they reappear.
+
+    ``reservoir`` is the previous call's return value (≤ k rows, with
+    their ``aes_key``) or None for the first batch. Per batch the work
+    is O(batch) keying plus a top-k over (k + batch) rows —
+    TakeOrderedAndProject again, never a rescan of prior data. The
+    reservoir is at most k rows: persist it parquet-side between runs
+    (or ``localCheckpoint`` inside a loop — iterative state is the one
+    place lineage truncation is the point; see ``operators/caching``),
+    or the plan chains across batches. ``new_batch`` must carry the
+    reservoir's document columns (same schema batch over batch).
+    """
+    if k < 1:
+        raise ValueError(
+            f"weighted_sample_incremental: k ({k}) must be >= 1"
+        )
+    keyed = _aes_keyed(new_batch, weight_col, id_col)
+    merged = (
+        keyed if reservoir is None else reservoir.unionByName(keyed)
+    )
+    return merged.orderBy(
+        F.col("aes_key").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def weighted_sample_topk_grouped(
     docs: DataFrame,
     weight_col: str,

@@ -18,6 +18,66 @@ from sales_data_warehouse_spark.operators import dedup, sampling, similarity
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# --- weighted_sample_incremental (A-ES merge property) -----------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(rows=[(7, 1.0), (7 + 1_000_003, 1.0), (3, 2.0), (9, 0.5)])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-2_000_005, 2_000_005),
+            st.floats(
+                min_value=0.01, max_value=1000.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_incremental_equals_global(spark, rows):
+    """Property: folding batches through the incremental reservoir
+    yields EXACTLY weighted_sample_topk over the concatenation — the
+    A-ES key is a pure function of (id, weight) and top-k is
+    associative, so batching must be invisible."""
+    k = max(1, len(rows) // 2)
+    cut = len(rows) // 2
+    schema = "doc_id long, w double"
+    b1 = spark.createDataFrame(rows[:cut] or rows[:1], schema)
+    b2 = spark.createDataFrame(rows[cut:] or rows[-1:], schema)
+    r = sampling.weighted_sample_incremental(b1, None, "w", k)
+    r = sampling.weighted_sample_incremental(b2, r, "w", k)
+    got = sorted(x.doc_id for x in r.collect())
+    want = sorted(
+        x.doc_id
+        for x in sampling.weighted_sample_topk(
+            spark.createDataFrame(rows, schema), "w", k
+        ).collect()
+    )
+    assert got == want
+
+
+def test_weighted_sample_incremental_guards(spark):
+    """First-batch None path works; k < 1 raises; reservoir never
+    exceeds k rows; NULL/non-positive weights drop."""
+    b = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, -1.0), (4, 5.0), (5, 1.0)],
+        "doc_id long, w double",
+    )
+    r = sampling.weighted_sample_incremental(b, None, "w", 2)
+    rows = r.collect()
+    assert len(rows) == 2
+    assert {x.doc_id for x in rows} <= {1, 4, 5}
+    with pytest.raises(ValueError, match="k"):
+        sampling.weighted_sample_incremental(b, None, "w", 0)
+
+
 # --- IVF generation manifest (r10 ADVICE #2) ---------------------------
 
 
