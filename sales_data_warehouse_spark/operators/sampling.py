@@ -461,6 +461,17 @@ def weighted_sample_incremental(
     place lineage truncation is the point; see ``operators/caching``),
     or the plan chains across batches. ``new_batch`` must carry the
     reservoir's document columns (same schema batch over batch).
+
+    REPLAY-IDEMPOTENT by id: re-presenting a row already in the
+    reservoir is a no-op. Rows are deduped per id keeping the
+    highest-key copy (deterministic: same id → same u, so only a
+    weight change can alter the key) — without this, a re-delivered
+    micro-batch would union a reservoir member with itself and the
+    duplicate could displace the legitimate k-th row. Consequence for
+    duplicate ids WITHIN one logical corpus: id is treated as
+    identity (one slot per id), which is what a document reservoir
+    wants; the global twin run over a concatenation that repeats ids
+    would count copies instead.
     """
     if k < 1:
         raise ValueError(
@@ -470,7 +481,13 @@ def weighted_sample_incremental(
     merged = (
         keyed if reservoir is None else reservoir.unionByName(keyed)
     )
-    return merged.orderBy(
+    per_id = Window.partitionBy(id_col).orderBy(F.col("aes_key").desc())
+    deduped = (
+        merged.withColumn("_rid", F.row_number().over(per_id))
+        .filter(F.col("_rid") == 1)
+        .drop("_rid")
+    )
+    return deduped.orderBy(
         F.col("aes_key").desc(), F.col(id_col).asc()
     ).limit(k)
 

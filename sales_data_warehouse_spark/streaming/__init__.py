@@ -17,6 +17,9 @@ warehouse at 100 TB/day ingest actually needs:
 * ``embeddings`` — drop-dir embedding stream → persisted-IVF append
   with the cell-size drift monitor in the micro-batch loop (the
   rebuild signal fires where the appends happen).
+* ``sampling`` — drop-dir document stream → persisted ≤k-row weighted
+  A-ES reservoir (fold per micro-batch, replay-idempotent by id,
+  corpus never rescanned).
 
 Every transformation here also runs unchanged on a *batch* DataFrame of
 the same schema — the corpus' oracle checks exploit that (Spark's
@@ -52,6 +55,10 @@ from sales_data_warehouse_spark.streaming.embeddings import (
     read_embeddings_stream,
     start_streaming_ivf_append,
 )
+from sales_data_warehouse_spark.streaming.sampling import (
+    reservoir_fold_batch,
+    start_streaming_weighted_sample,
+)
 from sales_data_warehouse_spark.streaming.stateful import (
     running_user_totals,
 )
@@ -78,4 +85,6 @@ __all__ = [
     "read_embeddings_stream",
     "ivf_append_batch",
     "start_streaming_ivf_append",
+    "reservoir_fold_batch",
+    "start_streaming_weighted_sample",
 ]

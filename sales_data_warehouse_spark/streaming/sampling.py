@@ -1,0 +1,135 @@
+"""Streaming weighted reservoir: documents drop-dir → a persisted
+≤k-row A-ES sample of everything seen so far (SURVEY §2.9 extension;
+the streaming twin of ``operators.sampling.weighted_sample_topk`` via
+``weighted_sample_incremental`` — "keep a weighted 1M-doc annotation
+sample of the whole corpus as shards land", without ever rescanning
+prior batches).
+
+Replay semantics are BELT AND SUSPENDERS here: the fold itself is
+replay-idempotent (``weighted_sample_incremental`` dedups per id
+keeping the highest-key copy, so re-folding an already-absorbed batch
+is a no-op by construction), and a per-batch marker directory —
+namespaced by a digest of the checkpoint location, same rationale as
+``streaming.embeddings`` — additionally skips the recompute and the
+reservoir rewrite on a re-delivered batch. Unlike the IVF append sink
+there is no unguarded crash window at all: a crash between the
+reservoir swap and the marker write merely re-folds a batch whose rows
+are already in the reservoir, which changes nothing.
+
+The reservoir state is written with ``staged_overwrite`` (staging dir +
+two renames) because the fold READS the current reservoir while
+REPLACING the same location — the ``rebuild_ivf_index`` hazard; a plain
+``mode('overwrite')`` would delete the only durable copy before the new
+write commits.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sales_data_warehouse_spark.operators.sampling import (
+    weighted_sample_incremental,
+)
+from sales_data_warehouse_spark.sources.compaction import (
+    fs_exists,
+    staged_overwrite,
+)
+
+from .documents import read_documents_stream
+
+
+def reservoir_fold_batch(
+    spark: SparkSession,
+    reservoir_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    marker_namespace: str | None = None,
+) -> int:
+    """Fold one micro-batch into the persisted reservoir and return its
+    post-fold row count (≤ k; the count is one scan of a ≤k-row table).
+    Plain function (the ``foreachBatch`` sink calls it) so replay
+    semantics are directly testable without driving a stream: a batch
+    whose marker exists already folded — skip both the recompute and
+    the rewrite.
+
+    State layout: ``{reservoir_path}/rows`` holds the ≤k-row sample
+    (document columns + ``aes_key``); ``{reservoir_path}/
+    _ingest_batches/<namespace>/batch_id=N`` are the replay markers
+    (``marker_namespace`` scopes them because batch_id is unique only
+    within one checkpoint lineage — see ``streaming.embeddings``)."""
+    ns = f"{marker_namespace}/" if marker_namespace else ""
+    marker = f"{reservoir_path}/_ingest_batches/{ns}batch_id={batch_id}"
+    rows_path = f"{reservoir_path}/rows"
+    if not fs_exists(spark, marker):
+        prev = (
+            spark.read.parquet(rows_path)
+            if fs_exists(spark, rows_path)
+            else None
+        )
+        folded = weighted_sample_incremental(
+            batch_df, prev, weight_col, k, id_col
+        )
+        staged_overwrite(spark, folded, rows_path)
+        # marker AFTER the swap: a crash before it re-folds an
+        # already-absorbed batch on replay, which the id-idempotent
+        # fold turns into a no-op (module docstring)
+        spark.createDataFrame(
+            [(batch_id,)], "batch_id long"
+        ).write.mode("overwrite").parquet(marker)
+    return spark.read.parquet(rows_path).count()
+
+
+def start_streaming_weighted_sample(
+    spark: SparkSession,
+    drop_dir: str,
+    reservoir_path: str,
+    weight_col: str = "n_chars",
+    k: int = 1000,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 1,
+    on_fold: Callable[[int, int], None] | None = None,
+):
+    """Continuous drop-dir → weighted reservoir: every micro-batch of
+    documents folds into the persisted ≤k-row sample (replay-guarded
+    twice over — module docstring), and ``on_fold(batch_id, n_rows)``
+    reports the post-fold size for metrics/logs. Returns the
+    StreamingQuery; read the sample any time with
+    ``spark.read.parquet(f"{reservoir_path}/rows")`` (drop ``aes_key``
+    downstream).
+
+    Scale: per micro-batch the work is O(batch) keying + a top-k over
+    (k + batch) rows + a ≤k-row state rewrite — constant in corpus
+    size, which is the whole point; the corpus is never rescanned."""
+    checkpoint = checkpoint_dir or f"{reservoir_path}/_fold_checkpoint"
+    import hashlib
+
+    namespace = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n = reservoir_fold_batch(
+            spark,
+            reservoir_path,
+            batch_df,
+            batch_id,
+            weight_col,
+            k,
+            id_col,
+            marker_namespace=namespace,
+        )
+        if on_fold is not None:
+            on_fold(batch_id, n)
+
+    stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

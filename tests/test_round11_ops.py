@@ -78,6 +78,83 @@ def test_weighted_sample_incremental_guards(spark):
         sampling.weighted_sample_incremental(b, None, "w", 0)
 
 
+# --- streaming weighted reservoir --------------------------------------
+
+
+def test_reservoir_fold_batch_replay_semantics(spark, tmp_path):
+    """The plain fold function: marker skips a re-delivered batch; even
+    WITHOUT the marker a re-fold is a no-op (id-idempotent merge), so
+    the crash window between swap and marker changes nothing."""
+    from sales_data_warehouse_spark.sources.compaction import fs_delete
+    from sales_data_warehouse_spark.streaming import reservoir_fold_batch
+
+    res = str(tmp_path / "res")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    n0 = reservoir_fold_batch(spark, res, b0, 0, "n_chars", 25)
+    assert n0 == 25
+    n1 = reservoir_fold_batch(spark, res, b1, 1, "n_chars", 25)
+    assert n1 == 25
+    after = {
+        r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()
+    }
+    # marker-guarded replay: same batch id, nothing recomputed
+    reservoir_fold_batch(spark, res, b0, 0, "n_chars", 25)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()
+    } == after
+    # crash-window replay: marker gone, fold actually re-runs — the
+    # id-idempotent merge must leave the reservoir unchanged
+    fs_delete(spark, f"{res}/_ingest_batches/batch_id=0")
+    reservoir_fold_batch(spark, res, b0, 0, "n_chars", 25)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()
+    } == after
+    # and the final reservoir equals the global sampler over the union
+    want = {
+        r.doc_id
+        for r in sampling.weighted_sample_topk(docs, "n_chars", 25).collect()
+    }
+    assert after == want
+
+
+def test_streaming_weighted_sample_drain(spark, tmp_path):
+    """availableNow drain over a multi-shard drop dir: the persisted
+    reservoir equals weighted_sample_topk over the whole corpus, and
+    fold sizes were reported per batch."""
+    from sales_data_warehouse_spark.streaming import (
+        start_streaming_weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    drop = str(tmp_path / "drop")
+    docs.repartition(3).write.parquet(drop)
+    res = str(tmp_path / "res")
+    folds = []
+    q = start_streaming_weighted_sample(
+        spark,
+        drop,
+        res,
+        weight_col="n_chars",
+        k=40,
+        available_now=True,
+        on_fold=lambda bid, n: folds.append((bid, n)),
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()}
+    want = {
+        r.doc_id
+        for r in sampling.weighted_sample_topk(docs, "n_chars", 40).collect()
+    }
+    assert got == want
+    assert folds and folds[-1][1] == 40
+
+
 # --- IVF generation manifest (r10 ADVICE #2) ---------------------------
 
 
