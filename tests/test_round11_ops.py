@@ -78,6 +78,30 @@ def test_weighted_sample_incremental_guards(spark):
         sampling.weighted_sample_incremental(b, None, "w", 0)
 
 
+def test_minhash_join_exact_plan_ships_ids_only(spark):
+    """Plan pin for the docstring's shuffle claim: in exact mode the
+    candidate pass must not carry the minhash signature arrays through
+    the (band, bucket) join — ids only (the signatures exist in the
+    estimate plan, which is the control here)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    par = F.expr("cast(substring(source, 4) as int) % 2")
+    L, R = docs.filter(par == 0), docs.filter(par == 1)
+    exact_plan = (
+        dedup.minhash_lsh_join(L, R, verify="exact")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    est_plan = (
+        dedup.minhash_lsh_join(L, R)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "sig_a" in est_plan  # control: the pin actually sees columns
+    assert "sig_a" not in exact_plan and "sig_b" not in exact_plan
+
+
 # --- streaming weighted reservoir --------------------------------------
 
 
