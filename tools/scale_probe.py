@@ -120,6 +120,27 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("doc_id") % 2 == 1),
         ),
+        # r11: the exact-verify dial — adds the candidate x shingle-set
+        # rescoring join on top of the probe above; the delta IS the
+        # price of continuous precision at this corpus size
+        "minhash_lsh_join_exact": lambda: dedup.minhash_lsh_join(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            verify="exact",
+        ),
+        # r11: the per-group sampler — one group-keyed shuffle +
+        # WindowGroupLimit rank truncation; should scale with the scan
+        # plus the bounded shuffle, far under any sort of the corpus
+        "weighted_sample_grouped": lambda: (
+            sampling.weighted_sample_topk_grouped(
+                docs.withColumn(
+                    "w", F.length("text").cast("double")
+                ),
+                "w",
+                1000,
+                "lang",
+            )
+        ),
     }
     out = {}
     for name, make in probes.items():
