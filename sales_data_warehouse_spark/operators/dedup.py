@@ -910,7 +910,9 @@ def minhash_lsh_join(
       continuous: every returned pair truly meets the threshold
       (false positives are impossible, and candidate pairs whose
       estimate dipped below threshold but whose true Jaccard clears
-      it are recovered — recall never drops vs the estimate). Costs
+      it are recovered — recall never drops vs the estimate; requires
+      ``threshold > 0``, since a zero-overlap bucket collision has no
+      exact score to rescore). Costs
       one extra join of the candidate pairs against each side's
       shingle table — linear in candidate-pair shingle volume, never
       |L| x |R|, because the LSH banding already bounded the
@@ -930,6 +932,17 @@ def minhash_lsh_join(
     if verify not in ("estimate", "exact"):
         raise ValueError(
             f"verify must be 'estimate' or 'exact', got {verify!r}"
+        )
+    if verify == "exact" and threshold <= 0:
+        # at threshold <= 0 the estimate mode returns EVERY banded
+        # candidate (est 0.0 passes), including bucket collisions with
+        # zero shared shingles — pairs that have no exact-Jaccard score
+        # (0/union) to rescore and would silently vanish through the
+        # intersection join, violating the recall guarantee below
+        raise ValueError(
+            "verify='exact' requires threshold > 0 (a zero-overlap "
+            "bucket collision cannot be rescored; use "
+            "verify='estimate' to enumerate raw candidates)"
         )
     keep_sigs = verify == "estimate"
     bl = banded_signatures(
@@ -958,12 +971,31 @@ def minhash_lsh_join(
         .dropDuplicates(["left_id", "right_id"])
     )
     if verify == "exact":
+        # The shingle work is bounded by the CANDIDATE docs, not the
+        # corpora: each side's exploded-shingle table is semi-joined to
+        # the candidate ids BEFORE dedup/cache/size-count, so the
+        # cached footprint and the size aggregation are O(candidate
+        # shingle volume) — on a large corpus with a selective LSH
+        # candidate set (the advertised regime), caching the full
+        # corpora's shingles would dominate memory and compute for
+        # rows no downstream join ever looks at (r11 review).
+        cand = _multi_consumer_cache(cand)
         lsh = _multi_consumer_cache(
             exploded_shingles(left, left_text, left_id, n)
+            .join(
+                cand.select(F.col("left_id").alias("doc")).distinct(),
+                "doc",
+                "left_semi",
+            )
             .dropDuplicates(["doc", "shingle"])
         )
         rsh = _multi_consumer_cache(
             exploded_shingles(right, right_text, right_id, n)
+            .join(
+                cand.select(F.col("right_id").alias("doc")).distinct(),
+                "doc",
+                "left_semi",
+            )
             .dropDuplicates(["doc", "shingle"])
         )
         lsz = lsh.groupBy("doc").agg(F.count(F.lit(1)).alias("size_a"))
@@ -989,15 +1021,14 @@ def minhash_lsh_join(
         jac = F.col("n_inter") / (
             F.col("size_a") + F.col("size_b") - F.col("n_inter")
         )
-        return _release_cache_with(
-            _release_cache_with(
-                scored.withColumn("jaccard", F.round(jac, 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("left_id", "right_id", "jaccard"),
-                lsh,
-            ),
-            rsh,
+        out = (
+            scored.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard")
         )
+        for cached in (lsh, rsh, cand):
+            out = _release_cache_with(out, cached)
+        return out
     est = (
         F.size(
             F.filter(

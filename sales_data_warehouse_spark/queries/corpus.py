@@ -6720,8 +6720,9 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     lossless and the three garbage lines routed out of the valid side
     (a leaked corrupt row fails the row-count, a mangled field fails
     the hash)."""
-    import hashlib
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from sales_data_warehouse_spark.sources.jsonl import (
@@ -6732,13 +6733,17 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # Fixed per-sf path with overwrite semantics: repeated parity /
-    # driver / bench invocations reuse one directory instead of leaking
-    # a corpus copy into /tmp per run. The export write is a setup side
-    # effect inside the query timing — noted on the bench scaling
-    # quarantine should this entry ever be timed at sf1.
-    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"sdw_jsonl_rt_{tag}")
+    # Private mkdtemp per invocation (isolation: a fixed shared path
+    # would let a concurrent run's overwrite delete the directory under
+    # this run's lazy scan, and a leftover dir owned by another user
+    # would fail the write outright), cleaned up at interpreter exit —
+    # after every lazy plan over it has been consumed — so repeated
+    # parity/driver/bench runs do not accumulate corpus copies in /tmp.
+    # The export write is a setup side effect inside the query timing —
+    # noted on the bench scaling quarantine should this entry ever be
+    # timed at sf1.
+    path = tempfile.mkdtemp(prefix="sdw_jsonl_rt_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     write_jsonl(docs, path)
     with open(os.path.join(path, "part-garbage.json"), "w") as fh:
         fh.write(

@@ -79,15 +79,44 @@ def fs_read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def recover_staged(spark: SparkSession, path: str) -> bool:
+    """Restore ``path`` after a :func:`staged_overwrite` that crashed
+    between its two renames (``path`` missing, ``path + '.stage_old'``
+    holding the pre-swap table). Returns True when a recovery rename
+    happened. CALL THIS BEFORE READING state that is maintained via
+    staged_overwrite: treating the missing directory as "no state yet"
+    silently resets the state to the current batch — the exact
+    data-loss mode the staging swap exists to prevent (r11 review:
+    the streaming weighted reservoir did precisely that)."""
+    old = path + ".stage_old"
+    if fs_exists(spark, path) or not fs_exists(spark, old):
+        return False
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(P(old), hpath):
+        raise IOError(
+            f"recover_staged: {path} is missing and {old} could not be "
+            "renamed back — manual recovery required"
+        )
+    return True
+
+
 def staged_overwrite(spark, df, path: str) -> None:
     """Overwrite ``path`` with ``df`` crash-safely: write to a staging
     dir, then swap via two renames. A plain ``mode('overwrite')``
     deletes the old data before the new job commits — a mid-write crash
     destroys the only durable copy. A crash here instead leaves either
     the old table intact (before the first rename) or both directories
-    present for recovery (``path + '.stage_old'``)."""
+    present for recovery (``path + '.stage_old'`` — readers of
+    staged-overwrite-maintained state should call :func:`recover_staged`
+    before treating a missing ``path`` as empty state)."""
     tmp = path + ".stage_tmp"
     old = path + ".stage_old"
+    # A prior mid-swap crash leaves `old` as the ONLY durable copy
+    # (path missing); the unconditional delete(old) below would destroy
+    # it. Restore first — the caller's df was built against whatever
+    # state it read, but the data must never be erased here.
+    recover_staged(spark, path)
     df.write.mode("overwrite").parquet(tmp)
     fs, _, jvm = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path

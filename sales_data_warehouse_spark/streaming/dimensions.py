@@ -42,6 +42,7 @@ from sales_data_warehouse_spark.operators.time_dimension import (
 )
 from sales_data_warehouse_spark.sources.compaction import (
     fs_exists,
+    recover_staged,
     staged_overwrite,
 )
 from sales_data_warehouse_spark.streaming.ingest import (
@@ -79,6 +80,11 @@ def merge_dimensions_batch(
     merged: dict[str, DataFrame] = {}
     for name, build, merge in _DIMS:
         path = f"{warehouse_dir}/{name}"
+        # a swap that crashed between staged_overwrite's renames leaves
+        # the dimension only at <path>.stage_old — restore before the
+        # existence check, or this batch silently rebuilds from scratch
+        # and discards the accumulated SCD2 history (r11 review)
+        recover_staged(spark, path)
         if fs_exists(spark, path):
             prior = spark.read.parquet(path)
             dim = merge(prior, cleansed_batch).localCheckpoint()

@@ -20,10 +20,12 @@ output with an empty directory.
 One shared caveat (inherited from ``staged_overwrite``, see its
 docstring): a crash INSIDE the two-rename swap window can leave the
 state path absent with the previous state preserved at
-``<path>.stage_old``. A restart in that state would rebuild from
-nothing — recover by renaming ``.stage_old`` back before restarting;
-the swap window is two metadata renames, orders of magnitude narrower
-than the batch compute either side of it.
+``<path>.stage_old``. Treating that as "no state yet" would rebuild
+from nothing — since round 11 every fold calls
+``compaction.recover_staged`` before reading its state, restoring the
+pre-swap table automatically (previously documented as a manual
+rename; the automation closes the same silent-reset mode the r11
+review flagged in the weighted-reservoir fold).
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ from sales_data_warehouse_spark.operators.dedup import (
 )
 from sales_data_warehouse_spark.sources.compaction import (
     fs_exists,
+    recover_staged,
     staged_overwrite,
 )
 
@@ -78,6 +81,9 @@ def dedup_documents_batch(
     admitted_path = f"{output_dir}/admitted/batch_id={batch_id}"
     state_path = f"{output_dir}/fingerprints"
 
+    # restore a mid-swap-crashed state swap before reading (module
+    # docstring) — a missing state dir must never read as "first batch"
+    recover_staged(spark, state_path)
     prior = (
         spark.read.parquet(state_path)
         if fs_exists(spark, state_path)
@@ -145,15 +151,16 @@ def near_dedup_documents_batch(
     rows, which the pre-write ``dropDuplicates`` on (doc, band) makes
     idempotent (bucket and signature are pure functions of the doc).
     No skip-detection needed for those. The module docstring's
-    ``staged_overwrite`` swap-window caveat still applies: a crash
-    inside the two-rename window needs the documented ``.stage_old``
-    manual recovery before restart.
+    ``staged_overwrite`` swap-window caveat is handled the same way as
+    the exact fold: ``recover_staged`` restores a mid-swap-crashed
+    state before it is read.
     """
     from sales_data_warehouse_spark.operators.dedup import (
         incremental_minhash_lsh,
     )
 
     state_path = f"{output_dir}/band_state"
+    recover_staged(spark, state_path)
     prior = (
         spark.read.parquet(state_path)
         if fs_exists(spark, state_path)

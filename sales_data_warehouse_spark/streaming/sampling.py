@@ -12,9 +12,14 @@ is a no-op by construction), and a per-batch marker directory —
 namespaced by a digest of the checkpoint location, same rationale as
 ``streaming.embeddings`` — additionally skips the recompute and the
 reservoir rewrite on a re-delivered batch. Unlike the IVF append sink
-there is no unguarded crash window at all: a crash between the
-reservoir swap and the marker write merely re-folds a batch whose rows
-are already in the reservoir, which changes nothing.
+there is no unguarded crash window: a crash between the reservoir swap
+and the marker write merely re-folds a batch whose rows are already in
+the reservoir (a no-op), and a crash INSIDE the swap — between
+``staged_overwrite``'s two renames, which leaves ``rows`` missing and
+``rows.stage_old`` holding the only durable copy — is restored by
+``recover_staged`` at the top of every fold before the state is read
+(treating that state as "first batch" would silently reset the
+reservoir; r11 review).
 
 The reservoir state is written with ``staged_overwrite`` (staging dir +
 two renames) because the fold READS the current reservoir while
@@ -34,6 +39,7 @@ from sales_data_warehouse_spark.operators.sampling import (
 )
 from sales_data_warehouse_spark.sources.compaction import (
     fs_exists,
+    recover_staged,
     staged_overwrite,
 )
 
@@ -65,6 +71,13 @@ def reservoir_fold_batch(
     ns = f"{marker_namespace}/" if marker_namespace else ""
     marker = f"{reservoir_path}/_ingest_batches/{ns}batch_id={batch_id}"
     rows_path = f"{reservoir_path}/rows"
+    # A fold that crashed between staged_overwrite's two renames leaves
+    # `rows` missing and `rows.stage_old` holding the pre-crash
+    # reservoir. Reading "missing" as "first batch" here would SILENTLY
+    # RESET the reservoir to the current batch (r11 review) — restore
+    # the pre-swap state first; the interrupted batch has no marker, so
+    # it re-folds idempotently on top of the restored rows.
+    recover_staged(spark, rows_path)
     if not fs_exists(spark, marker):
         prev = (
             spark.read.parquet(rows_path)

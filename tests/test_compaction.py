@@ -127,3 +127,33 @@ def test_staged_overwrite_happy_path(spark, tmp_path):
     assert spark.read.parquet(path).count() == 7
     assert not (tmp_path / "t2.stage_tmp").exists()
     assert not (tmp_path / "t2.stage_old").exists()
+
+
+def test_recover_staged_restores_mid_swap_crash(spark, tmp_path):
+    """recover_staged: path missing + .stage_old present (the
+    staged_overwrite mid-swap crash) -> renamed back; no-op when the
+    path is healthy; staged_overwrite itself recovers first rather
+    than deleting the only durable copy."""
+    import shutil
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+        staged_overwrite,
+    )
+
+    path = str(tmp_path / "state")
+    spark.range(0, 100).write.parquet(path)
+    assert recover_staged(spark, path) is False  # healthy: no-op
+
+    shutil.move(path, path + ".stage_old")  # simulate the crash window
+    assert recover_staged(spark, path) is True
+    assert spark.read.parquet(path).count() == 100
+
+    # writer-side: staged_overwrite onto a crashed state must restore
+    # (not delete) the .stage_old copy before its own swap
+    shutil.move(path, path + ".stage_old")
+    staged_overwrite(spark, spark.range(0, 7), path)
+    assert spark.read.parquet(path).count() == 7
+    import os
+
+    assert not os.path.exists(path + ".stage_old")

@@ -145,6 +145,45 @@ def test_reservoir_fold_batch_replay_semantics(spark, tmp_path):
     assert after == want
 
 
+def test_reservoir_fold_recovers_mid_swap_crash(spark, tmp_path):
+    """The r11-review finding: a crash between staged_overwrite's two
+    renames leaves rows missing and rows.stage_old holding the only
+    copy. The next fold must RESTORE it — treating the state as 'first
+    batch' would silently reset the reservoir to the current batch."""
+    import shutil
+
+    from sales_data_warehouse_spark.sources.compaction import fs_delete
+    from sales_data_warehouse_spark.streaming import reservoir_fold_batch
+
+    res = str(tmp_path / "res")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    reservoir_fold_batch(spark, res, b0, 0, "n_chars", 25)
+    before = {
+        r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()
+    }
+    # simulate the mid-swap crash during batch 1: rows renamed away,
+    # marker never written
+    shutil.move(f"{res}/rows", f"{res}/rows.stage_old")
+    n = reservoir_fold_batch(spark, res, b1, 1, "n_chars", 25)
+    assert n == 25
+    got = {r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()}
+    want = {
+        r.doc_id
+        for r in sampling.weighted_sample_topk(docs, "n_chars", 25).collect()
+    }
+    assert got == want  # batch-0 contribution survived the crash
+    assert got != {  # and it is NOT just a reset to batch 1
+        r.doc_id
+        for r in sampling.weighted_sample_topk(b1, "n_chars", 25).collect()
+    }
+    assert before  # sanity: batch 0 actually contributed rows
+    fs_delete(spark, res)
+
+
 def test_streaming_weighted_sample_drain(spark, tmp_path):
     """availableNow drain over a multi-shard drop dir: the persisted
     reservoir equals weighted_sample_topk over the whole corpus, and
@@ -270,6 +309,10 @@ def test_minhash_join_exact_fixture(spark):
     assert got == {(1, 10, 1.0)}
     with pytest.raises(ValueError, match="verify"):
         dedup.minhash_lsh_join(L, R, verify="bogus")
+    with pytest.raises(ValueError, match="threshold"):
+        # a zero-overlap bucket collision has no exact score — the
+        # recall-never-drops guarantee requires threshold > 0
+        dedup.minhash_lsh_join(L, R, threshold=0.0, verify="exact")
 
 
 def test_minhash_join_exact_precision_and_recall(spark):
