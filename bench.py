@@ -511,25 +511,27 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
     # so TRUE cross-parity near-dup pairs grow quadratically with
     # copies by construction (measured r11: 120 pairs at base ->
     # 12,000 at x10, exactly 100x for 10 copies). Exact mode pays its
-    # candidate x shingle-set join PER TRUE PAIR, so its ~2.5-2.9x
-    # time ratio is strongly SUBLINEAR in the real workload (100x the
-    # matched pairs); estimate mode's per-pair zip_with is cheaper per
-    # pair, hence its lower ratio on the same 100x pair growth.
+    # candidate x shingle-set join PER TRUE PAIR, so a time ratio well
+    # under 10 is strongly SUBLINEAR in the real workload (100x the
+    # matched pairs); the r11-review semi-join fix (shingle tables
+    # bounded by candidate ids) moved the measured ratio 2.5-2.9 ->
+    # 1.78 and the 1M-doc probe 31.7 -> 20.0 s on the same rows.
     if "op_minhash_join_exact" in extras:
         extras["op_minhash_join_exact"]["scaling_note"] = (
             "true near-dup pairs grow 100x at x10 by replica "
             "construction (120 -> 12,000 measured r11); the exact "
-            "rescoring join is per true pair, so ~2.5x time on 100x "
-            "pairs is sublinear in the matched workload"
+            "rescoring join is per true pair, so the measured ratio "
+            "(1.78 post candidate-semi-join fix, was 2.5-2.9) is "
+            "sublinear in the matched workload"
         )
     # r10 VERDICT watch item: dedup_edit_distance's ratio drifted 2.04
     # (r9) -> 2.17 (r10); the trigger for a tools/attrib_3x.py
-    # treatment was ~2.3. Three full r11 runs measured 2.11 / 2.09 /
-    # 2.22 — in-spread, no trend past the trigger; the watch stays.
+    # treatment was ~2.3. Four full r11 runs measured 2.11 / 2.09 /
+    # 2.22 / 1.99 — in-spread, no trend past the trigger; watch stays.
     if "dedup_edit_distance" in extras:
         extras["dedup_edit_distance"]["scaling_note"] = (
             "watched since r9: ratio 2.04 (r9) / 2.17 (r10) / "
-            "2.09-2.22 across three r11 runs — in-spread, below the "
+            "2.11-1.99 across four r11 runs — in-spread, below the "
             "2.3 attribution trigger"
         )
 
