@@ -140,6 +140,13 @@ EXTRA_SCALING = [
     # pushdown (each partition pre-truncates to k rows per group), so
     # the row should scale with the scan plus one bounded shuffle.
     "weighted_sample_grouped",
+    # round-11: DSIR importance resampling (corpus entry #164) — two
+    # token-explode scans + hash aggregates + the vocab-keyed score
+    # join + one doc-keyed aggregate + TakeOrderedAndProject, all
+    # linear in token volume (the corpus entry runs exact-vocabulary
+    # mode; the hashed production mode replaces the vocab shuffle with
+    # a broadcast of <= num_buckets score rows, strictly cheaper).
+    "importance_resample",
     # round-9: the blocking-selectivity diagnostic (corpus entry #153).
     # Its docstring claims "same cost class as a count, safe on the
     # full corpus" — this row is that claim measured (shingle explode

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sales_data_warehouse_spark.operators.text import TOKEN_SPLIT
+
 #: Knuth's 32-bit multiplicative-hash constant.
 HASH_A = 2654435761
 #: Ids are first reduced mod this prime so ``(id % P) * A`` stays far
@@ -419,16 +421,25 @@ def _aes_keyed(
     selections cannot drift apart (a row wins a grouped sample exactly
     when it would win the global algorithm run on its group alone)."""
     w = F.col(weight_col).cast("double")
-    u = (
+    return docs.filter(w.isNotNull() & (w > 0)).withColumn(
+        "aes_key", F.log(_knuth_u(id_col)) / w
+    )
+
+
+def _knuth_u(id_col: str) -> Column:
+    """Pseudo-uniform u in (0, 1) from an integer id — the
+    ``permille_hash`` arithmetic at full 2^32 grain, +0.5 so u is never
+    exactly 0 or 1. Pure BIGINT ops; every SQL oracle mirrors it
+    verbatim, so selections that key on u replay exactly cross-engine.
+    The ONE definition shared by the A-ES samplers and the DSIR
+    Gumbel resampler."""
+    return (
         F.pmod(
             F.pmod(F.col(id_col).cast("bigint"), HASH_P) * HASH_A,
             F.lit(4294967296),
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    return docs.filter(w.isNotNull() & (w > 0)).withColumn(
-        "aes_key", F.log(u) / w
-    )
 
 
 def weighted_sample_incremental(
@@ -543,3 +554,186 @@ def weighted_sample_topk_grouped(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _dsir_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None,
+    num_buckets: int | None,
+    bigrams: bool,
+) -> DataFrame:
+    """One row per feature OCCURRENCE (a bag, not a set): lowercased
+    whitespace unigrams, optionally plus word bigrams (the DSIR feature
+    space). With ``num_buckets`` the feature is hashed to a bucket id
+    (``pmod(xxhash64(feat), B)``) BEFORE any aggregation, so no stage
+    ever carries the raw vocabulary. Token arrays are materialized in
+    their own projection first — inside transform lambdas Catalyst does
+    not CSE the split, see ``text.shingles_from_tokens``'s PERF note."""
+    head = [F.col(id_col).alias("doc")] if id_col else []
+    base = df.select(
+        *head, F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("_w")
+    )
+    feats = F.col("_w")
+    if bigrams:
+        w = F.col("_w")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        )
+        feats = F.concat(
+            feats,
+            F.when(F.size(w) >= 2, grams).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    out = base.select(
+        *(["doc"] if id_col else []), F.explode(feats).alias("feat")
+    )
+    if num_buckets is not None:
+        out = out.withColumn(
+            "feat", F.pmod(F.xxhash64("feat"), F.lit(num_buckets))
+        )
+    return out
+
+
+def importance_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+    bigrams: bool = False,
+) -> DataFrame:
+    """DSIR importance weights (Xie, Santurkar, Ma & Liang, "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023, arXiv:2302.03169): score every document of the ``raw`` crawl
+    by how much more likely its bag of features is under the ``target``
+    corpus's unigram(/bigram) distribution than under the raw corpus's
+    own — the standard "make the crawl look like Wikipedia" selection
+    signal, the hashed-n-gram cousin of the KenLM-perplexity filter
+    that needs no model artifact.
+
+    Per feature f with Laplace smoothing over the union vocabulary V:
+    ``ln p_tgt(f)/p_raw(f) = ln((ct_f+1)/(cr_f+1)) + ln((Nr+V)/(Nt+V))``
+    and a document's log importance weight is the sum over its feature
+    occurrences. Both terms are quantized to integer MICRO-NATS
+    (``floor(1e6 * ln(...))`` — one transcendental on an exact rational
+    of two BIGINT counts, the ``unigram_surprisal`` determinism trick),
+    so per-doc sums are BIGINT arithmetic: deterministic under any
+    partitioning and replayed exactly by the SQL oracle. A quantization
+    step is 1e-6 nats — four orders below any difference the selection
+    could act on.
+
+    Returns ``(id_col, n_features, importance_micronats)`` for every
+    raw document whose text is non-NULL (n_features counts feature
+    OCCURRENCES: the token count in unigram mode, 2·tokens−1 with
+    bigrams — each occurrence contributes one normalizer term). Feed it to
+    :func:`importance_resample` (sampling ∝ weight — the paper's
+    estimator) or threshold it directly (top-quantile selection).
+
+    Scale design: exact mode (``num_buckets=None``) joins occurrences
+    to a vocabulary-sized score table — fine while the vocab fits a
+    shuffle. At 100 TB use ``num_buckets`` (DSIR's own regime, e.g.
+    B=10_000 hashed unigram+bigram): the score table is AT MOST B rows
+    and is broadcast, so the whole operator is two scans + map-side
+    hash aggregates + one broadcast join + one doc-keyed aggregate —
+    no vocabulary shuffle at all. ``bigrams=True`` widens features to
+    the paper's unigram+bigram bag (occurrences, not the distinct
+    shingles the MinHash family uses)."""
+    raw_occ = _dsir_features(raw, text_col, id_col, num_buckets, bigrams)
+    tgt_occ = _dsir_features(target, text_col, None, num_buckets, bigrams)
+    rf = raw_occ.groupBy("feat").agg(F.count(F.lit(1)).alias("cr"))
+    tf = tgt_occ.groupBy("feat").agg(F.count(F.lit(1)).alias("ct"))
+    joined = rf.join(tf, "feat", "full_outer")
+    totals = joined.agg(
+        F.sum(F.coalesce(F.col("cr"), F.lit(0))).alias("n_raw"),
+        F.sum(F.coalesce(F.col("ct"), F.lit(0))).alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    norm = totals.select(
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("n_raw") + F.col("v")).cast("double")
+                / (F.col("n_tgt") + F.col("v")).cast("double")
+            )
+        ).alias("s_norm")
+    )
+    scores = joined.filter(F.col("cr").isNotNull()).select(
+        "feat",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                    "double"
+                )
+                / (F.col("cr") + F.lit(1)).cast("double")
+            )
+        ).alias("s"),
+    )
+    if num_buckets is not None:
+        scores = F.broadcast(scores)
+    per_doc = raw_occ.join(scores, "feat").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("s").alias("_ssum"),
+    )
+    return per_doc.crossJoin(F.broadcast(norm)).select(
+        F.col("doc").alias(id_col),
+        F.col("n_features").cast("bigint").alias("n_features"),
+        (F.col("_ssum") + F.col("n_features") * F.col("s_norm"))
+        .cast("bigint")
+        .alias("importance_micronats"),
+    )
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+    bigrams: bool = False,
+) -> DataFrame:
+    """DSIR selection (arXiv:2302.03169 §2): draw ``k`` raw documents
+    WITHOUT replacement with probability proportional to their
+    importance weight ``p_tgt/p_raw`` — resampling, which the paper
+    shows beats top-k thresholding (heavy selection bias toward one
+    mode of the target). Weights live in log space as
+    :func:`importance_scores` micro-nats, so the Gumbel-top-k trick
+    replaces A-ES's ``ln(u)/w`` (whose w = exp(hundreds of nats) would
+    overflow): maximizing ``u^(1/w)`` is maximizing
+    ``ln w - ln(-ln u)``, the exponential-clock form that never leaves
+    double range. Same determinism contract as the A-ES family — u
+    from the shared Knuth id hash (:func:`_knuth_u`), no RNG state,
+    ties break by smaller id, the SQL oracle replays the exact
+    selection.
+
+    Plan shape: the scored frame + one projection + global top-k
+    (TakeOrderedAndProject — k rows per partition, no full sort), then
+    the ≤ k winners broadcast-join back to ``raw``, so the output
+    carries every raw column plus ``(n_features,
+    importance_micronats)``.
+    The Gumbel key itself stays OUT of the output: a last-ulp
+    transcendental repr difference would be a spurious hash mismatch
+    even when the selection agrees."""
+    if k < 1:
+        raise ValueError(f"importance_resample: k ({k}) must be >= 1")
+    scored = importance_scores(
+        raw, target, text_col, id_col, num_buckets, bigrams
+    )
+    key = F.col("importance_micronats").cast("double") / F.lit(
+        1e6
+    ) - F.log(-F.log(_knuth_u(id_col)))
+    winners = (
+        scored.withColumn("_gumbel", key)
+        .orderBy(F.col("_gumbel").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_features", "importance_micronats")
+    )
+    return raw.join(F.broadcast(winners), id_col)

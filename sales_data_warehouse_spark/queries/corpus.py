@@ -6897,6 +6897,119 @@ def fuzzy_join_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DSIR_SCORE_CTES = r"""
+    WITH rt AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tt AS (
+      SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+      FROM documents WHERE lang = 'en'
+    ),
+    rf AS (SELECT tok, COUNT(*) AS cr FROM rt GROUP BY tok),
+    tf AS (SELECT tok, COUNT(*) AS ct FROM tt GROUP BY tok),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM rt) AS n_raw,
+             (SELECT COUNT(*) FROM tt) AS n_tgt,
+             (SELECT COUNT(*)
+              FROM (SELECT tok FROM rf UNION SELECT tok FROM tf)) AS v
+    ),
+    norm AS (
+      SELECT CAST(FLOOR(1e6 * LN((n_raw + v) * 1.0 / (n_tgt + v)))
+                  AS BIGINT) AS s_norm
+      FROM tot
+    ),
+    sc AS (
+      SELECT rf.tok,
+             CAST(FLOOR(1e6 * LN((COALESCE(tf.ct, 0) + 1.0) / (rf.cr + 1.0)))
+                  AS BIGINT) AS s
+      FROM rf LEFT JOIN tf USING (tok)
+    )
+"""
+
+
+@query(
+    "importance_weights",
+    _DSIR_SCORE_CTES
+    + r"""
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(sc.s) + COUNT(*) * (SELECT s_norm FROM norm) AS BIGINT)
+             AS importance_micronats
+    FROM rt t JOIN sc USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (round 11, corpus entry #163):
+    ``sampling.importance_scores`` — every document of the corpus
+    scored by the smoothed log-likelihood ratio of its unigram bag
+    under the English-document distribution vs the whole corpus's own
+    (arXiv:2302.03169), the "make the crawl look like the target"
+    selection signal next to the perplexity-style ``unigram_surprisal``.
+
+    EXACT oracle: per-feature scores are integer micro-nats —
+    ``floor(1e6 * ln(rational of two BIGINT counts))``, one
+    transcendental per distinct feature on identical IEEE operands in
+    both engines (the ``unigram_surprisal`` determinism trick), so
+    per-doc sums are BIGINT arithmetic under any partitioning. The
+    hashed-bucket production mode (``num_buckets`` — score table
+    broadcast, no vocabulary shuffle) is pinned hashed≡exact by the
+    test suite, since xxhash64 bucketing is engine-specific."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.importance_scores(
+        docs, docs.filter(F.col("lang") == "en")
+    )
+
+
+@query(
+    "importance_resample",
+    _DSIR_SCORE_CTES
+    + r""",
+    imp AS (
+      SELECT t.doc_id,
+             SUM(sc.s) + COUNT(*) * (SELECT s_norm FROM norm) AS im
+      FROM rt t JOIN sc USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CAST(im AS DOUBLE) / 1e6
+               - LN(-LN((((d.doc_id % 1000003 + 1000003) % 1000003)
+                   * 2654435761 % 4294967296 + 0.5) / 4294967296.0)) AS gkey
+      FROM documents d JOIN imp USING (doc_id)
+    )
+    ORDER BY gkey DESC, doc_id
+    LIMIT 50
+    """,
+)
+def importance_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR selection (round 11, corpus entry #164):
+    ``sampling.importance_resample`` — 50 documents drawn without
+    replacement with probability proportional to their DSIR importance
+    weight (arXiv:2302.03169 §2: resampling, not top-k thresholding),
+    via Gumbel-top-k in the log domain — ``u^(1/w)`` maximized as
+    ``ln w - ln(-ln u)`` because w = exp(nats) would overflow the
+    A-ES power form the ``weighted_sample`` entry uses.
+
+    The oracle replays the EXACT selection: the integer micro-nat
+    weights are deterministic (#163's argument), the Knuth hash is
+    BIGINT arithmetic mirrored verbatim, and both engines compute the
+    same IEEE-double ``LN`` chain on identical operands — adjacent
+    Gumbel order statistics at these corpus sizes sit ~11 orders of
+    magnitude above a double ulp, and exact key ties break by doc_id
+    in both engines. The Gumbel key stays OUT of the output (the
+    transcendental-repr rule shared with #158/#161)."""
+    docs = load_table(spark, sf, "documents")
+    out = sampling.importance_resample(
+        docs, docs.filter(F.col("lang") == "en"), 50
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -6949,17 +7062,21 @@ def fuzzy_join_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
 #
 # r12 composer note: round 11 additionally REGISTERS entry #161
 # (weighted_sample_grouped, the per-group k-docs-per-stratum variant
-# of sampling.weighted_sample_topk via weighted_sample_topk_grouped)
-# and entry #162 (fuzzy_join_minhash_exact, the verify='exact'
+# of sampling.weighted_sample_topk via weighted_sample_topk_grouped),
+# entry #162 (fuzzy_join_minhash_exact, the verify='exact'
 # continuous-precision dial of dedup.minhash_lsh_join under a
-# precision-floor-1.0 gate), both after position 50, local dual-sf
-# parity green this round. r12 candidates are therefore the ten
-# r8-stale entries slipped above + #161/#162 (never-rowed) + the 50
-# r9-rowed entries = 62 for 50 slots -> TWELVE slips from the r9
-# cohort (N-150 = 12 at N=162), designated per policy (proven-stable,
-# >= 3 consecutive greens — i.e. the r3/r6/r9-rowed subcohort; code
-# untouched since the last row; truth-set twins and redundantly-
-# pinned entries first):
+# precision-floor-1.0 gate), entry #163 (importance_weights, DSIR
+# log-likelihood-ratio scores in integer micro-nats via
+# sampling.importance_scores — exact oracle), and entry #164
+# (importance_resample, the Gumbel-top-k DSIR draw via
+# sampling.importance_resample — exact replay oracle), all after
+# position 50, local dual-sf parity green this round. r12 candidates
+# are therefore the ten r8-stale entries slipped above + #161-#164
+# (never-rowed) + the 50 r9-rowed entries = 64 for 50 slots ->
+# FOURTEEN slips from the r9 cohort (N-150 = 14 at N=164), designated
+# per policy (proven-stable, >= 3 consecutive greens — i.e. the
+# r3/r6/r9-rowed subcohort; code untouched since the last row;
+# truth-set twins and redundantly-pinned entries first):
 #   1. set_except_all (greens r3/r6/r9; its EXCEPT twin set_except is
 #      rowed in r12 by construction — twin-keeps-cadence);
 #   2. set_intersect_all (greens r3/r6/r9; twin set_intersect rowed
@@ -6984,7 +7101,15 @@ def fuzzy_join_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
 #      entries stay in window over the same tokenizer surface);
 #  12. doc_chunking (greens r3/r6/r9; chunking.py untouched since
 #      creation, and it is a HEADLINE bench member timed every round —
-#      the dedup_exact r10-slip rationale).
+#      the dedup_exact r10-slip rationale);
+#  13. funnel_conversion (greens r3/r6/r9; timeseries.py untouched
+#      since before the r9 row; an sf1-scaling bench member timed
+#      every round, and session_funnel carries a fresh r10 row over
+#      the same timeseries surface);
+#  14. tfidf_top_terms (greens r3/r6/r9; the tfidf kernel untouched
+#      since before the r9 row; an sf1-scaling bench member timed
+#      every round, and the text-index family keeps fresh rows —
+#      bm25_topk r10, bm25_search_persisted in the r12 window).
 # dedup_edit_distance (single r9 row), asof_join_nearest,
 # dedup_canonical_text, dedup_containment_capped (two rows each) are
 # NOT slip-eligible and stay in the r12 window. If any designated
@@ -6995,7 +7120,7 @@ def fuzzy_join_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
 # Staleness after this round: nothing older than r8 except nothing —
 # the six r7-stale entries are rowed this round; the ten designated
 # slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
-# entries except #161/#162 (registered this round, first in line for
+# entries except #161-#164 (registered this round, first in line for
 # r12); every entry whose code changed since its last row has a row
 # postdating the change (jsonl_roundtrip, fuzzy_join_minhash, and
 # weighted_sample — the three r11-touched surfaces — are all in this

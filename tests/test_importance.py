@@ -1,0 +1,200 @@
+"""DSIR importance weighting and resampling (sampling.importance_*).
+
+Pins: (1) exact integer micro-nat arithmetic against an independent
+Python mirror, (2) hashed-bucket mode ≡ exact mode when bucketing is
+collision-free (the production path's semantics), (3) the bigram
+feature space, (4) resampling = Gumbel-top-k replay of the scores, and
+(5) plan shape (TakeOrderedAndProject, broadcast score table).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_warehouse_spark.operators import sampling
+
+HASH_P = sampling.HASH_P
+HASH_A = sampling.HASH_A
+
+
+def _mirror_scores(raw_docs, tgt_texts, bigrams=False):
+    """Independent Python replay of importance_scores: (id -> (n_features,
+    micronats)). raw_docs: list[(id, text)]; tgt_texts: list[text]."""
+
+    def feats(text):
+        # regex split, not str.split(): the engines keep empty edge
+        # tokens on leading/trailing whitespace runs
+        import re
+
+        toks = re.split(r"\s+", text.lower())
+        out = list(toks)
+        if bigrams and len(toks) >= 2:
+            out += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return out
+
+    cr = Counter()
+    per_doc = {}
+    for i, t in raw_docs:
+        fs = feats(t)
+        per_doc[i] = fs
+        cr.update(fs)
+    ct = Counter()
+    for t in tgt_texts:
+        ct.update(feats(t))
+    v = len(set(cr) | set(ct))
+    n_raw = sum(cr.values())
+    n_tgt = sum(ct.values())
+    s_norm = math.floor(1e6 * math.log((n_raw + v) / (n_tgt + v)))
+    s = {f: math.floor(1e6 * math.log((ct.get(f, 0) + 1.0) / (c + 1.0)))
+         for f, c in cr.items()}
+    return {
+        i: (len(fs), sum(s[f] for f in fs) + len(fs) * s_norm)
+        for i, fs in per_doc.items()
+    }
+
+
+RAW = [
+    (1, "alpha beta gamma alpha"),
+    (2, "delta epsilon zeta"),
+    (3, "alpha alpha alpha beta"),
+    (4, "omega psi chi phi upsilon"),
+    (5, "alpha beta"),
+]
+TGT = ["alpha beta alpha", "alpha gamma", "beta alpha alpha"]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    raw = spark.createDataFrame(RAW, "doc_id bigint, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(TGT)],
+        "doc_id bigint, text string",
+    )
+    return raw, tgt
+
+
+def test_scores_match_python_mirror(frames):
+    raw, tgt = frames
+    got = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.importance_scores(raw, tgt).collect()
+    }
+    assert got == _mirror_scores(RAW, TGT)
+
+
+def test_scores_rank_target_like_docs_higher(frames):
+    raw, tgt = frames
+    got = {
+        r.doc_id: r.importance_micronats / r.n_features
+        for r in sampling.importance_scores(raw, tgt).collect()
+    }
+    # doc 3 is pure target vocabulary, doc 4 shares nothing with it
+    assert got[3] > got[4]
+    assert got[1] > got[4]
+
+
+def test_hashed_equals_exact_when_collision_free(frames):
+    raw, tgt = frames
+    exact = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.importance_scores(raw, tgt).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.importance_scores(
+            raw, tgt, num_buckets=1 << 30
+        ).collect()
+    }
+    # collision-free by construction for this vocab (asserted below),
+    # so hashing merges nothing and the scores are identical
+    import pyspark.sql.functions as SF
+
+    vocab = (
+        raw.select(SF.explode(SF.split(SF.lower("text"), r"\s+")).alias("t"))
+        .union(
+            tgt.select(
+                SF.explode(SF.split(SF.lower("text"), r"\s+")).alias("t")
+            )
+        )
+        .select("t", SF.pmod(SF.xxhash64("t"), SF.lit(1 << 30)).alias("b"))
+        .distinct()
+    )
+    n_tok = vocab.select("t").distinct().count()
+    n_bkt = vocab.select("b").distinct().count()
+    assert n_tok == n_bkt, "fixture vocab collided; pick another"
+    assert hashed == exact
+
+
+def test_bigram_features_widen_the_bag(frames):
+    raw, tgt = frames
+    uni = {
+        r.doc_id: r.n_features
+        for r in sampling.importance_scores(raw, tgt).collect()
+    }
+    bi = sampling.importance_scores(raw, tgt, bigrams=True)
+    got = {r.doc_id: (r.n_features, r.importance_micronats) for r in bi.collect()}
+    for i, t in RAW:
+        n = len(t.split())
+        assert got[i][0] == uni[i] + (n - 1)
+    assert got == _mirror_scores(RAW, TGT, bigrams=True)
+
+
+def test_resample_is_gumbel_topk_replay(frames):
+    raw, tgt = frames
+    k = 3
+    scores = _mirror_scores(RAW, TGT)
+
+    def key(i):
+        u = (((i % HASH_P + HASH_P) % HASH_P) * HASH_A % 4294967296
+             + 0.5) / 4294967296.0
+        return scores[i][1] / 1e6 - math.log(-math.log(u))
+
+    want = sorted(
+        scores, key=lambda i: (-key(i), i)
+    )[:k]
+    got = sampling.importance_resample(raw, tgt, k)
+    ids = sorted(r.doc_id for r in got.collect())
+    assert ids == sorted(want)
+    # carries every raw column plus the two score columns, key stays out
+    assert set(got.columns) == {
+        "doc_id", "text", "n_features", "importance_micronats"
+    }
+    # deterministic: a second run selects the same rows
+    again = sorted(
+        r.doc_id
+        for r in sampling.importance_resample(raw, tgt, k).collect()
+    )
+    assert again == ids
+
+
+def test_resample_plan_and_guards(frames):
+    raw, tgt = frames
+    with pytest.raises(ValueError, match="k \\(0\\)"):
+        sampling.importance_resample(raw, tgt, 0)
+    plan = (
+        sampling.importance_resample(raw, tgt, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    hashed_plan = (
+        sampling.importance_scores(raw, tgt, num_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in hashed_plan
+
+
+def test_null_text_docs_are_excluded(spark, frames):
+    raw, tgt = frames
+    with_null = raw.union(
+        spark.createDataFrame([(9, None)], "doc_id bigint, text string")
+    )
+    got = {r.doc_id for r in sampling.importance_scores(with_null, tgt).collect()}
+    assert got == {1, 2, 3, 4, 5}
