@@ -646,6 +646,37 @@ def importance_scores(
     the paper's unigram+bigram bag (occurrences, not the distinct
     shingles the MinHash family uses)."""
     raw_occ = _dsir_features(raw, text_col, id_col, num_buckets, bigrams)
+    scores, norm = _dsir_score_tables(
+        raw_occ, target, text_col, num_buckets, bigrams
+    )
+    if num_buckets is not None:
+        scores = F.broadcast(scores)
+    per_doc = raw_occ.join(scores, "feat").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("s").alias("_ssum"),
+    )
+    return per_doc.crossJoin(F.broadcast(norm)).select(
+        F.col("doc").alias(id_col),
+        F.col("n_features").cast("bigint").alias("n_features"),
+        (F.col("_ssum") + F.col("n_features") * F.col("s_norm"))
+        .cast("bigint")
+        .alias("importance_micronats"),
+    )
+
+
+def _dsir_score_tables(
+    raw_occ: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    num_buckets: int | None,
+    bigrams: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """The fitted half of DSIR, shared by the inline scorer and
+    :func:`fit_importance_model`: the per-feature micro-nat score
+    table ``(feat, s)`` over the RAW vocabulary, and the 1-row
+    normalizer frame ``(s_norm)``. ``raw_occ`` is the raw side's
+    feature-occurrence frame (so the inline path tokenizes raw ONCE
+    for both the counts and the per-doc join)."""
     tgt_occ = _dsir_features(target, text_col, None, num_buckets, bigrams)
     rf = raw_occ.groupBy("feat").agg(F.count(F.lit(1)).alias("cr"))
     tf = tgt_occ.groupBy("feat").agg(F.count(F.lit(1)).alias("ct"))
@@ -676,19 +707,7 @@ def importance_scores(
             )
         ).alias("s"),
     )
-    if num_buckets is not None:
-        scores = F.broadcast(scores)
-    per_doc = raw_occ.join(scores, "feat").groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_features"),
-        F.sum("s").alias("_ssum"),
-    )
-    return per_doc.crossJoin(F.broadcast(norm)).select(
-        F.col("doc").alias(id_col),
-        F.col("n_features").cast("bigint").alias("n_features"),
-        (F.col("_ssum") + F.col("n_features") * F.col("s_norm"))
-        .cast("bigint")
-        .alias("importance_micronats"),
-    )
+    return scores, norm
 
 
 def importance_resample(
@@ -737,3 +756,123 @@ def importance_resample(
         .select(id_col, "n_features", "importance_micronats")
     )
     return raw.join(F.broadcast(winners), id_col)
+
+
+class ImportanceModel:
+    """A fitted DSIR scorer: the per-feature micro-nat score table, the
+    integer normalizer, and the feature-space config it was fit with
+    (so scoring can never silently use a different tokenization than
+    the fit). Fit once on the big corpora, persist, then score any
+    number of new shards without touching the target corpus again —
+    the same build/search economics as ``text.TextIndex`` and
+    ``similarity.IvfIndex``."""
+
+    def __init__(
+        self,
+        scores: DataFrame,
+        s_norm: int,
+        num_buckets: int | None,
+        bigrams: bool,
+    ) -> None:
+        self.scores = scores
+        self.s_norm = int(s_norm)
+        self.num_buckets = num_buckets
+        self.bigrams = bool(bigrams)
+
+
+def fit_importance_model(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    bigrams: bool = False,
+) -> ImportanceModel:
+    """Fit the DSIR score table once (arXiv:2302.03169 — the paper's
+    workflow IS fit-then-apply: distributions are estimated on the
+    corpora once, then every candidate document is scored against the
+    frozen estimate). Equivalent to :func:`importance_scores`'s inline
+    arithmetic by construction — both run :func:`_dsir_score_tables` —
+    so a model fit on ``raw`` and applied to ``raw`` reproduces the
+    inline scores exactly (the parity the test suite and corpus entry
+    pin). One driver collect of the single normalizer integer."""
+    raw_occ = _dsir_features(raw, text_col, None, num_buckets, bigrams)
+    scores, norm = _dsir_score_tables(
+        raw_occ, target, text_col, num_buckets, bigrams
+    )
+    s_norm = norm.collect()[0]["s_norm"]
+    return ImportanceModel(scores, s_norm, num_buckets, bigrams)
+
+
+def score_with_model(
+    model: ImportanceModel,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a fitted/reopened model — same output
+    schema as :func:`importance_scores`. Features outside the fit
+    vocabulary contribute a score of exactly 0 micro-nats: with
+    ct = cr = 0 the smoothed per-feature ratio is (0+1)/(0+1) = 1 and
+    ``floor(1e6·ln 1) = 0`` in any engine, so the LEFT join +
+    ``coalesce(s, 0)`` below is the fit arithmetic extended to unseen
+    features, not a special case (they still count into ``n_features``
+    and carry the normalizer term, exactly as the fit would have
+    weighted them). Plan: one explode + one join (broadcast in hashed
+    mode, where the table is ≤ num_buckets rows) + one doc-keyed
+    aggregate — the shape a foreachBatch micro-batch or a backfill
+    shard wants."""
+    occ = _dsir_features(
+        docs, text_col, id_col, model.num_buckets, model.bigrams
+    )
+    scores = model.scores
+    if model.num_buckets is not None:
+        scores = F.broadcast(scores)
+    return (
+        occ.join(scores, "feat", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("_ssum"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_features").cast("bigint").alias("n_features"),
+            (
+                F.col("_ssum")
+                + F.col("n_features") * F.lit(model.s_norm)
+            )
+            .cast("bigint")
+            .alias("importance_micronats"),
+        )
+    )
+
+
+def save_importance_model(model: ImportanceModel, path: str) -> None:
+    """Persist: the score table as parquet (its dtypes — string-or-long
+    feat, long s — round-trip losslessly) plus a 1-row stats parquet
+    with the normalizer and the feature-space config."""
+    model.scores.write.mode("overwrite").parquet(f"{path}/scores")
+    spark = model.scores.sparkSession
+    spark.createDataFrame(
+        [
+            (
+                model.s_norm,
+                model.num_buckets,
+                model.bigrams,
+                "bucket" if model.num_buckets is not None else "token",
+            )
+        ],
+        "s_norm long, num_buckets long, bigrams boolean, feat_kind string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_importance_model(spark, path: str) -> ImportanceModel:
+    """Reopen a saved model; the score table stays a lazy parquet scan
+    (broadcast at score time in hashed mode)."""
+    row = spark.read.parquet(f"{path}/stats").collect()[0]
+    return ImportanceModel(
+        spark.read.parquet(f"{path}/scores"),
+        row["s_norm"],
+        None if row["num_buckets"] is None else int(row["num_buckets"]),
+        row["bigrams"],
+    )

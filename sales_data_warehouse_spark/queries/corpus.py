@@ -7010,6 +7010,34 @@ def importance_resample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "importance_model_persisted",
+    ORACLE["importance_weights"],
+)
+def importance_model_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR through the fit/save/load/score lifecycle (round 11, corpus
+    entry #165): ``sampling.fit_importance_model`` ->
+    ``save_importance_model`` -> ``load_importance_model`` ->
+    ``score_with_model`` — the paper's actual workflow (distributions
+    estimated ONCE, then any number of shards scored against the frozen
+    estimate; arXiv:2302.03169), and the production shape at 100 TB:
+    the target corpus is never re-read per shard, and a foreachBatch
+    micro-batch scores with one explode + one join. Must reproduce the
+    inline ``importance_weights`` scores bit-identically — integer
+    micro-nats round-trip parquet losslessly — so the oracle is shared
+    verbatim (the ``bm25_search_persisted`` contract)."""
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    model = sampling.fit_importance_model(
+        docs, docs.filter(F.col("lang") == "en")
+    )
+    path = tempfile.mkdtemp(prefix="sdw_dsir_model_")
+    sampling.save_importance_model(model, path)
+    reopened = sampling.load_importance_model(spark, path)
+    return sampling.score_with_model(reopened, docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -7069,11 +7097,14 @@ def importance_resample(spark: SparkSession, sf: str) -> DataFrame:
 # log-likelihood-ratio scores in integer micro-nats via
 # sampling.importance_scores — exact oracle), and entry #164
 # (importance_resample, the Gumbel-top-k DSIR draw via
-# sampling.importance_resample — exact replay oracle), all after
+# sampling.importance_resample — exact replay oracle), and entry #165
+# (importance_model_persisted, the DSIR fit/save/load/score lifecycle
+# via sampling.fit_importance_model/score_with_model under the
+# verbatim-shared #163 oracle), all after
 # position 50, local dual-sf parity green this round. r12 candidates
-# are therefore the ten r8-stale entries slipped above + #161-#164
-# (never-rowed) + the 50 r9-rowed entries = 64 for 50 slots ->
-# FOURTEEN slips from the r9 cohort (N-150 = 14 at N=164), designated
+# are therefore the ten r8-stale entries slipped above + #161-#165
+# (never-rowed) + the 50 r9-rowed entries = 65 for 50 slots ->
+# FIFTEEN slips from the r9 cohort (N-150 = 15 at N=165), designated
 # per policy (proven-stable, >= 3 consecutive greens — i.e. the
 # r3/r6/r9-rowed subcohort; code untouched since the last row;
 # truth-set twins and redundantly-pinned entries first):
@@ -7109,7 +7140,11 @@ def importance_resample(spark: SparkSession, sf: str) -> DataFrame:
 #  14. tfidf_top_terms (greens r3/r6/r9; the tfidf kernel untouched
 #      since before the r9 row; an sf1-scaling bench member timed
 #      every round, and the text-index family keeps fresh rows —
-#      bm25_topk r10, bm25_search_persisted in the r12 window).
+#      bm25_topk r10, bm25_search_persisted in the r12 window);
+#  15. rolling_range_avg (greens r3/r6/r9; timeseries.py untouched
+#      since before the r9 row; an sf1-scaling bench member timed
+#      every round, and rolling_active_users carries a fresh r10 row
+#      over the same RANGE-frame window surface).
 # dedup_edit_distance (single r9 row), asof_join_nearest,
 # dedup_canonical_text, dedup_containment_capped (two rows each) are
 # NOT slip-eligible and stay in the r12 window. If any designated
@@ -7120,7 +7155,7 @@ def importance_resample(spark: SparkSession, sf: str) -> DataFrame:
 # Staleness after this round: nothing older than r8 except nothing —
 # the six r7-stale entries are rowed this round; the ten designated
 # slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
-# entries except #161-#164 (registered this round, first in line for
+# entries except #161-#165 (registered this round, first in line for
 # r12); every entry whose code changed since its last row has a row
 # postdating the change (jsonl_roundtrip, fuzzy_join_minhash, and
 # weighted_sample — the three r11-touched surfaces — are all in this

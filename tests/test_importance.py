@@ -198,3 +198,76 @@ def test_null_text_docs_are_excluded(spark, frames):
     )
     got = {r.doc_id for r in sampling.importance_scores(with_null, tgt).collect()}
     assert got == {1, 2, 3, 4, 5}
+
+
+def test_persisted_model_reproduces_inline_scores(frames, tmp_path):
+    raw, tgt = frames
+    inline = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.importance_scores(raw, tgt).collect()
+    }
+    model = sampling.fit_importance_model(raw, tgt)
+    sampling.save_importance_model(model, str(tmp_path / "m"))
+    reopened = sampling.load_importance_model(
+        raw.sparkSession, str(tmp_path / "m")
+    )
+    scored = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.score_with_model(reopened, raw).collect()
+    }
+    assert scored == inline
+
+
+def test_persisted_model_hashed_config_roundtrip(frames, tmp_path):
+    raw, tgt = frames
+    model = sampling.fit_importance_model(
+        raw, tgt, num_buckets=1 << 20, bigrams=True
+    )
+    sampling.save_importance_model(model, str(tmp_path / "h"))
+    reopened = sampling.load_importance_model(
+        raw.sparkSession, str(tmp_path / "h")
+    )
+    assert (reopened.num_buckets, reopened.bigrams) == (1 << 20, True)
+    inline = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.importance_scores(
+            raw, tgt, num_buckets=1 << 20, bigrams=True
+        ).collect()
+    }
+    scored = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.score_with_model(reopened, raw).collect()
+    }
+    assert scored == inline
+
+
+def test_model_scores_unseen_features_as_zero(spark, frames):
+    raw, tgt = frames
+    model = sampling.fit_importance_model(raw, tgt)
+    # "alpha" is in the fit vocab; the qq tokens are not — each unseen
+    # occurrence contributes 0 micro-nats plus the normalizer term
+    new = spark.createDataFrame(
+        [(9001, "alpha qqunseen qqunseen")], "doc_id bigint, text string"
+    )
+    row = sampling.score_with_model(model, new).collect()[0]
+    mirror = _mirror_scores(RAW, TGT)
+    # recover s(alpha) from the mirror of a pure-alpha relation:
+    # importance(doc) = sum(s(f)) + n * s_norm
+    import math
+    from collections import Counter
+
+    cr = Counter()
+    for _, t in RAW:
+        cr.update(t.lower().split())
+    ct = Counter()
+    for t in TGT:
+        ct.update(t.lower().split())
+    v = len(set(cr) | set(ct))
+    n_raw, n_tgt = sum(cr.values()), sum(ct.values())
+    s_norm = math.floor(1e6 * math.log((n_raw + v) / (n_tgt + v)))
+    s_alpha = math.floor(
+        1e6 * math.log((ct["alpha"] + 1.0) / (cr["alpha"] + 1.0))
+    )
+    assert row.n_features == 3
+    assert row.importance_micronats == s_alpha + 3 * s_norm
+    assert mirror  # the shared fixture still mirrors (sanity anchor)

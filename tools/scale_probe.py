@@ -141,6 +141,25 @@ def main() -> None:
                 "lang",
             )
         ),
+        # r11: DSIR resampling, exact-vocabulary mode (the corpus
+        # entry's shape) — two token explodes + hash aggregates + the
+        # vocab-keyed score join + TakeOrderedAndProject
+        "importance_resample_exact": lambda: sampling.importance_resample(
+            docs, docs.filter(F.col("lang") == "en"), 1000
+        ),
+        # r11: the 100 TB mode — hashed unigram+bigram features into
+        # 10k buckets (the paper's own regime); the score table
+        # broadcasts, so the vocab shuffle disappears and the delta
+        # vs the exact probe is what the broadcast buys back (bigrams
+        # DOUBLE the token volume here, so at-or-under exact-unigram
+        # time means the mode is paying for itself)
+        "importance_resample_hashed": lambda: sampling.importance_resample(
+            docs,
+            docs.filter(F.col("lang") == "en"),
+            1000,
+            num_buckets=10_000,
+            bigrams=True,
+        ),
     }
     out = {}
     for name, make in probes.items():
