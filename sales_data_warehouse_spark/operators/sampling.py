@@ -569,28 +569,27 @@ def _dsir_features(
     (``pmod(xxhash64(feat), B)``) BEFORE any aggregation, so no stage
     ever carries the raw vocabulary. Token arrays are materialized in
     their own projection first — inside transform lambdas Catalyst does
-    not CSE the split, see ``text.shingles_from_tokens``'s PERF note."""
+    not CSE the split, see ``text.shingles_from_tokens``'s PERF note;
+    bigrams come from the shared ``text.bigrams_from_tokens`` zip_with
+    kernel, so the DSIR feature space cannot drift from the surprisal
+    family's bigram definition."""
+    if num_buckets is not None and num_buckets < 1:
+        raise ValueError(
+            f"num_buckets ({num_buckets}) must be >= 1 (pmod by 0 is "
+            "NULL under non-ANSI semantics — every join key would "
+            "silently miss)"
+        )
+    from sales_data_warehouse_spark.operators.text import (
+        bigrams_from_tokens,
+    )
+
     head = [F.col(id_col).alias("doc")] if id_col else []
     base = df.select(
         *head, F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("_w")
     )
     feats = F.col("_w")
     if bigrams:
-        w = F.col("_w")
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, (i + 1).cast("int")),
-                F.element_at(w, (i + 2).cast("int")),
-            ),
-        )
-        feats = F.concat(
-            feats,
-            F.when(F.size(w) >= 2, grams).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
+        feats = F.concat(feats, bigrams_from_tokens("_w"))
     out = base.select(
         *(["doc"] if id_col else []), F.explode(feats).alias("feat")
     )
@@ -673,20 +672,45 @@ def _dsir_score_tables(
 ) -> tuple[DataFrame, DataFrame]:
     """The fitted half of DSIR, shared by the inline scorer and
     :func:`fit_importance_model`: the per-feature micro-nat score
-    table ``(feat, s)`` over the RAW vocabulary, and the 1-row
+    table ``(feat, s)`` over the UNION vocabulary, and the 1-row
     normalizer frame ``(s_norm)``. ``raw_occ`` is the raw side's
     feature-occurrence frame (so the inline path tokenizes raw ONCE
-    for both the counts and the per-doc join)."""
+    for both the counts and the per-doc join).
+
+    The score table keeps TARGET-ONLY features (cr coalesced to 0):
+    the inline scorer's inner join never reaches them (a raw document
+    only contains raw-vocabulary features), but a persisted model
+    scores NEW shards, where a target-only feature is precisely the
+    strongest positive signal — ``ln((ct+1)/1)`` — and dropping it
+    would under-rank exactly the most target-like documents."""
+    counts = _dsir_counts(raw_occ, target, text_col, num_buckets, bigrams)
+    return _dsir_scores_from(counts), _dsir_norm_from(counts)
+
+
+def _dsir_counts(
+    raw_occ: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    num_buckets: int | None,
+    bigrams: bool,
+) -> DataFrame:
+    """Full-outer per-feature counts ``(feat, cr, ct)`` over the union
+    vocabulary — the one expensive frame of a DSIR fit (both corpora
+    tokenized and aggregated); everything else derives from it."""
     tgt_occ = _dsir_features(target, text_col, None, num_buckets, bigrams)
     rf = raw_occ.groupBy("feat").agg(F.count(F.lit(1)).alias("cr"))
     tf = tgt_occ.groupBy("feat").agg(F.count(F.lit(1)).alias("ct"))
-    joined = rf.join(tf, "feat", "full_outer")
-    totals = joined.agg(
+    return rf.join(tf, "feat", "full_outer")
+
+
+def _dsir_norm_from(counts: DataFrame) -> DataFrame:
+    """1-row ``(s_norm)`` normalizer frame from the counts frame."""
+    totals = counts.agg(
         F.sum(F.coalesce(F.col("cr"), F.lit(0))).alias("n_raw"),
         F.sum(F.coalesce(F.col("ct"), F.lit(0))).alias("n_tgt"),
         F.count(F.lit(1)).alias("v"),
     )
-    norm = totals.select(
+    return totals.select(
         F.floor(
             F.lit(1e6)
             * F.log(
@@ -695,7 +719,12 @@ def _dsir_score_tables(
             )
         ).alias("s_norm")
     )
-    scores = joined.filter(F.col("cr").isNotNull()).select(
+
+
+def _dsir_scores_from(counts: DataFrame) -> DataFrame:
+    """Per-feature micro-nat score table ``(feat, s)`` from the counts
+    frame."""
+    return counts.select(
         "feat",
         F.floor(
             F.lit(1e6)
@@ -703,11 +732,12 @@ def _dsir_score_tables(
                 (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
                     "double"
                 )
-                / (F.col("cr") + F.lit(1)).cast("double")
+                / (
+                    F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)
+                ).cast("double")
             )
         ).alias("s"),
     )
-    return scores, norm
 
 
 def importance_resample(
@@ -794,13 +824,25 @@ def fit_importance_model(
     arithmetic by construction — both run :func:`_dsir_score_tables` —
     so a model fit on ``raw`` and applied to ``raw`` reproduces the
     inline scores exactly (the parity the test suite and corpus entry
-    pin). One driver collect of the single normalizer integer."""
+    pin).
+
+    The per-feature COUNTS frame is ``localCheckpoint``-ed before
+    anything reads it: the normalizer collect must run the full
+    two-corpus tokenize + aggregate anyway, and without materializing
+    the counts, the very next ``save_importance_model`` (or first
+    score) would re-run that whole fit from scratch — "fit once"
+    executed twice. The checkpoint is vocabulary-sized (≤
+    ``num_buckets`` rows in hashed mode) and lives until the session
+    ends; once saved and reopened the model is a plain parquet scan
+    and this in-memory copy can be discarded."""
     raw_occ = _dsir_features(raw, text_col, None, num_buckets, bigrams)
-    scores, norm = _dsir_score_tables(
+    counts = _dsir_counts(
         raw_occ, target, text_col, num_buckets, bigrams
+    ).localCheckpoint()
+    s_norm = _dsir_norm_from(counts).collect()[0]["s_norm"]
+    return ImportanceModel(
+        _dsir_scores_from(counts), s_norm, num_buckets, bigrams
     )
-    s_norm = norm.collect()[0]["s_norm"]
-    return ImportanceModel(scores, s_norm, num_buckets, bigrams)
 
 
 def score_with_model(
@@ -810,14 +852,17 @@ def score_with_model(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Score documents against a fitted/reopened model — same output
-    schema as :func:`importance_scores`. Features outside the fit
-    vocabulary contribute a score of exactly 0 micro-nats: with
-    ct = cr = 0 the smoothed per-feature ratio is (0+1)/(0+1) = 1 and
-    ``floor(1e6·ln 1) = 0`` in any engine, so the LEFT join +
-    ``coalesce(s, 0)`` below is the fit arithmetic extended to unseen
-    features, not a special case (they still count into ``n_features``
-    and carry the normalizer term, exactly as the fit would have
-    weighted them). Plan: one explode + one join (broadcast in hashed
+    schema as :func:`importance_scores`. The score table spans the
+    UNION vocabulary of the fit (see :func:`_dsir_score_tables` — a
+    target-only feature in a new shard carries its full positive
+    ``ln(ct+1)`` signal); features outside BOTH fit corpora contribute
+    exactly 0 micro-nats: with ct = cr = 0 the smoothed per-feature
+    ratio is (0+1)/(0+1) = 1 and ``floor(1e6·ln 1) = 0`` in any
+    engine, so the LEFT join + ``coalesce(s, 0)`` below is the fit
+    arithmetic extended to unseen features, not a special case (they
+    still count into ``n_features`` and carry the normalizer term,
+    exactly as the fit would have weighted them). Plan: one explode +
+    one join (broadcast in hashed
     mode, where the table is ≤ num_buckets rows) + one doc-keyed
     aggregate — the shape a foreachBatch micro-batch or a backfill
     shard wants."""
@@ -850,25 +895,52 @@ def score_with_model(
 def save_importance_model(model: ImportanceModel, path: str) -> None:
     """Persist: the score table as parquet (its dtypes — string-or-long
     feat, long s — round-trip losslessly) plus a 1-row stats parquet
-    with the normalizer and the feature-space config."""
-    model.scores.write.mode("overwrite").parquet(f"{path}/scores")
+    with the normalizer and the feature-space config.
+
+    Writes go through ``staged_overwrite`` (write-then-swap), for the
+    usual crash-safety AND because a reopened model's score table is a
+    lazy scan of ``{path}/scores`` — a plain ``mode('overwrite')`` of
+    the same path would delete the very files the write's plan reads,
+    so "reopen, then re-save to the same path" would destroy the
+    model."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite,
+    )
+
     spark = model.scores.sparkSession
-    spark.createDataFrame(
-        [
-            (
-                model.s_norm,
-                model.num_buckets,
-                model.bigrams,
-                "bucket" if model.num_buckets is not None else "token",
-            )
-        ],
-        "s_norm long, num_buckets long, bigrams boolean, feat_kind string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    staged_overwrite(spark, model.scores, f"{path}/scores")
+    staged_overwrite(
+        spark,
+        spark.createDataFrame(
+            [
+                (
+                    model.s_norm,
+                    model.num_buckets,
+                    model.bigrams,
+                    "bucket"
+                    if model.num_buckets is not None
+                    else "token",
+                )
+            ],
+            "s_norm long, num_buckets long, bigrams boolean, "
+            "feat_kind string",
+        ).coalesce(1),
+        f"{path}/stats",
+    )
 
 
 def load_importance_model(spark, path: str) -> ImportanceModel:
     """Reopen a saved model; the score table stays a lazy parquet scan
-    (broadcast at score time in hashed mode)."""
+    (broadcast at score time in hashed mode). Calls
+    ``recover_staged`` on both parts first, so a save that crashed
+    mid-swap reopens the intact previous generation instead of
+    failing on a missing directory."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+    )
+
+    recover_staged(spark, f"{path}/scores")
+    recover_staged(spark, f"{path}/stats")
     row = spark.read.parquet(f"{path}/stats").collect()[0]
     return ImportanceModel(
         spark.read.parquet(f"{path}/scores"),

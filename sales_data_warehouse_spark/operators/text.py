@@ -992,28 +992,37 @@ def unigram_surprisal(
     )
 
 
-def _exploded_bigrams(
-    docs: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """(doc, bigram) rows, built ARRAY-SIDE: the token array is
-    materialized in its own projection, then one ``zip_with`` of the
-    array against its own tail — no positional self-join, no window
-    shuffle, and no per-element ``element_at`` over an inlined split
-    (the O(tokens^2) trap in the ``shingles_from_tokens`` PERF note)."""
-    # guard size>=2: slice() with non-positive length and
-    # sequence(0, -1) both misbehave on shorter docs
-    bigram_arr = F.when(
-        F.size("_w") >= 2,
+def bigrams_from_tokens(token_col: str) -> Column:
+    """Adjacent word-pair array (" "-joined, NON-distinct — a bag, not
+    the shingle set) from a *materialized* token-array column, built
+    ARRAY-SIDE: one ``zip_with`` of the array against its own tail — no
+    positional self-join, no window shuffle, and no per-element
+    ``element_at`` over an inlined split (the O(tokens^2) trap in the
+    ``shingles_from_tokens`` PERF note). The ONE bigram definition
+    shared by the surprisal family and the DSIR feature space.
+
+    Guard size>=2: ``slice()`` with non-positive length misbehaves on
+    shorter docs."""
+    w = F.col(token_col)
+    return F.when(
+        F.size(w) >= 2,
         F.zip_with(
-            F.slice("_w", 1, F.size("_w") - 1),
-            F.slice("_w", 2, F.size("_w") - 1),
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _exploded_bigrams(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc, bigram) rows via :func:`bigrams_from_tokens`, the token
+    array materialized in its own projection first."""
     return docs.select(
         F.col(id_col).alias("doc"),
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("_w"),
-    ).select("doc", F.explode(bigram_arr).alias("bigram"))
+    ).select("doc", F.explode(bigrams_from_tokens("_w")).alias("bigram"))
 
 
 def bigram_freq_table(

@@ -271,3 +271,56 @@ def test_model_scores_unseen_features_as_zero(spark, frames):
     assert row.n_features == 3
     assert row.importance_micronats == s_alpha + 3 * s_norm
     assert mirror  # the shared fixture still mirrors (sanity anchor)
+
+
+def test_model_scores_target_only_features(spark, frames):
+    # "gamma" appears once in TGT and once in RAW; use a token present
+    # ONLY in the target: fit must keep it in the score table so a new
+    # shard containing it gets the full positive ln(ct+1) signal
+    raw, _ = frames
+    tgt2 = spark.createDataFrame(
+        [(200, "alpha tonly tonly tonly")], "doc_id bigint, text string"
+    )
+    model = sampling.fit_importance_model(raw, tgt2)
+    new = spark.createDataFrame(
+        [(9002, "tonly tonly")], "doc_id bigint, text string"
+    )
+    row = sampling.score_with_model(model, new).collect()[0]
+    cr = Counter()
+    for _, t in RAW:
+        cr.update(t.lower().split())
+    ct = Counter("alpha tonly tonly tonly".split())
+    v = len(set(cr) | set(ct))
+    n_raw, n_tgt = sum(cr.values()), sum(ct.values())
+    s_norm = math.floor(1e6 * math.log((n_raw + v) / (n_tgt + v)))
+    s_tonly = math.floor(1e6 * math.log((ct["tonly"] + 1.0) / 1.0))
+    assert row.importance_micronats == 2 * s_tonly + 2 * s_norm
+
+
+def test_resave_reopened_model_to_same_path(frames, tmp_path):
+    raw, tgt = frames
+    path = str(tmp_path / "same")
+    model = sampling.fit_importance_model(raw, tgt)
+    sampling.save_importance_model(model, path)
+    reopened = sampling.load_importance_model(raw.sparkSession, path)
+    # the staged write must not delete the files its own plan reads
+    sampling.save_importance_model(reopened, path)
+    again = sampling.load_importance_model(raw.sparkSession, path)
+    scored = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.score_with_model(again, raw).collect()
+    }
+    inline = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.importance_scores(raw, tgt).collect()
+    }
+    assert scored == inline
+
+
+def test_num_buckets_guard(frames):
+    raw, tgt = frames
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="num_buckets"):
+            sampling.importance_scores(raw, tgt, num_buckets=bad)
+        with pytest.raises(ValueError, match="num_buckets"):
+            sampling.fit_importance_model(raw, tgt, num_buckets=bad)
