@@ -57,6 +57,8 @@ from sales_data_warehouse_spark.streaming.embeddings import (
 )
 from sales_data_warehouse_spark.streaming.sampling import (
     reservoir_fold_batch,
+    score_documents_batch,
+    start_streaming_importance_scores,
     start_streaming_weighted_sample,
 )
 from sales_data_warehouse_spark.streaming.stateful import (
@@ -87,4 +89,6 @@ __all__ = [
     "start_streaming_ivf_append",
     "reservoir_fold_batch",
     "start_streaming_weighted_sample",
+    "score_documents_batch",
+    "start_streaming_importance_scores",
 ]

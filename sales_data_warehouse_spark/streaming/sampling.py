@@ -146,3 +146,92 @@ def start_streaming_weighted_sample(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def score_documents_batch(
+    spark: SparkSession,
+    model,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Score one micro-batch against a frozen DSIR model and land it at
+    ``{output_dir}/scored/batch_id=N`` (document columns +
+    ``n_features`` + ``importance_micronats``); returns the batch row
+    count. Plain function (the ``foreachBatch`` sink calls it) so
+    replay semantics are directly testable without driving a stream.
+
+    REPLAY-IDEMPOTENT WITHOUT MARKERS: scoring is stateless — the model
+    is frozen, so a re-delivered batch recomputes byte-identical rows
+    and the per-batch-directory ``mode('overwrite')`` rewrite is a
+    no-op in effect. No cross-batch state means no crash window at all
+    (contrast the reservoir fold above, which must guard its
+    read-modify-write)."""
+    from sales_data_warehouse_spark.operators.sampling import (
+        score_with_model,
+    )
+
+    scored = score_with_model(model, batch_df, text_col, id_col)
+    out = batch_df.join(scored, id_col)
+    out.write.mode("overwrite").parquet(
+        f"{output_dir}/scored/batch_id={batch_id}"
+    )
+    return out.count()
+
+
+def start_streaming_importance_scores(
+    spark: SparkSession,
+    drop_dir: str,
+    model_path: str,
+    output_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 1,
+    on_batch: Callable[[int, int], None] | None = None,
+):
+    """Continuous drop-dir → DSIR-scored documents: every micro-batch
+    is scored against the PERSISTED model
+    (``operators.sampling.load_importance_model`` — fit once offline,
+    never re-read the target corpus) and landed per-batch under
+    ``{output_dir}/scored/``; ``on_batch(batch_id, n_rows)`` reports
+    progress. Returns the StreamingQuery; the scored corpus is
+    ``spark.read.parquet(f"{output_dir}/scored")`` any time.
+
+    Why ``foreachBatch`` and not a pure streaming plan: the per-doc
+    score is a grouped aggregate over the exploded features, and a
+    streaming groupBy would hold every doc's partial state forever
+    (Spark cannot know a document never spans micro-batches); inside
+    foreachBatch the batch is a plain DataFrame and the aggregate
+    completes per trigger. The reopened score table is persisted once
+    at start so long-running streams don't re-scan the model parquet
+    every trigger (it is vocabulary-sized — ≤ num_buckets rows in
+    hashed mode; released when the session ends)."""
+    from pyspark import StorageLevel
+
+    from sales_data_warehouse_spark.operators.sampling import (
+        load_importance_model,
+    )
+
+    model = load_importance_model(spark, model_path)
+    model.scores = model.scores.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n = score_documents_batch(
+            spark, model, batch_df, batch_id, output_dir,
+            text_col, id_col,
+        )
+        if on_batch is not None:
+            on_batch(batch_id, n)
+
+    checkpoint = checkpoint_dir or f"{output_dir}/_score_checkpoint"
+    stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -324,3 +324,57 @@ def test_num_buckets_guard(frames):
             sampling.importance_scores(raw, tgt, num_buckets=bad)
         with pytest.raises(ValueError, match="num_buckets"):
             sampling.fit_importance_model(raw, tgt, num_buckets=bad)
+
+
+def test_streaming_importance_scores_drain(spark, tmp_path):
+    """availableNow drain over a multi-shard drop dir: the landed
+    per-batch scores equal score_with_model over the whole corpus, and
+    a replayed batch rewrites its partition idempotently."""
+    from sales_data_warehouse_spark.streaming import (
+        score_documents_batch,
+        start_streaming_importance_scores,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    model_path = str(tmp_path / "model")
+    model = sampling.fit_importance_model(
+        docs, docs.filter(F.col("lang") == "en")
+    )
+    sampling.save_importance_model(model, model_path)
+
+    drop = str(tmp_path / "drop")
+    docs.repartition(3).write.parquet(drop)
+    out = str(tmp_path / "out")
+    batches = []
+    q = start_streaming_importance_scores(
+        spark,
+        drop,
+        model_path,
+        out,
+        available_now=True,
+        on_batch=lambda bid, n: batches.append((bid, n)),
+    )
+    q.awaitTermination(180)
+    landed = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in spark.read.parquet(f"{out}/scored").collect()
+    }
+    want = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.score_with_model(model, docs).collect()
+    }
+    assert landed == want
+    assert len(batches) >= 2  # one-file-per-trigger exercised replay shape
+    # stateless replay: re-scoring an already-landed batch id rewrites
+    # the same partition with the same rows
+    reopened = sampling.load_importance_model(spark, model_path)
+    n = score_documents_batch(
+        spark, reopened, docs.limit(7), batches[0][0], out
+    )
+    assert n == 7
+    relanded = spark.read.parquet(
+        f"{out}/scored/batch_id={batches[0][0]}"
+    ).count()
+    assert relanded == 7
