@@ -948,3 +948,66 @@ def load_importance_model(spark, path: str) -> ImportanceModel:
         None if row["num_buckets"] is None else int(row["num_buckets"]),
         row["bigrams"],
     )
+
+
+def importance_resample_grouped(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    group_cols: str | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+    bigrams: bool = False,
+) -> DataFrame:
+    """Per-group DSIR selection: for each distinct value of
+    ``group_cols``, draw ``k`` raw documents with probability
+    proportional to their importance weight — "the most target-like k
+    docs per language/source, sampled not cherry-picked", the balanced
+    version of :func:`importance_resample` (a global draw follows the
+    corpus mix, so a 90 %-English crawl yields a 90 %-English
+    selection; per-language quotas need the draw grouped).
+
+    The FIT stays GLOBAL: scores come from :func:`importance_scores`
+    over the whole raw corpus, and only the draw is grouped — so a
+    row's Gumbel key is identical in the global and grouped samplers
+    and a row wins its group exactly when it ranks top-k among its
+    group's keys in the global keying (the property the test suite
+    pins by Python replay). This is deliberately NOT "fit DSIR per
+    group": refitting on a subset changes p_raw and the smoothing
+    denominators, i.e. answers a different question.
+
+    Plan shape: the scored frame + one group-keyed shuffle +
+    ROW_NUMBER ≤ k with Spark's WindowGroupLimit pre-truncating each
+    partition to k rows per group (the QUALIFY shape, no global sort —
+    the ``weighted_sample_topk_grouped`` plan over the Gumbel key).
+    Output carries every raw column plus ``(n_features,
+    importance_micronats)``; the key stays OUT (transcendental-repr
+    rule)."""
+    if k < 1:
+        raise ValueError(
+            f"importance_resample_grouped: k ({k}) must be >= 1"
+        )
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if not groups:
+        raise ValueError(
+            "importance_resample_grouped: group_cols is empty"
+        )
+    scored = importance_scores(
+        raw, target, text_col, id_col, num_buckets, bigrams
+    )
+    keyed = raw.join(scored, id_col).withColumn(
+        "_gumbel",
+        F.col("importance_micronats").cast("double") / F.lit(1e6)
+        - F.log(-F.log(_knuth_u(id_col))),
+    )
+    win = Window.partitionBy(*groups).orderBy(
+        F.col("_gumbel").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_gumbel")
+    )

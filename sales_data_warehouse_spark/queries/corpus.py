@@ -7038,6 +7038,55 @@ def importance_model_persisted(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.score_with_model(reopened, docs)
 
 
+@query(
+    "importance_resample_grouped",
+    _DSIR_SCORE_CTES
+    + r""",
+    imp AS (
+      SELECT t.doc_id,
+             SUM(sc.s) + COUNT(*) * (SELECT s_norm FROM norm) AS im
+      FROM rt t JOIN sc USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY CAST(im AS DOUBLE) / 1e6
+                 - LN(-LN((((d.doc_id % 1000003 + 1000003) % 1000003)
+                     * 2654435761 % 4294967296 + 0.5) / 4294967296.0))
+                 DESC,
+                 d.doc_id ASC
+             ) AS rn
+      FROM documents d JOIN imp USING (doc_id)
+    )
+    WHERE rn <= 10
+    """,
+)
+def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group DSIR selection (round 11, corpus entry #166):
+    ``sampling.importance_resample_grouped`` — 10 documents per
+    language drawn with probability proportional to their DSIR
+    importance weight, the balanced version of #164 (a global draw
+    follows the corpus mix; per-language quotas need the draw grouped
+    while the FIT stays global — refitting per group would change
+    p_raw and answer a different question).
+
+    The oracle replays the EXACT per-group selection: same integer
+    micro-nat weights (#163), same verbatim Knuth hash + ``LN`` chain
+    Gumbel key (#164), ranked by a QUALIFY-style ROW_NUMBER per lang
+    (#161's oracle shape over the DSIR key). The key stays OUT of the
+    output."""
+    docs = load_table(spark, sf, "documents")
+    out = sampling.importance_resample_grouped(
+        docs, docs.filter(F.col("lang") == "en"), 10, "lang"
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -7097,14 +7146,17 @@ def importance_model_persisted(spark: SparkSession, sf: str) -> DataFrame:
 # log-likelihood-ratio scores in integer micro-nats via
 # sampling.importance_scores — exact oracle), and entry #164
 # (importance_resample, the Gumbel-top-k DSIR draw via
-# sampling.importance_resample — exact replay oracle), and entry #165
+# sampling.importance_resample — exact replay oracle), entry #165
 # (importance_model_persisted, the DSIR fit/save/load/score lifecycle
 # via sampling.fit_importance_model/score_with_model under the
-# verbatim-shared #163 oracle), all after
+# verbatim-shared #163 oracle), and entry #166
+# (importance_resample_grouped, the per-group DSIR draw — global fit,
+# grouped Gumbel-top-k via sampling.importance_resample_grouped —
+# exact replay oracle in the #161 QUALIFY shape), all after
 # position 50, local dual-sf parity green this round. r12 candidates
-# are therefore the ten r8-stale entries slipped above + #161-#165
-# (never-rowed) + the 50 r9-rowed entries = 65 for 50 slots ->
-# FIFTEEN slips from the r9 cohort (N-150 = 15 at N=165), designated
+# are therefore the ten r8-stale entries slipped above + #161-#166
+# (never-rowed) + the 50 r9-rowed entries = 66 for 50 slots ->
+# SIXTEEN slips from the r9 cohort (N-150 = 16 at N=166), designated
 # per policy (proven-stable, >= 3 consecutive greens — i.e. the
 # r3/r6/r9-rowed subcohort; code untouched since the last row;
 # truth-set twins and redundantly-pinned entries first):
@@ -7144,7 +7196,12 @@ def importance_model_persisted(spark: SparkSession, sf: str) -> DataFrame:
 #  15. rolling_range_avg (greens r3/r6/r9; timeseries.py untouched
 #      since before the r9 row; an sf1-scaling bench member timed
 #      every round, and rolling_active_users carries a fresh r10 row
-#      over the same RANGE-frame window surface).
+#      over the same RANGE-frame window surface);
+#  16. topk_unshipped_revenue (greens r3/r6/r9; a pure corpus query
+#      re-verified type-strictly by the parity suite each session,
+#      and a HEADLINE bench member timed every round at sf0.1 AND in
+#      the sf1 scaling block — the dedup_exact/doc_chunking slip
+#      rationale).
 # dedup_edit_distance (single r9 row), asof_join_nearest,
 # dedup_canonical_text, dedup_containment_capped (two rows each) are
 # NOT slip-eligible and stay in the r12 window. If any designated
@@ -7155,7 +7212,7 @@ def importance_model_persisted(spark: SparkSession, sf: str) -> DataFrame:
 # Staleness after this round: nothing older than r8 except nothing —
 # the six r7-stale entries are rowed this round; the ten designated
 # slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
-# entries except #161-#165 (registered this round, first in line for
+# entries except #161-#166 (registered this round, first in line for
 # r12); every entry whose code changed since its last row has a row
 # postdating the change (jsonl_roundtrip, fuzzy_join_minhash, and
 # weighted_sample — the three r11-touched surfaces — are all in this

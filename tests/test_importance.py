@@ -378,3 +378,49 @@ def test_streaming_importance_scores_drain(spark, tmp_path):
         f"{out}/scored/batch_id={batches[0][0]}"
     ).count()
     assert relanded == 7
+
+
+def test_resample_grouped_is_per_group_gumbel_replay(spark):
+    # global fit, grouped draw: a row wins its group exactly when it
+    # ranks top-k among its group's keys under the GLOBAL scoring
+    raw_rows = [
+        (1, "alpha beta", "a"),
+        (2, "alpha alpha", "a"),
+        (3, "delta epsilon", "a"),
+        (4, "alpha gamma", "b"),
+        (5, "omega psi", "b"),
+        (6, "beta beta alpha", "b"),
+    ]
+    raw = spark.createDataFrame(
+        raw_rows, "doc_id bigint, text string, grp string"
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(TGT)],
+        "doc_id bigint, text string",
+    )
+    k = 2
+    scores = _mirror_scores([(i, t) for i, t, _ in raw_rows], TGT)
+
+    def key(i):
+        u = (((i % HASH_P + HASH_P) % HASH_P) * HASH_A % 4294967296
+             + 0.5) / 4294967296.0
+        return scores[i][1] / 1e6 - math.log(-math.log(u))
+
+    want = set()
+    for grp in ("a", "b"):
+        members = [i for i, _, g in raw_rows if g == grp]
+        want |= set(
+            sorted(members, key=lambda i: (-key(i), i))[:k]
+        )
+    got = sampling.importance_resample_grouped(raw, tgt, k, "grp")
+    assert {r.doc_id for r in got.collect()} == want
+    # raw columns survive, key stays out
+    assert set(got.columns) == {
+        "doc_id", "text", "grp", "n_features", "importance_micronats"
+    }
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError, match="k \\(0\\)"):
+        sampling.importance_resample_grouped(raw, tgt, 0, "grp")
+    with pytest.raises(ValueError, match="group_cols"):
+        sampling.importance_resample_grouped(raw, tgt, 1, [])
