@@ -160,6 +160,14 @@ def main() -> None:
             num_buckets=10_000,
             bigrams=True,
         ),
+        # r11: the per-group draw — same global scoring, the draw via
+        # one group-keyed shuffle + WindowGroupLimit rank truncation;
+        # delta vs the global probe is the grouped window's cost
+        "importance_resample_grouped": lambda: (
+            sampling.importance_resample_grouped(
+                docs, docs.filter(F.col("lang") == "en"), 1000, "lang"
+            )
+        ),
     }
     out = {}
     for name, make in probes.items():
