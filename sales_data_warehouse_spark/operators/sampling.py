@@ -442,6 +442,18 @@ def _knuth_u(id_col: str) -> Column:
     ) / F.lit(4294967296.0)
 
 
+def _gumbel_key(id_col: str) -> Column:
+    """DSIR selection key ``importance_micronats/1e6 - ln(-ln u)`` —
+    the ONE definition shared by the global and grouped resamplers
+    (the ``_aes_keyed`` rationale: a row's key must be identical in
+    both, or the grouped ≡ global-per-group equivalence and the
+    verbatim SQL replays silently drift). Expects an
+    ``importance_micronats`` column in scope."""
+    return F.col("importance_micronats").cast("double") / F.lit(
+        1e6
+    ) - F.log(-F.log(_knuth_u(id_col)))
+
+
 def weighted_sample_incremental(
     new_batch: DataFrame,
     reservoir: DataFrame | None,
@@ -776,11 +788,8 @@ def importance_resample(
     scored = importance_scores(
         raw, target, text_col, id_col, num_buckets, bigrams
     )
-    key = F.col("importance_micronats").cast("double") / F.lit(
-        1e6
-    ) - F.log(-F.log(_knuth_u(id_col)))
     winners = (
-        scored.withColumn("_gumbel", key)
+        scored.withColumn("_gumbel", _gumbel_key(id_col))
         .orderBy(F.col("_gumbel").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "n_features", "importance_micronats")
@@ -999,9 +1008,7 @@ def importance_resample_grouped(
         raw, target, text_col, id_col, num_buckets, bigrams
     )
     keyed = raw.join(scored, id_col).withColumn(
-        "_gumbel",
-        F.col("importance_micronats").cast("double") / F.lit(1e6)
-        - F.log(-F.log(_knuth_u(id_col))),
+        "_gumbel", _gumbel_key(id_col)
     )
     win = Window.partitionBy(*groups).orderBy(
         F.col("_gumbel").desc(), F.col(id_col).asc()

@@ -163,6 +163,14 @@ def score_documents_batch(
     count. Plain function (the ``foreachBatch`` sink calls it) so
     replay semantics are directly testable without driving a stream.
 
+    EVERY batch row lands: the join back to the scores is LEFT, so a
+    NULL-text document (which the scorer excludes — it has no feature
+    rows) survives with NULL ``n_features``/``importance_micronats``
+    instead of silently vanishing from the scored corpus, and the
+    returned count is the true batch size. The row count is read from
+    the just-written parquet footers — counting the pre-write frame
+    would re-execute the whole scoring pipeline as a second job.
+
     REPLAY-IDEMPOTENT WITHOUT MARKERS: scoring is stateless — the model
     is frozen, so a re-delivered batch recomputes byte-identical rows
     and the per-batch-directory ``mode('overwrite')`` rewrite is a
@@ -174,11 +182,10 @@ def score_documents_batch(
     )
 
     scored = score_with_model(model, batch_df, text_col, id_col)
-    out = batch_df.join(scored, id_col)
-    out.write.mode("overwrite").parquet(
-        f"{output_dir}/scored/batch_id={batch_id}"
-    )
-    return out.count()
+    out = batch_df.join(scored, id_col, "left")
+    path = f"{output_dir}/scored/batch_id={batch_id}"
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
 
 
 def start_streaming_importance_scores(
@@ -209,12 +216,44 @@ def start_streaming_importance_scores(
     completes per trigger. The reopened score table is persisted once
     at start so long-running streams don't re-scan the model parquet
     every trigger (it is vocabulary-sized — ≤ num_buckets rows in
-    hashed mode; released when the session ends)."""
+    hashed mode; released when the session ends).
+
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE, enforced: batch_id is
+    unique only within a checkpoint lineage (the reservoir fold's
+    namespacing rationale), so restarting against the same
+    ``output_dir`` with a different checkpoint would overwrite
+    ``scored/batch_id=0`` with a new lineage's rows while stale
+    partitions 1..N from the old lineage persist — a silently
+    corrupted read-back. A ``_lineage`` marker (digest of the
+    checkpoint location) is stamped on first start and verified on
+    every start; a mismatch raises instead of mixing lineages (use a
+    fresh output_dir, or keep the original checkpoint)."""
+    import hashlib
+
     from pyspark import StorageLevel
 
     from sales_data_warehouse_spark.operators.sampling import (
         load_importance_model,
     )
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+        fs_write_text,
+    )
+
+    checkpoint = checkpoint_dir or f"{output_dir}/_score_checkpoint"
+    lineage = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    marker = f"{output_dir}/_lineage"
+    stamped = fs_read_text(spark, marker)
+    if stamped is None:
+        fs_write_text(spark, marker, lineage)
+    elif stamped.strip() != lineage:
+        raise ValueError(
+            f"start_streaming_importance_scores: {output_dir} was "
+            f"written by checkpoint lineage {stamped.strip()!r}; "
+            f"restarting it under lineage {lineage!r} would mix "
+            "batch_id partitions from two lineages. Use a fresh "
+            "output_dir, or keep the original checkpoint location."
+        )
 
     model = load_importance_model(spark, model_path)
     model.scores = model.scores.persist(StorageLevel.MEMORY_AND_DISK)
@@ -227,7 +266,6 @@ def start_streaming_importance_scores(
         if on_batch is not None:
             on_batch(batch_id, n)
 
-    checkpoint = checkpoint_dir or f"{output_dir}/_score_checkpoint"
     stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

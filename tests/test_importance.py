@@ -424,3 +424,53 @@ def test_resample_grouped_is_per_group_gumbel_replay(spark):
         sampling.importance_resample_grouped(raw, tgt, 0, "grp")
     with pytest.raises(ValueError, match="group_cols"):
         sampling.importance_resample_grouped(raw, tgt, 1, [])
+
+
+def test_streaming_scores_keep_null_text_and_guard_lineage(
+    spark, tmp_path
+):
+    from sales_data_warehouse_spark.streaming import (
+        score_documents_batch,
+        start_streaming_importance_scores,
+    )
+
+    docs = spark.createDataFrame(
+        RAW, "doc_id bigint, text string"
+    )
+    tgt = docs.filter(F.col("doc_id") <= 2)
+    model_path = str(tmp_path / "m")
+    sampling.save_importance_model(
+        sampling.fit_importance_model(docs, tgt), model_path
+    )
+    model = sampling.load_importance_model(spark, model_path)
+    # NULL-text docs land with NULL scores instead of vanishing, and
+    # the returned count is the true batch size
+    batch = docs.union(
+        spark.createDataFrame([(99, None)], "doc_id bigint, text string")
+    )
+    out = str(tmp_path / "out")
+    n = score_documents_batch(spark, model, batch, 0, out)
+    assert n == 6
+    landed = spark.read.parquet(f"{out}/scored/batch_id=0")
+    row99 = landed.filter(F.col("doc_id") == 99).collect()[0]
+    assert row99.n_features is None and row99.importance_micronats is None
+    # lineage guard: same output_dir under a different checkpoint raises
+    drop = str(tmp_path / "drop")
+    docs.coalesce(1).write.parquet(drop)
+    sout = str(tmp_path / "sout")
+    q = start_streaming_importance_scores(
+        spark, drop, model_path, sout,
+        checkpoint_dir=str(tmp_path / "ckpt_a"), available_now=True,
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="lineage"):
+        start_streaming_importance_scores(
+            spark, drop, model_path, sout,
+            checkpoint_dir=str(tmp_path / "ckpt_b"), available_now=True,
+        )
+    # same checkpoint restarts cleanly (no new files -> no batches)
+    q2 = start_streaming_importance_scores(
+        spark, drop, model_path, sout,
+        checkpoint_dir=str(tmp_path / "ckpt_a"), available_now=True,
+    )
+    q2.awaitTermination(120)
