@@ -50,6 +50,16 @@ CARTESIAN_OK = {
     "bucket_join_selectivity",
     "blocking_recall",
     "ivf_recall_audit",
+    # r11 DSIR entries: importance_scores crossJoins the BROADCAST
+    # 1-row normalizer frame (s_norm) into the per-doc aggregate —
+    # 1 x n against a single-row side, constant cost at any scale;
+    # the corpus-sized work is the feature explode + score join.
+    # importance_model_persisted is deliberately NOT here: the fit
+    # collects s_norm to the driver and scoring uses a literal, so its
+    # plan must stay cross-join-free.
+    "importance_weights",
+    "importance_resample",
+    "importance_resample_grouped",
 }
 
 
