@@ -531,6 +531,29 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             "(1.78 post candidate-semi-join fix, was 2.5-2.9) is "
             "sublinear in the matched workload"
         )
+    # r11 attribution of importance_resample's first-bench ratio
+    # (3.13): the corpus entry runs EXACT-VOCABULARY mode (the oracle
+    # must replay the vocabulary arithmetic). Isolated 1x/3x/10x on
+    # the attrib_3x replica scheme: resample 1.42/1.59/3.16 s, and the
+    # stage split localizes the rise entirely in the exact scores pass
+    # (1.11/1.26/2.36) — the probe-side SortMergeJoin of token
+    # occurrences against the vocab score table, a string-keyed
+    # shuffle+sort that grows with token volume. The PRODUCTION mode
+    # (num_buckets=10k hashed, broadcast score table — the module
+    # docstring's 100 TB path) measured FLAT on the same replicas:
+    # 1.20/1.20/1.18 s at 1x/3x/10x, because the broadcast removes the
+    # only data-dependent shuffle. Not a fix item: the exact row is
+    # the verification twin by design.
+    if "importance_resample" in extras:
+        extras["importance_resample"]["scaling_note"] = (
+            "exact-vocab verification mode by design (oracle replays "
+            "the vocabulary arithmetic): the rise is the probe-side "
+            "string-keyed SMJ vs the vocab score table (isolated "
+            "scores pass 1.11/1.26/2.36 s at 1x/3x/10x); the hashed "
+            "production mode is FLAT on the same replicas "
+            "(1.20/1.20/1.18 s — broadcast score table, no "
+            "data-dependent shuffle)"
+        )
     # r10 VERDICT watch item: dedup_edit_distance's ratio drifted 2.04
     # (r9) -> 2.17 (r10); the trigger for a tools/attrib_3x.py
     # treatment was ~2.3. Four full r11 runs measured 2.11 / 2.09 /

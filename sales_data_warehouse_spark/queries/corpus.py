@@ -7026,13 +7026,19 @@ def importance_model_persisted(spark: SparkSession, sf: str) -> DataFrame:
     inline ``importance_weights`` scores bit-identically — integer
     micro-nats round-trip parquet losslessly — so the oracle is shared
     verbatim (the ``bm25_search_persisted`` contract)."""
+    import atexit
+    import shutil
     import tempfile
 
     docs = load_table(spark, sf, "documents")
     model = sampling.fit_importance_model(
         docs, docs.filter(F.col("lang") == "en")
     )
+    # private dir per invocation (parity/driver runs at two sfs in one
+    # session must not read each other's model); reclaimed at exit —
+    # the score table is vocabulary-sized, the jsonl_roundtrip rule
     path = tempfile.mkdtemp(prefix="sdw_dsir_model_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     sampling.save_importance_model(model, path)
     reopened = sampling.load_importance_model(spark, path)
     return sampling.score_with_model(reopened, docs)
