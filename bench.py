@@ -147,6 +147,15 @@ EXTRA_SCALING = [
     # mode; the hashed production mode replaces the vocab shuffle with
     # a broadcast of <= num_buckets score rows, strictly cheaper).
     "importance_resample",
+    # round-11: the per-group quality gate (corpus entry #167) — two
+    # corpus-linear aggregates + a histogram-sized window + a broadcast
+    # threshold join, so the row should scale with the scan (the
+    # grouped window never sees corpus-sized input).
+    "quality_select_grouped",
+    # round-11: n-gram novelty (corpus entry #168) — shingle explode +
+    # one map-side-combinable df groupBy + join back; same cost class
+    # as blocking_selectivity, far below any pair join.
+    "ngram_novelty",
     # round-9: the blocking-selectivity diagnostic (corpus entry #153).
     # Its docstring claims "same cost class as a count, safe on the
     # full corpus" — this row is that claim measured (shingle explode
@@ -530,6 +539,21 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
             "rescoring join is per true pair, so the measured ratio "
             "(1.78 post candidate-semi-join fix, was 2.5-2.9) is "
             "sublinear in the matched workload"
+        )
+    # r11 pre-attribution for ngram_novelty's first bench appearance:
+    # isolated 1x/3x/10x on the attrib replica scheme measured
+    # 1.82/2.91/8.21 s — fixed ~1.2 s + ~0.7 s/copy, the linear
+    # shingle-construction CPU (the join-free rewrite already removed
+    # the occurrence-set SMJ, cutting marginal cost 0.87 -> 0.67-0.76
+    # s/copy); an in-bench ratio near 4 is that fixed overhead
+    # dividing out, not a super-linear stage.
+    if "ngram_novelty" in extras:
+        extras["ngram_novelty"]["scaling_note"] = (
+            "fixed-overhead + linear shingle-build CPU: isolated "
+            "1x/3x/10x = 1.82/2.91/8.21 s (fixed ~1.2 s + ~0.7 "
+            "s/copy, measured r11); join-free df-min(doc) shape — "
+            "marginal cost already cut 0.87 -> 0.67-0.76 s/copy vs "
+            "the occurrence-join formulation"
         )
     # r11 attribution of importance_resample's first-bench ratio
     # (3.13): the corpus entry runs EXACT-VOCABULARY mode (the oracle

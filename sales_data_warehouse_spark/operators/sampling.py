@@ -1018,3 +1018,67 @@ def importance_resample_grouped(
         .filter(F.col("_rn") <= k)
         .drop("_rn", "_gumbel")
     )
+
+
+def quality_select_top_grouped(
+    docs: DataFrame,
+    keep_permille: int = 300,
+    group_cols: str | list[str] = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group top-quality selection: keep the top
+    ``keep_permille``/1000 of EACH group by quality score — "the best
+    30 % of every language", the balanced version of
+    :func:`quality_select_top` (a global threshold keeps whatever mix
+    clears it, which hollows out low-resource languages whose score
+    distributions sit lower).
+
+    Fully distributed, unlike the global sampler's driver-side
+    histogram walk: per-group thresholds come from a cumulative count
+    over the (group, integer-logit) HISTOGRAM — the window's input is
+    histogram-sized, never the corpus — using the pure-integer cutoff
+    test ``1000·cum ≥ n_g·keep_permille`` (⟺ ``cum ≥
+    ceil(n_g·keep/1000)`` with no division anywhere), then the tiny
+    per-group threshold table broadcast-joins back for one filter
+    pass. No row-level sort, no collect; two linear passes like the
+    global operator. Same tie contract: every doc scoring exactly the
+    group's threshold is kept (deterministic overshoot bounded by the
+    tie mass).
+
+    Rows whose group value is NULL are excluded (both the Spark plan
+    and the SQL oracle inner-join on the group columns). Returns the
+    scored rows plus the group columns and the group's
+    ``threshold_milli``."""
+    from sales_data_warehouse_spark.operators.text import quality_logit
+
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if not groups:
+        raise ValueError("quality_select_top_grouped: group_cols is empty")
+    scored = quality_logit(docs, text_col=text_col).join(
+        docs.select(id_col, *groups), id_col
+    )
+    hist = scored.groupBy(*groups, "logit_milli").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("logit_milli").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*groups)
+    thresholds = (
+        hist.withColumn("_cum", F.sum("_cnt").over(w_cum))
+        .withColumn("_n", F.sum("_cnt").over(w_tot))
+        .filter(
+            F.col("_cum") * F.lit(1000)
+            >= F.col("_n") * F.lit(keep_permille)
+        )
+        .groupBy(*groups)
+        .agg(F.max("logit_milli").alias("threshold_milli"))
+    )
+    return scored.join(F.broadcast(thresholds), groups).filter(
+        F.col("logit_milli") >= F.col("threshold_milli")
+    )

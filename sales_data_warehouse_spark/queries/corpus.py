@@ -7045,6 +7045,130 @@ def importance_model_persisted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "quality_select_grouped",
+    r"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(LEN(REGEXP_EXTRACT_ALL(
+                    LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST((n_punct * 1000000) // n_chars AS BIGINT) AS punct_ppm,
+             CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS stop_ppm
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, lang, n_tokens, punct_ppm, stop_ppm,
+             CAST(-500 + 2 * n_tokens + (-40) * (punct_ppm // 1000)
+                  + 90 * (stop_ppm // 1000) AS BIGINT) AS logit_milli,
+             (-500 + 2 * n_tokens + (-40) * (punct_ppm // 1000)
+              + 90 * (stop_ppm // 1000)) >= 0 AS keep
+      FROM p
+    ),
+    h AS (
+      SELECT lang, logit_milli, COUNT(*) AS cnt
+      FROM s GROUP BY lang, logit_milli
+    ),
+    c AS (
+      SELECT lang, logit_milli,
+             SUM(cnt) OVER (PARTITION BY lang
+                            ORDER BY logit_milli DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n_g
+      FROM h
+    ),
+    t AS (
+      SELECT lang, CAST(MAX(logit_milli) AS BIGINT) AS threshold_milli
+      FROM c WHERE cum * 1000 >= n_g * 300
+      GROUP BY lang
+    )
+    SELECT s.lang, s.doc_id, s.n_tokens, s.punct_ppm, s.stop_ppm,
+           s.logit_milli, s.keep, t.threshold_milli
+    FROM s JOIN t USING (lang)
+    WHERE s.logit_milli >= t.threshold_milli
+    """,
+)
+def quality_select_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-quality selection (round 11, corpus entry #167):
+    ``sampling.quality_select_top_grouped`` — the best 30 % of EACH
+    language by the integer quality logit, the balanced version of
+    ``quality_select_top`` (a global threshold hollows out
+    low-resource languages whose score distributions sit lower).
+
+    EXACT oracle: per-group thresholds derive from a cumulative count
+    over the (lang, logit) histogram with the pure-integer cutoff
+    ``1000·cum >= n_g·300`` — no division, no float, no sort of the
+    corpus in either engine; ties at a group's threshold all kept
+    (the global entry's documented overshoot contract, per group).
+    Unlike the global operator's driver-side histogram walk this plan
+    is fully distributed: the window runs over the histogram, and the
+    per-group threshold table broadcast-joins back."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.quality_select_top_grouped(
+        docs, keep_permille=300, group_cols="lang"
+    )
+
+
+@query(
+    "ngram_novelty",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) - 2),
+                 i -> STRING_SPLIT_REGEX(LOWER(text), '\s+')[i] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+1] || ' ' ||
+                      STRING_SPLIT_REGEX(LOWER(text), '\s+')[i+2]
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ),
+    dfq AS (
+      SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST((SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM ex e JOIN dfq d USING (shingle)
+    GROUP BY e.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty (round 11, corpus entry #168):
+    ``text.ngram_novelty`` — the exact-ppm fraction of a document's
+    distinct 3-gram shingles that appear in no other document, the
+    diversity/boilerplate signal dual to the dedup family (pair
+    overlap asks "which docs collide"; novelty asks "how much of THIS
+    doc is corpus-unique" — template spam scores ~0, fresh material
+    ~1e6).
+
+    EXACT oracle: the shared shingle definition (#159's SQL kernel),
+    df by one shingle groupBy (count = document frequency because
+    shingles are per-doc distinct), and ``n_unique·1e6 DIV
+    n_shingles`` — pure BIGINT arithmetic in both engines. Documents
+    with fewer than 3 tokens have no shingles and are absent in both
+    engines."""
+    return text.ngram_novelty(load_table(spark, sf, "documents"))
+
+
+@query(
     "importance_resample_grouped",
     _DSIR_SCORE_CTES
     + r""",
@@ -7158,11 +7282,16 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # verbatim-shared #163 oracle), and entry #166
 # (importance_resample_grouped, the per-group DSIR draw — global fit,
 # grouped Gumbel-top-k via sampling.importance_resample_grouped —
-# exact replay oracle in the #161 QUALIFY shape), all after
+# exact replay oracle in the #161 QUALIFY shape), entry #167
+# (quality_select_grouped, the per-group top-quality gate via
+# sampling.quality_select_top_grouped — exact oracle, fully
+# distributed histogram thresholds), and entry #168 (ngram_novelty,
+# the corpus-unique-shingle diversity score via text.ngram_novelty —
+# exact integer-ppm oracle), all after
 # position 50, local dual-sf parity green this round. r12 candidates
-# are therefore the ten r8-stale entries slipped above + #161-#166
-# (never-rowed) + the 50 r9-rowed entries = 66 for 50 slots ->
-# SIXTEEN slips from the r9 cohort (N-150 = 16 at N=166), designated
+# are therefore the ten r8-stale entries slipped above + #161-#168
+# (never-rowed) + the 50 r9-rowed entries = 68 for 50 slots ->
+# EIGHTEEN slips from the r9 cohort (N-150 = 18 at N=168), designated
 # per policy (proven-stable, >= 3 consecutive greens — i.e. the
 # r3/r6/r9-rowed subcohort; code untouched since the last row;
 # truth-set twins and redundantly-pinned entries first):
@@ -7207,7 +7336,14 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #      re-verified type-strictly by the parity suite each session,
 #      and a HEADLINE bench member timed every round at sf0.1 AND in
 #      the sf1 scaling block — the dedup_exact/doc_chunking slip
-#      rationale).
+#      rationale);
+#  17. session_stats (greens r3/r6/r9; its gap rule is shared with
+#      sessionize, a HEADLINE bench member timed every round that
+#      stays in the r12 window — twin-keeps-cadence);
+#  18. zscore_outliers (greens r3/r6/r9; timeseries.py untouched
+#      since before the r9 row; the decimal-exact-moments kernel
+#      family is re-rowed in r12 via trend_slope_per_user, which
+#      stays in the window).
 # dedup_edit_distance (single r9 row), asof_join_nearest,
 # dedup_canonical_text, dedup_containment_capped (two rows each) are
 # NOT slip-eligible and stay in the r12 window. If any designated
@@ -7218,7 +7354,7 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # Staleness after this round: nothing older than r8 except nothing —
 # the six r7-stale entries are rowed this round; the ten designated
 # slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
-# entries except #161-#166 (registered this round, first in line for
+# entries except #161-#168 (registered this round, first in line for
 # r12); every entry whose code changed since its last row has a row
 # postdating the change (jsonl_roundtrip, fuzzy_join_minhash, and
 # weighted_sample — the three r11-touched surfaces — are all in this

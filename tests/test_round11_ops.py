@@ -463,3 +463,69 @@ def test_ivf_pre_generation_index_back_compat(spark, tmp_path):
     fs_delete(spark, f"{path}/centers/_generation")
     idx = similarity.load_ivf_index(spark, path)
     assert similarity.ivf_search(idx, emb.limit(2), k=3, nprobe=4).count() == 6
+
+
+# --- r11 late additions: grouped quality gate + n-gram novelty ---------
+
+
+def test_quality_select_grouped_equals_global_per_group(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sampling.quality_select_top_grouped(
+        docs, keep_permille=300, group_cols="lang"
+    )
+    by_group = {
+        r.lang: set()
+        for r in docs.select("lang").distinct().collect()
+    }
+    for r in got.collect():
+        by_group[r.lang].add((r.doc_id, r.threshold_milli))
+    for lang in by_group:
+        sub = sampling.quality_select_top(
+            docs.filter(F.col("lang") == lang), keep_permille=300
+        )
+        want = {(r.doc_id, r.threshold_milli) for r in sub.collect()}
+        assert by_group[lang] == want, lang
+    with pytest.raises(ValueError, match="group_cols"):
+        sampling.quality_select_top_grouped(docs, group_cols=[])
+
+
+def test_quality_select_grouped_keeps_threshold_ties(spark):
+    # two groups; group "a" has a tie mass exactly at the cutoff score
+    rows = [
+        (1, "a", "x " * 50),   # same score
+        (2, "a", "x " * 50),   # same score (tie at threshold)
+        (3, "a", "x " * 5),
+        (4, "a", "x " * 5),
+        (5, "b", "y " * 80),
+        (6, "b", "y " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = sampling.quality_select_top_grouped(
+        docs, keep_permille=300, group_cols="lang"
+    )
+    ids = {r.doc_id for r in got.collect()}
+    # ceil(4*0.3)=2 for group a -> the two tied top docs; ceil(2*0.3)=1
+    assert ids == {1, 2, 5}
+
+
+def test_ngram_novelty_exact(spark):
+    from sales_data_warehouse_spark.operators import text as text_ops
+
+    rows = [
+        (1, "a b c d"),        # shingles: "a b c","b c d" (dup with doc 2)
+        (2, "a b c d"),        # exact duplicate -> novelty 0
+        (3, "p q r s"),        # all unique -> novelty 1e6
+        (4, "a b c z z2"),     # "a b c" shared(df=3), "b c z","c z z2" unique
+        (5, "one two"),        # < 3 tokens -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_unique, r.novelty_ppm)
+        for r in text_ops.ngram_novelty(docs).collect()
+    }
+    assert got == {
+        1: (2, 0, 0),
+        2: (2, 0, 0),
+        3: (2, 2, 1_000_000),
+        4: (3, 2, 666_666),
+    }
