@@ -549,6 +549,9 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
     # dividing out, not a super-linear stage.
     if "ngram_novelty" in extras:
         extras["ngram_novelty"]["scaling_note"] = (
+            "base > x10 is the single-file sf0.1 layout artifact "
+            "(one-task shingle build; the x10 replicas are 32-file — "
+            "see the block scaling_note): "
             "fixed-overhead + linear shingle-build CPU: isolated "
             "1x/3x/10x = 1.82/2.91/8.21 s (fixed ~1.2 s + ~0.7 "
             "s/copy, measured r11); join-free df-min(doc) shape — "
