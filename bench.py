@@ -542,21 +542,20 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
         )
     # r11 pre-attribution for ngram_novelty's first bench appearance:
     # isolated 1x/3x/10x on the attrib replica scheme measured
-    # 1.82/2.91/8.21 s — fixed ~1.2 s + ~0.7 s/copy, the linear
-    # shingle-construction CPU (the join-free rewrite already removed
-    # the occurrence-set SMJ, cutting marginal cost 0.87 -> 0.67-0.76
-    # s/copy); an in-bench ratio near 4 is that fixed overhead
-    # dividing out, not a super-linear stage.
+    # 1.62/2.99/7.74 s — fixed ~0.95 s + a CONSTANT 0.68 s/copy
+    # marginal (exactly linear, no super-linear stage; the join-free
+    # single-explode shape cut the occurrence-join formulation's
+    # 0.87 s/copy). An in-bench base > x10 inversion is the
+    # single-file sf0.1 layout artifact.
     if "ngram_novelty" in extras:
         extras["ngram_novelty"]["scaling_note"] = (
             "base > x10 is the single-file sf0.1 layout artifact "
             "(one-task shingle build; the x10 replicas are 32-file — "
-            "see the block scaling_note): "
-            "fixed-overhead + linear shingle-build CPU: isolated "
-            "1x/3x/10x = 1.82/2.91/8.21 s (fixed ~1.2 s + ~0.7 "
-            "s/copy, measured r11); join-free df-min(doc) shape — "
-            "marginal cost already cut 0.87 -> 0.67-0.76 s/copy vs "
-            "the occurrence-join formulation"
+            "see the block scaling_note); isolated 1x/3x/10x = "
+            "1.62/2.99/7.74 s — fixed ~0.95 s + a constant 0.68 "
+            "s/copy marginal, exactly linear (join-free "
+            "single-explode df-min(doc) shape; the occurrence-join "
+            "formulation measured 0.87 s/copy)"
         )
     # r11 attribution of importance_resample's first-bench ratio
     # (3.13): the corpus entry runs EXACT-VOCABULARY mode (the oracle

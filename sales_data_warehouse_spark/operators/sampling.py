@@ -335,6 +335,11 @@ def quality_select_top(
     """
     from sales_data_warehouse_spark.operators.text import quality_logit
 
+    if not 0 < keep_permille <= 1000:
+        raise ValueError(
+            f"quality_select_top: keep_permille ({keep_permille}) "
+            "must be in (0, 1000]"
+        )
     scored = quality_logit(docs, text_col=text_col)
     # ONE corpus aggregate: the (score, count) histogram is
     # distinct-score-sized — collect it whole and derive both the total
@@ -1049,16 +1054,24 @@ def quality_select_top_grouped(
     Rows whose group value is NULL are excluded (both the Spark plan
     and the SQL oracle inner-join on the group columns). Returns the
     scored rows plus the group columns and the group's
-    ``threshold_milli``."""
+    ``threshold_milli``. The group columns ride the scorer's single
+    projection (``quality_logit(carry_cols=...)``) — no corpus-to-
+    corpus join anywhere in the plan; the only join is the broadcast
+    of the group-count-sized threshold table."""
     from sales_data_warehouse_spark.operators.text import quality_logit
 
+    if not 0 < keep_permille <= 1000:
+        raise ValueError(
+            f"quality_select_top_grouped: keep_permille "
+            f"({keep_permille}) must be in (0, 1000]"
+        )
     groups = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
     if not groups:
         raise ValueError("quality_select_top_grouped: group_cols is empty")
-    scored = quality_logit(docs, text_col=text_col).join(
-        docs.select(id_col, *groups), id_col
+    scored = quality_logit(
+        docs, text_col=text_col, id_col=id_col, carry_cols=groups
     )
     hist = scored.groupBy(*groups, "logit_milli").agg(
         F.count(F.lit(1)).alias("_cnt")

@@ -652,6 +652,8 @@ def quality_logit(
     docs: DataFrame,
     keep_threshold_milli: int = 0,
     text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Linear quality classifier over the ``text_quality`` features,
     entirely in scaled-integer space: ratios become exact ppm integers
@@ -662,9 +664,13 @@ def quality_logit(
     thresholding the logit IS thresholding the probability — the
     keep/drop decision needs no transcendental math.
 
-    Output: (doc_id, n_tokens, punct_ppm, stop_ppm, logit_milli, keep).
-    One scan, no shuffle, no UDF.
+    Output: (id_col, n_tokens, punct_ppm, stop_ppm, logit_milli, keep),
+    plus any ``carry_cols`` passed through unchanged (so callers that
+    need grouping columns downstream get them in the SAME single
+    projection instead of joining the corpus back to itself). One
+    scan, no shuffle, no UDF.
     """
+    carry = list(carry_cols or [])
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
     n_tok = token_count(t)
@@ -675,14 +681,16 @@ def quality_logit(
     ).cast("bigint")
     w = QUALITY_LOGIT_WEIGHTS
     base = docs.select(
-        "doc_id",
+        id_col,
+        *carry,
         n_tok.alias("n_tokens"),
         (n_punct * F.lit(1_000_000)).alias("_pp_num"),
         n_chars.alias("_nc"),
         (n_stop * F.lit(1_000_000)).alias("_sp_num"),
     )
     base = base.select(
-        "doc_id",
+        id_col,
+        *carry,
         "n_tokens",
         F.expr("_pp_num DIV _nc").alias("punct_ppm"),
         F.expr("_sp_num DIV n_tokens").alias("stop_ppm"),
@@ -1294,22 +1302,28 @@ def ngram_novelty(
     once; ONE map-side-combinable groupBy on the shingle computes
     ``(df, min(doc))`` — count equals document frequency because
     shingles are per-doc distinct, and a df = 1 shingle belongs to
-    EXACTLY one document, so ``min(doc)`` is its owner. Unique counts
-    then aggregate doc-keyed from the df = 1 rows and join the per-doc
-    shingle totals — two doc-sized frames, never a shingle-keyed join
-    of the full occurrence set (the naive formulation's string-keyed
-    sort-merge join of every occurrence measured 0.87 s marginal per
-    added corpus copy; this shape measures 0.67–0.76 — the remaining
-    cost is the linear shingle construction itself, isolated 1×/3×/10×
-    = 1.82/2.91/8.21 s, fixed ~1.2 s). All counts BIGINT; ``novelty_ppm``
+    EXACTLY one document, so ``min(doc)`` is its owner; per-doc totals
+    come from the PRE-explode array size, so the whole plan has ONE
+    explode (plan-pinned). Unique counts then aggregate doc-keyed from
+    the df = 1 rows and join the per-doc shingle totals — two
+    doc-sized frames, never a shingle-keyed join of the full
+    occurrence set (the occurrence-join formulation measured 0.87 s
+    marginal per added corpus copy; this shape measures a CONSTANT
+    0.68 — isolated 1×/3×/10× = 1.62/2.99/7.74 s, fixed ~0.95 s,
+    marginal flat step-over-step: exactly linear). All counts BIGINT;
+    ``novelty_ppm``
     is ``n_unique·1e6 DIV n_shingles`` — pure integer arithmetic,
     exact in any engine. Documents with fewer than ``n`` tokens have
     no shingles and are absent from the output (no evidence either
     way — the ``unigram_surprisal`` NULL-text convention)."""
     sh = doc_shingles(docs, text_col, id_col, n)
     ex = sh.select("doc", F.explode("shingles").alias("shingle"))
-    totals = ex.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    # per-doc totals come from the PRE-explode array size — no second
+    # explode (the shingle build is the dominant linear cost) and no
+    # doc-keyed shuffle of the occurrence set; the size>0 filter keeps
+    # the absent-short-docs convention the explode branch has anyway
+    totals = sh.filter(F.size("shingles") > 0).select(
+        "doc", F.size("shingles").cast("bigint").alias("n_shingles")
     )
     uniques = (
         ex.groupBy("shingle")

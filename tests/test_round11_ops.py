@@ -529,3 +529,47 @@ def test_ngram_novelty_exact(spark):
         3: (2, 2, 1_000_000),
         4: (3, 2, 666_666),
     }
+
+
+def test_quality_select_grouped_custom_id_and_guards(spark):
+    rows = [(1, "a", "x " * 50), (2, "a", "x " * 5), (3, "b", "y " * 9)]
+    docs = spark.createDataFrame(
+        rows, "my_id bigint, lang string, text string"
+    )
+    got = sampling.quality_select_top_grouped(
+        docs, keep_permille=500, group_cols="lang", id_col="my_id"
+    )
+    assert {r.my_id for r in got.collect()} == {1, 3}
+    # no corpus-to-corpus join: the only join in the plan is the
+    # broadcast of the threshold table
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    for fn in (
+        sampling.quality_select_top_grouped,
+        sampling.quality_select_top,
+    ):
+        for bad in (0, -5, 1001):
+            with pytest.raises(ValueError, match="keep_permille"):
+                kw = (
+                    {"group_cols": "lang"}
+                    if fn is sampling.quality_select_top_grouped
+                    else {}
+                )
+                fn(docs.withColumnRenamed("my_id", "doc_id"),
+                   keep_permille=bad, **kw)
+
+
+def test_ngram_novelty_single_explode_plan(spark):
+    from sales_data_warehouse_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        text_ops.ngram_novelty(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # totals come from the pre-explode array size: exactly ONE
+    # Generate (explode) in the whole plan — the shingle build is the
+    # dominant linear cost and must not run twice
+    assert plan.count("Generate explode") == 1
