@@ -474,3 +474,49 @@ def test_streaming_scores_keep_null_text_and_guard_lineage(
         checkpoint_dir=str(tmp_path / "ckpt_a"), available_now=True,
     )
     q2.awaitTermination(120)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "omega", "zeta", "psi"]
+)
+_TEXTS = st.lists(_WORDS, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw_rows=st.lists(_TEXTS, min_size=1, max_size=8),
+    tgt_rows=st.lists(_TEXTS, min_size=1, max_size=5),
+    bigrams=st.booleans(),
+)
+def test_importance_scores_match_mirror_on_random_corpora(
+    spark, raw_rows, tgt_rows, bigrams
+):
+    """Property: the integer micro-nat arithmetic is EXACTLY the Python
+    mirror on arbitrary small corpora — any partitioning, any vocab
+    overlap pattern, unigram or bigram bag. Floors of 1e6·ln(rational)
+    agree because both engines compute the same IEEE ln of identical
+    operands (the boundary-collision probability argument in the
+    corpus entry's docstring)."""
+    raw = spark.createDataFrame(
+        list(enumerate(raw_rows)), "doc_id bigint, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(tgt_rows)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_features, r.importance_micronats)
+        for r in sampling.importance_scores(
+            raw, tgt, bigrams=bigrams
+        ).collect()
+    }
+    assert got == _mirror_scores(
+        list(enumerate(raw_rows)), tgt_rows, bigrams=bigrams
+    )
