@@ -1,0 +1,126 @@
+"""Driver-window rotation audit: the OPERATORS.md capacity-policy
+invariants, checked programmatically instead of by hand.
+
+Reads every committed ``CORRECTNESS_r*.json`` plus the live registry
+(``FIRST_50``, registration order) and verifies:
+
+  1. GREEN HISTORY — every entry's LATEST hard driver row is green
+     (rows_match, schema_match, and hash_match where present). A red
+     latest row is the one thing the policy never tolerates.
+  2. STALENESS BOUND — every previously-rowed entry either has a row
+     within the last ``max_age`` rounds (⌈N/50⌉, = 4 for 150 < N ≤ 200)
+     or is in the CURRENT window (about to be re-rowed).
+  3. NEVER-ROWED PIPELINE — every registered entry with no hard row
+     yet is either in the current window or was registered after
+     position 50 this cycle (first in line for the next window);
+     anything else is a dropped entry.
+
+Prints the freshness histogram (the OPERATORS.md table, derived rather
+than hand-written) and one JSON verdict line; exits non-zero on any
+violation so the round wrap-up can gate on it:
+
+    python tools/window_audit.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_history() -> dict[int, dict]:
+    """round -> {entry: row} for every committed correctness file."""
+    hist = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        with open(path) as fh:
+            hist[int(m.group(1))] = json.load(fh)
+    return hist
+
+
+def row_green(row: dict) -> bool:
+    """A hard driver row is green when every *_match flag it carries is
+    true (hash_match is absent on rows-only checks — those count as
+    green if rows/schema match, which is exactly the driver's weaker
+    gate for non-SQL-expressible entries)."""
+    flags = [v for k, v in row.items() if k.endswith("_match")]
+    return bool(flags) and all(bool(v) for v in flags)
+
+
+def audit() -> dict:
+    from sales_data_warehouse_spark.queries.corpus import FIRST_50, QUERIES
+
+    hist = load_history()
+    if not hist:
+        return {"ok": False, "error": "no CORRECTNESS files found"}
+    current_round = max(hist) + 1  # the round being built now
+    n = len(QUERIES)
+    max_age = math.ceil(n / 50)
+
+    latest: dict[str, int] = {}
+    latest_green: dict[str, bool] = {}
+    for rnd in sorted(hist):
+        for name, row in hist[rnd].items():
+            if name not in QUERIES:
+                continue  # renamed/retired entries are out of scope
+            latest[name] = rnd
+            latest_green[name] = row_green(row)
+
+    red = sorted(k for k, v in latest_green.items() if not v)
+    order = list(QUERIES)
+    window = set(FIRST_50)
+
+    stale = sorted(
+        name
+        for name, rnd in latest.items()
+        if current_round - rnd > max_age - 1 and name not in window
+    )
+    never = [name for name in order if name not in latest]
+    dropped = sorted(
+        name
+        for name in never
+        if name not in window and order.index(name) < 50
+    )
+
+    ages: dict[int, int] = {}
+    for name, rnd in latest.items():
+        ages[current_round - rnd] = ages.get(current_round - rnd, 0) + 1
+
+    verdict = {
+        "ok": not (red or stale or dropped),
+        "round_being_built": current_round,
+        "n_entries": n,
+        "max_age_bound": max_age,
+        "red_latest_rows": red,
+        "stale_beyond_bound": stale,
+        "never_rowed_total": len(never),
+        "never_rowed_pending_next_window": sorted(
+            x for x in never if x not in window
+        ),
+        "never_rowed_in_current_window": sorted(
+            x for x in never if x in window
+        ),
+        "dropped_entries": dropped,
+        "freshness_histogram": {
+            f"age_{a}": c for a, c in sorted(ages.items())
+        },
+    }
+    return verdict
+
+
+def main() -> int:
+    v = audit()
+    print(json.dumps(v, indent=1, sort_keys=True))
+    return 0 if v.get("ok") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
