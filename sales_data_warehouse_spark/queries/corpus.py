@@ -7169,6 +7169,50 @@ def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "phrase_search",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             STRING_SPLIT_REGEX(LOWER(text), '\s+') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN LEN(w) >= 2 THEN
+               LIST_FILTER(
+                 GENERATE_SERIES(1, LEN(w) - 1),
+                 i -> w[i] = 'table' AND w[i+1] = 'hash'
+               )
+             ELSE [] END AS starts
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(LEN(starts) AS BIGINT) AS n_matches,
+           CAST(starts[1] AS BIGINT) AS first_pos
+    FROM m
+    WHERE LEN(starts) > 0
+    """,
+)
+def phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search (round 11, corpus entry #169):
+    ``text.phrase_match`` for the consecutive-token phrase
+    "table hash" — the retrieval shape the bag-of-words rankers
+    (tf-idf, BM25) cannot express: both tokens occur in most synthetic
+    documents, but only ADJACENT IN ORDER counts.
+
+    EXACT oracle: the same candidate-position filter arithmetic —
+    1-based start offsets where every phrase term matches by
+    ``element_at`` — with the short-doc branch explicit on the Spark
+    side (``sequence`` DESCENDS below the start where DuckDB's
+    ``generate_series`` returns empty). Pure integer outputs
+    (n_matches, first_pos); one scan, zero shuffles, zero UDFs in the
+    plan."""
+    return text.phrase_match(
+        load_table(spark, sf, "documents"), "table hash"
+    )
+
+
+@query(
     "importance_resample_grouped",
     _DSIR_SCORE_CTES
     + r""",
@@ -7287,11 +7331,13 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # sampling.quality_select_top_grouped — exact oracle, fully
 # distributed histogram thresholds), and entry #168 (ngram_novelty,
 # the corpus-unique-shingle diversity score via text.ngram_novelty —
-# exact integer-ppm oracle), all after
+# exact integer-ppm oracle), and entry #169 (phrase_search, exact
+# consecutive-token phrase retrieval via text.phrase_match — exact
+# oracle, one scan / zero shuffles), all after
 # position 50, local dual-sf parity green this round. r12 candidates
-# are therefore the ten r8-stale entries slipped above + #161-#168
-# (never-rowed) + the 50 r9-rowed entries = 68 for 50 slots ->
-# EIGHTEEN slips from the r9 cohort (N-150 = 18 at N=168), designated
+# are therefore the ten r8-stale entries slipped above + #161-#169
+# (never-rowed) + the 50 r9-rowed entries = 69 for 50 slots ->
+# NINETEEN slips from the r9 cohort (N-150 = 19 at N=169), designated
 # per policy (proven-stable, >= 3 consecutive greens — i.e. the
 # r3/r6/r9-rowed subcohort; code untouched since the last row;
 # truth-set twins and redundantly-pinned entries first):
@@ -7343,7 +7389,11 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #  18. zscore_outliers (greens r3/r6/r9; timeseries.py untouched
 #      since before the r9 row; the decimal-exact-moments kernel
 #      family is re-rowed in r12 via trend_slope_per_user, which
-#      stays in the window).
+#      stays in the window);
+#  19. gap_fill_locf (greens r3/r6/r9; timeseries.py untouched since
+#      before the r9 row; the ignorenulls frame-window surface
+#      carries a fresh r11 row via window_frame_first_last, which
+#      also stays in the r12 window).
 # dedup_edit_distance (single r9 row), asof_join_nearest,
 # dedup_canonical_text, dedup_containment_capped (two rows each) are
 # NOT slip-eligible and stay in the r12 window. If any designated
@@ -7354,7 +7404,7 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # Staleness after this round: nothing older than r8 except nothing —
 # the six r7-stale entries are rowed this round; the ten designated
 # slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
-# entries except #161-#168 (registered this round, first in line for
+# entries except #161-#169 (registered this round, first in line for
 # r12); every entry whose code changed since its last row has a row
 # postdating the change (jsonl_roundtrip, fuzzy_join_minhash, and
 # weighted_sample — the three r11-touched surfaces — are all in this

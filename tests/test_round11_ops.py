@@ -573,3 +573,37 @@ def test_ngram_novelty_single_explode_plan(spark):
     # Generate (explode) in the whole plan — the shingle build is the
     # dominant linear cost and must not run twice
     assert plan.count("Generate explode") == 1
+
+
+def test_phrase_match_exact_and_plan(spark):
+    from sales_data_warehouse_spark.operators import text as text_ops
+
+    rows = [
+        (1, "Table hash table hash join"),   # overlapping-start matches
+        (2, "table join hash"),              # both tokens, NOT adjacent
+        (3, "the table hash"),               # one match at pos 2
+        (4, "table"),                        # shorter than the phrase
+        (5, "hash table"),                   # wrong order
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in text_ops.phrase_match(docs, "Table HASH").collect()
+    }
+    assert got == {1: (2, 1), 3: (1, 2)}
+    # three-term phrase
+    got3 = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in text_ops.phrase_match(docs, ["table", "hash", "join"]).collect()
+    }
+    assert got3 == {1: (1, 3)}
+    with pytest.raises(ValueError, match="phrase"):
+        text_ops.phrase_match(docs, [])
+    # single scan, zero shuffles: no Exchange anywhere in the plan
+    plan = (
+        text_ops.phrase_match(docs, "table hash")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
