@@ -1408,3 +1408,122 @@ def phrase_match(
             F.element_at("_starts", 1).cast("bigint").alias("first_pos"),
         )
     )
+
+
+class PhraseIndex:
+    """Positional postings for repeated phrase workloads: one row per
+    (doc, term) with the term's 1-based position list — the build half
+    of the phrase build/search split (``phrase_match`` is the
+    scan-side twin and the verification oracle)."""
+
+    def __init__(self, postings: DataFrame, id_col: str = "doc_id"):
+        self.postings = postings
+        self.id_col = id_col
+
+
+def build_phrase_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> PhraseIndex:
+    """Tokenize the corpus ONCE into positional postings (the
+    ``TextIndex`` economics: repeated phrase queries stop re-scanning
+    the text). One posexplode + one (doc, term) groupBy; positions are
+    1-based (``phrase_match``'s convention) and sorted, so downstream
+    intersections inherit ascending order. ``pbucket`` is the 64-way
+    term-hash partition key — a k-term phrase search prunes the
+    persisted scan to ≤ k of 64 directories."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "term"
+        ),
+    )
+    postings = (
+        toks.groupBy(id_col, "term")
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos") + 1)).alias(
+                "positions"
+            )
+        )
+        .withColumn(
+            "pbucket", F.pmod(F.xxhash64("term"), F.lit(_PBUCKETS))
+        )
+    )
+    return PhraseIndex(postings, id_col)
+
+
+def save_phrase_index(index: PhraseIndex, path: str) -> None:
+    """Persist partitioned by ``pbucket`` so a reopened search's term
+    filter becomes partition pruning (the ``save_text_index``
+    layout)."""
+    index.postings.write.mode("overwrite").partitionBy(
+        "pbucket"
+    ).parquet(f"{path}/postings")
+
+
+def load_phrase_index(spark, path: str, id_col: str = "doc_id") -> PhraseIndex:
+    """Reopen a saved index; the postings stay a lazy partitioned scan."""
+    return PhraseIndex(
+        spark.read.parquet(f"{path}/postings"), id_col
+    )
+
+
+def phrase_search_indexed(
+    index: PhraseIndex,
+    phrase: str | list[str],
+) -> DataFrame:
+    """Phrase search over the positional index — must return EXACTLY
+    ``phrase_match``'s rows (the suite pins indexed ≡ scan on real
+    documents, duplicate-term phrases included).
+
+    Plan: per phrase term one filtered slice of the postings (k
+    partition-pruned reads of the persisted layout), inner-joined on
+    the doc id, then pure array arithmetic — term j's positions shift
+    by −j and the running ``array_intersect`` leaves exactly the
+    1-based start offsets where every term matches in order. Join
+    fan-in is k doc-keyed frames each ≤ corpus-docs rows — no
+    positional explode, no shuffle of raw text."""
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms]
+    if not terms:
+        raise ValueError("phrase_search_indexed: phrase is empty")
+    id_col = index.id_col
+    # Every side's columns (INCLUDING the join key) are renamed per
+    # term BEFORE joining: the k sides are slices of the SAME postings
+    # frame, and a USING-style self-join lets Spark conflate the
+    # per-term filters (observed: term='table' AND term='hash'
+    # collapsing to an empty result). Distinct names per side make the
+    # plans unambiguous by construction.
+    def _shift(offset: int):
+        # a dedicated factory, NOT `lambda x, _j=j`: pyspark counts the
+        # lambda's parameters to pick the unary vs (element, index)
+        # form, so a defaulted second parameter silently becomes the
+        # ARRAY INDEX and the shift evaluates as x - position_in_array
+        return lambda x: x - F.lit(offset)
+
+    sides = []
+    for j, t in enumerate(terms):
+        sides.append(
+            index.postings.filter(F.col("term") == t).select(
+                F.col(id_col).alias(f"_d{j}"),
+                F.transform("positions", _shift(j)).alias(f"_p{j}"),
+            )
+        )
+    joined = sides[0]
+    for j in range(1, len(terms)):
+        joined = joined.join(
+            sides[j], F.col("_d0") == F.col(f"_d{j}")
+        )
+    starts = F.col("_p0")
+    for j in range(1, len(terms)):
+        starts = F.array_intersect(starts, F.col(f"_p{j}"))
+    return (
+        joined.withColumn("_starts", starts)
+        .filter(F.size("_starts") > 0)
+        .select(
+            F.col("_d0").alias(id_col),
+            F.size("_starts").cast("bigint").alias("n_matches"),
+            F.array_min("_starts").cast("bigint").alias("first_pos"),
+        )
+    )
