@@ -1454,18 +1454,25 @@ def build_phrase_index(
 
 
 def save_phrase_index(index: PhraseIndex, path: str) -> None:
-    """Persist partitioned by ``pbucket`` so a reopened search's term
-    filter becomes partition pruning (the ``save_text_index``
-    layout)."""
+    """Persist partitioned by ``pbucket`` so a reopened search's bucket
+    filter becomes partition pruning, plus a 1-row stats parquet with
+    the id column name (the ``save_text_index`` layout — without it a
+    non-default ``id_col`` index would silently reopen broken)."""
     index.postings.write.mode("overwrite").partitionBy(
         "pbucket"
     ).parquet(f"{path}/postings")
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.id_col,)], "id_col string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
-def load_phrase_index(spark, path: str, id_col: str = "doc_id") -> PhraseIndex:
-    """Reopen a saved index; the postings stay a lazy partitioned scan."""
+def load_phrase_index(spark, path: str) -> PhraseIndex:
+    """Reopen a saved index; the postings stay a lazy partitioned scan
+    and the id column name comes from the persisted stats."""
+    row = spark.read.parquet(f"{path}/stats").collect()[0]
     return PhraseIndex(
-        spark.read.parquet(f"{path}/postings"), id_col
+        spark.read.parquet(f"{path}/postings"), row["id_col"]
     )
 
 
@@ -1477,18 +1484,38 @@ def phrase_search_indexed(
     ``phrase_match``'s rows (the suite pins indexed ≡ scan on real
     documents, duplicate-term phrases included).
 
-    Plan: per phrase term one filtered slice of the postings (k
-    partition-pruned reads of the persisted layout), inner-joined on
-    the doc id, then pure array arithmetic — term j's positions shift
+    Plan: per phrase term one filtered slice of the postings —
+    ``pbucket`` equality FIRST (computed to literals driver-side, the
+    ``bm25_search`` pattern: a data-side ``term = t`` filter alone
+    cannot be turned into partition pruning, measured
+    ``PartitionFilters: []``), then the term itself — inner-joined on
+    the doc id, then pure array arithmetic: term j's positions shift
     by −j and the running ``array_intersect`` leaves exactly the
     1-based start offsets where every term matches in order. Join
     fan-in is k doc-keyed frames each ≤ corpus-docs rows — no
-    positional explode, no shuffle of raw text."""
+    positional explode, no shuffle of raw text.
+
+    On an UNSAVED index the postings are a lazy plan and each of the k
+    sides re-runs the build — ``save``/``load`` (or persist the
+    postings yourself) before repeated searches; the build exists to
+    be amortized, not re-run per term."""
     terms = phrase.split() if isinstance(phrase, str) else list(phrase)
     terms = [t.lower() for t in terms]
     if not terms:
         raise ValueError("phrase_search_indexed: phrase is empty")
     id_col = index.id_col
+    spark = index.postings.sparkSession
+    bucket_of = {
+        r["term"]: r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in set(terms)], "term string"
+        )
+        .select(
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(_PBUCKETS)).alias("b"),
+        )
+        .collect()
+    }
     # Every side's columns (INCLUDING the join key) are renamed per
     # term BEFORE joining: the k sides are slices of the SAME postings
     # frame, and a USING-style self-join lets Spark conflate the
@@ -1505,7 +1532,10 @@ def phrase_search_indexed(
     sides = []
     for j, t in enumerate(terms):
         sides.append(
-            index.postings.filter(F.col("term") == t).select(
+            index.postings.filter(
+                (F.col("pbucket") == F.lit(int(bucket_of[t])))
+                & (F.col("term") == t)
+            ).select(
                 F.col(id_col).alias(f"_d{j}"),
                 F.transform("positions", _shift(j)).alias(f"_p{j}"),
             )

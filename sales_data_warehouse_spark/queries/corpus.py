@@ -7419,7 +7419,7 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #     set is (last cycle's slips, which may not slip again) + (new
 #     never-rowed registrations) + (the oldest full 50-entry cohort);
 #     that is 50 + (N - 150) candidates for 50 slots. (r10: N=156 ->
-#     6 slips; r11: N=160 -> 10; r12: N=162 -> 12.)
+#     6 slips; r11: N=160 -> 10; r12: N=169 -> 19.)
 #   * MAX STALENESS = ceil(N/50) rounds (= 4 at 151-200): the window
 #     is composed GREEDY MOST-STALE-FIRST (ties by registration
 #     order), a slipped entry leads the next window by construction,

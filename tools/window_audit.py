@@ -10,10 +10,14 @@ Reads every committed ``CORRECTNESS_r*.json`` plus the live registry
   2. STALENESS BOUND — every previously-rowed entry either has a row
      within the last ``max_age`` rounds (⌈N/50⌉, = 4 for 150 < N ≤ 200)
      or is in the CURRENT window (about to be re-rowed).
-  3. NEVER-ROWED PIPELINE — every registered entry with no hard row
-     yet is either in the current window or was registered after
-     position 50 this cycle (first in line for the next window);
-     anything else is a dropped entry.
+  3. NEVER-ROWED PIPELINE — a never-rowed entry must not outlive the
+     "first in line for the next window" promise: its registration
+     round comes from the entry docstring's "(round N, corpus entry
+     #M)" convention, and a never-rowed entry registered in round R
+     must be rowed by round R+1 — i.e. it is DROPPED once the round
+     being built exceeds R+1 and it is still not in the current
+     window. Entries without a parsable registration round are
+     skipped (pre-convention registrations all carry rows).
 
 Prints the freshness histogram (the OPERATORS.md table, derived rather
 than hand-written) and one JSON verdict line; exits non-zero on any
@@ -37,10 +41,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_history() -> dict[int, dict]:
-    """round -> {entry: row} for every committed correctness file."""
+    """round -> {entry: row} for every committed correctness file.
+    Files matching the glob but not the strict ``_r<digits>.json``
+    name (stray backups and the like) are skipped, not crashed on."""
     hist = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
         with open(path) as fh:
             hist[int(m.group(1))] = json.load(fh)
     return hist
@@ -84,10 +92,18 @@ def audit() -> dict:
         if current_round - rnd > max_age - 1 and name not in window
     )
     never = [name for name in order if name not in latest]
+
+    def registered_round(name: str) -> int | None:
+        doc = (QUERIES[name].__doc__ or "")
+        m = re.search(r"\(round (\d+),\s+corpus\s+entry\s+#\d+", doc)
+        return int(m.group(1)) if m else None
+
     dropped = sorted(
         name
         for name in never
-        if name not in window and order.index(name) < 50
+        if name not in window
+        and (r := registered_round(name)) is not None
+        and current_round > r + 1
     )
 
     ages: dict[int, int] = {}
