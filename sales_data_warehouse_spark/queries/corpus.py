@@ -7447,6 +7447,70 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # above cannot silently shift which entries the driver checks — new
 # registrations land after position 50 until deliberately promoted here.
 
+#: The r12 window, PRE-COMPOSED from the policy above (the ten r11
+#: slips lead, then the nine never-rowed r11 registrations, then the
+#: 50 r9-rowed entries minus the nineteen designated slips — exactly
+#: 50). Next round's composer sets ``FIRST_50 = R12_FIRST_50_PLAN``
+#: (verbatim or with the code-change promotions the policy allows)
+#: instead of re-deriving the arithmetic; ``tests/test_driver_window``
+#: pins that this plan already satisfies every structural invariant.
+R12_FIRST_50_PLAN = (
+    # ten r11-slipped r8-stale entries (may not slip twice — they lead)
+    "set_except",
+    "anti_join",
+    "semi_join_having",
+    "distinct_dedup",
+    "scalar_aggregates",
+    "date_spine",
+    "string_functions",
+    "set_intersect",
+    "time_hierarchy",
+    "scd2_versions",
+    # first hard rows for the r11 registrations #161-169
+    "weighted_sample_grouped",
+    "fuzzy_join_minhash_exact",
+    "importance_weights",
+    "importance_resample",
+    "importance_model_persisted",
+    "importance_resample_grouped",
+    "quality_select_grouped",
+    "ngram_novelty",
+    "phrase_search",
+    # 31 of the 50 r9-rowed entries (nineteen designated slips — see
+    # the composer note above)
+    "dedup_edit_distance",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join_nearest",
+    "attribution_last_touch",
+    "bigram_surprisal",
+    "bpe_pair_counts",
+    "corpus_filter_pipeline",
+    "decontaminate_ngrams",
+    "dedup_canonical_text",
+    "dedup_containment_capped",
+    "doc_pii_scrub",
+    "doc_winnowing",
+    "embedding_stats",
+    "fuzzy_name_match",
+    "hypertable_rollup",
+    "mixture_interleave",
+    "range_join_weeks",
+    "repetition_quality",
+    "retention_cohorts",
+    "scalar_subquery_share",
+    "semantic_dedup",
+    "sketch_union_rollup",
+    "skew_salted_join",
+    "snapshot_upsert",
+    "stratified_sample",
+    "text_quality",
+    "token_budget_select",
+    "token_frequencies",
+    "trend_slope_per_user",
+    "value_histogram",
+)
+
 FIRST_50 = (
     # six r10-slipped r7-stale entries (may not slip twice — they lead)
     "dedup_embedding_cosine",

@@ -53,3 +53,50 @@ def test_no_complex_typed_output_columns(spark):
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"driver-incompatible output columns: {bad}"
+
+
+def test_r12_plan_satisfies_the_rotation_policy():
+    """The pre-composed next-round window must already satisfy every
+    structural invariant, so next round's composer is a verbatim swap,
+    not an arithmetic exercise: 50 unique registered entries, the ten
+    r11 slips all present (no entry slips twice in a row), every
+    never-rowed registration present (first in line), and none of the
+    nineteen designated slips present."""
+    import glob
+    import json
+
+    from sales_data_warehouse_spark.queries.corpus import (
+        R12_FIRST_50_PLAN,
+    )
+
+    plan = list(R12_FIRST_50_PLAN)
+    assert len(plan) == len(set(plan)) == 50
+    assert not [n for n in plan if n not in QUERIES]
+
+    rowed = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            rowed |= set(json.load(fh))
+    never_rowed = {n for n in QUERIES if n not in rowed}
+    # every never-rowed entry not already due in the CURRENT window is
+    # in the next-round plan (the "first in line" promise)
+    pending = never_rowed - set(FIRST_50)
+    assert pending <= set(plan), sorted(pending - set(plan))
+    # the ten r11 slips lead and may not slip again
+    r11_slips = {
+        "set_except", "anti_join", "semi_join_having", "distinct_dedup",
+        "scalar_aggregates", "date_spine", "string_functions",
+        "set_intersect", "time_hierarchy", "scd2_versions",
+    }
+    assert r11_slips <= set(plan)
+    designated = {
+        "set_except_all", "set_intersect_all", "not_exists_customers",
+        "exists_subquery_orders", "in_subquery_big_orders",
+        "ann_bruteforce_topk", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_audio_windows",
+        "doc_fingerprint", "token_counting", "doc_chunking",
+        "funnel_conversion", "tfidf_top_terms", "rolling_range_avg",
+        "topk_unshipped_revenue", "session_stats", "zscore_outliers",
+        "gap_fill_locf",
+    }
+    assert not designated & set(plan)
