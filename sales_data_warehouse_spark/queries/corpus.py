@@ -7401,6 +7401,18 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # the next most redundantly pinned r9 entry instead. None of this
 # round's ten slips may slip again in r12.
 #
+# r13 FEASIBILITY (checked r11 so the arithmetic is never a surprise):
+# the r13 window draws its slips from the 50 r10-rowed entries. Of
+# those, 44 carry >= 3 greens (the r7-cohort members, r1/r2/r4/r7/r10,
+# plus language_id r1/r3/r6/r10) and are designation candidates
+# subject to the code-untouched + twin rules; the five single-rowed
+# r9 registrations (fuzzy_join_edit_distance, blocking_selectivity,
+# bucket_join_selectivity, blocking_recall, ivf_recall_audit) and
+# fuzzy_lookup_edit_distance-class r10 registrations are NOT eligible
+# and stay in the r13 window. Nineteen-plus slips from a 44-entry
+# eligible pool is comfortable; the binding constraint remains WRITING
+# honest twin rationales, not the count.
+#
 # Staleness after this round: nothing older than r8 except nothing —
 # the six r7-stale entries are rowed this round; the ten designated
 # slips keep their r8 rows (staleness 3, rowed r12); zero never-rowed
