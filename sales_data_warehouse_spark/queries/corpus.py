@@ -7373,7 +7373,7 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #  14. tfidf_top_terms (greens r3/r6/r9; the tfidf kernel untouched
 #      since before the r9 row; an sf1-scaling bench member timed
 #      every round, and the text-index family keeps fresh rows —
-#      bm25_topk r10, bm25_search_persisted in the r12 window);
+#      bm25_topk r10, bm25_search_persisted with a fresh r11 row);
 #  15. rolling_range_avg (greens r3/r6/r9; timeseries.py untouched
 #      since before the r9 row; an sf1-scaling bench member timed
 #      every round, and rolling_active_users carries a fresh r10 row
@@ -7385,15 +7385,14 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 #      rationale);
 #  17. session_stats (greens r3/r6/r9; its gap rule is shared with
 #      sessionize, a HEADLINE bench member timed every round that
-#      stays in the r12 window — twin-keeps-cadence);
+#      carries a fresh r11 row — twin-keeps-cadence);
 #  18. zscore_outliers (greens r3/r6/r9; timeseries.py untouched
 #      since before the r9 row; the decimal-exact-moments kernel
 #      family is re-rowed in r12 via trend_slope_per_user, which
 #      stays in the window);
 #  19. gap_fill_locf (greens r3/r6/r9; timeseries.py untouched since
 #      before the r9 row; the ignorenulls frame-window surface
-#      carries a fresh r11 row via window_frame_first_last, which
-#      also stays in the r12 window).
+#      carries a fresh r11 row via window_frame_first_last).
 # dedup_edit_distance (single r9 row), asof_join_nearest,
 # dedup_canonical_text, dedup_containment_capped (two rows each) are
 # NOT slip-eligible and stay in the r12 window. If any designated
@@ -7523,61 +7522,17 @@ R12_FIRST_50_PLAN = (
     "value_histogram",
 )
 
-FIRST_50 = (
-    # six r10-slipped r7-stale entries (may not slip twice — they lead)
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_exact",
-    "join_multiway",
-    "dense_cube_crossjoin",
-    # first hard rows for the r10 registrations #157-160
-    "fuzzy_lookup_edit_distance",
-    "weighted_sample",
-    "fuzzy_join_minhash",
-    "jsonl_roundtrip",
-    # 40 of the 50 r8-rowed entries (ten designated slips — see note)
-    "ann_ivf_persisted",
-    "approx_frequent_items_exact",
-    "approx_sketches",
-    "asof_join_forward",
-    "asof_join_tolerance",
-    "bm25_search_persisted",
-    "case_when_classify",
-    "cleanse_reject_routing",
-    "cube_quantity",
-    "date_functions",
-    "dedup_containment",
-    "dedup_exact_incremental",
-    "dedup_jaccard_prefix",
-    "filter_projection",
-    "group_having",
-    "grouping_sets_revenue",
-    "json_props_extract",
-    "knn_label_vote",
-    "left_join_coalesce",
-    "location_hierarchy",
-    "ntile_buckets",
-    "percentile_quantity",
-    "pivot_status_by_year",
-    "pricing_summary",
-    "rollup_revenue",
-    "sessionize",
-    "set_union",
-    "sliding_window_rate",
-    "source_dup_ratio",
-    "streaming_dedup_batch_contract",
-    "topk_global_sort",
-    "topk_revenue_orders",
-    "train_test_split",
-    "tumbling_window_agg",
-    "unpivot_lineitem_metrics",
-    "window_dense_rank",
-    "window_frame_first_last",
-    "window_lag_gap",
-    "window_running_total",
-    "window_top1_per_group",
-)
+# ROUND 12 COMPOSER NOTE: the swap below executes the pre-composed
+# plan VERBATIM — no code-change promotions were needed (the working
+# tree was clean at composition time; every r12-window operator surface
+# was untouched between the r11 close and this commit). The r11 window
+# it replaces is the previous value of this assignment (git history,
+# commit tagged "round 11"). The ten r8-stale r11 slips lead, the nine
+# never-rowed r11 registrations (#161-169) get their first hard rows,
+# and the nineteen designated r9-rowed slips sit out exactly one round
+# (they lead the r13 window by construction — pre-composed later this
+# round as R13_FIRST_50_PLAN).
+FIRST_50 = R12_FIRST_50_PLAN
 
 
 def _reorder_for_driver() -> None:
