@@ -7421,21 +7421,34 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # weighted_sample — the three r11-touched surfaces — are all in this
 # window; ann_ivf_persisted covers the rebuild_ivf_index touch).
 #
-# CAPACITY POLICY (restated round 11 for the actual corpus size — the
-# r8 wording reasoned from the 150-entry ceiling, which the corpus
-# outgrew at r10's #157-160). The rule, as a formula of corpus size N
-# with a fixed 50-row driver window, for 150 < N <= 200:
+# CAPACITY POLICY (generalized round 12 — the r11 wording scoped
+# itself to 150 < N <= 200; the formula below is the same law stated
+# for ANY 50 < N <= 250, both regimes explicit, machine-checked under
+# simulated N=200/N=201 histories in tests/test_window_audit.py).
+# The rule, as a formula of corpus size N with a fixed 50-row window:
 #
-#   * STEADY-STATE SLIPS PER ROUND = N - 150. Each round's candidate
-#     set is (last cycle's slips, which may not slip again) + (new
-#     never-rowed registrations) + (the oldest full 50-entry cohort);
-#     that is 50 + (N - 150) candidates for 50 slots. (r10: N=156 ->
-#     6 slips; r11: N=160 -> 10; r12: N=169 -> 19.)
-#   * MAX STALENESS = ceil(N/50) rounds (= 4 at 151-200): the window
-#     is composed GREEDY MOST-STALE-FIRST (ties by registration
-#     order), a slipped entry leads the next window by construction,
-#     and NO ENTRY SLIPS IN TWO CONSECUTIVE CYCLES — so a slip costs
-#     exactly one extra round, never two.
+#   * MAX STALENESS = ceil(N/50) rounds (4 at 151-200, 5 at 201-250):
+#     the window is composed GREEDY MOST-STALE-FIRST (ties by
+#     registration order), a slipped entry leads the next window by
+#     construction, and NO ENTRY SLIPS IN TWO CONSECUTIVE CYCLES — so
+#     a slip costs exactly one extra round, never two.
+#   * STEADY-STATE SLIPS PER ROUND = N - 50*(ceil(N/50) - 1), i.e.
+#     N - 150 at 151-200 and N - 200 at 201-250. Each round's
+#     candidate set is (last cycle's slips, which may not slip again)
+#     + (new never-rowed registrations) + (the oldest full 50-entry
+#     cohort); the overflow past 50 slots is the slip count. (r10:
+#     N=156 -> 6 slips; r11: N=160 -> 10; r12: N=169 -> 19.) The slip
+#     pressure RESETS at each 50-boundary: crossing N=200 widens the
+#     bound to 5, so N=201 needs just 1 slip.
+#   * END-STATE (decided r12): registration pacing slows to
+#     judge-brief-driven additions (<= ~4/round), keeping N inside
+#     the <= 250 validity range through every remaining round; twin
+#     consolidation stays available as a lever but is not exercised
+#     while every twin re-verifies distinct semantics. The
+#     artifact-lands-before-swap handoff is exempted structurally:
+#     window_audit excuses an entry at EXACTLY the age bound when it
+#     appears in the pre-composed next-round plan
+#     (R{round}_FIRST_50_PLAN) — beyond the bound nothing is excused.
 #   * SLIP ELIGIBILITY: only proven-stable entries — >= 3 consecutive
 #     green hard rows AND operator code untouched since the last row
 #     — drawn truth-set twins first (the exact/uncapped twin slips,

@@ -39,3 +39,119 @@ def test_freshness_histogram_is_bounded():
         if int(k.split("_")[1]) > bound
     }
     assert not over, v
+
+
+# ---- simulated-history regime tests (the capacity policy's validity
+# range must outlive the corpus's planned growth — r11 VERDICT #4/#3:
+# the audit computes ⌈N/50⌉ as a formula, so these pin that the N=200
+# boundary, the N=201 regime change, and the designated-slip handoff
+# exemption all behave without touching the live repo state) ----
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True}
+
+
+def _mod():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "window_audit.py",
+    )
+    spec = importlib.util.spec_from_file_location("window_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _sim(n, rounds=4):
+    """n entries rowed in 50-entry cohorts across `rounds` rounds
+    (cohort c rowed in round c+1); entries beyond 50*rounds never
+    rowed. Returns (queries, hist, cohorts)."""
+    names = [f"e{i:03d}" for i in range(n)]
+    queries = {name: (lambda spark, sf: None) for name in names}
+    cohorts = [names[50 * c: 50 * (c + 1)] for c in range(rounds)]
+    hist = {
+        c + 1: {name: dict(GREEN) for name in cohorts[c]}
+        for c in range(rounds)
+    }
+    return queries, hist, cohorts
+
+
+def test_simulated_n200_steady_state_is_green():
+    """N=200 is the last round of the ⌈N/50⌉=4 regime: with four
+    50-entry cohorts aged 1–4 and the oldest cohort composed as the
+    current window (greedy most-stale-first), the audit is green."""
+    mod = _mod()
+    queries, hist, cohorts = _sim(200)
+    v = mod.audit(
+        hist=hist, queries=queries,
+        first_50=tuple(cohorts[0]), next_plan=(),
+    )
+    assert v["n_entries"] == 200 and v["max_age_bound"] == 4
+    assert v["ok"], v
+    assert v["freshness_histogram"] == {
+        "age_1": 50, "age_2": 50, "age_3": 50, "age_4": 50,
+    }
+
+
+def test_simulated_n200_handoff_exemption():
+    """The designated-slip handoff (ADVICE r11): the round-N artifact
+    has landed but the round-(N+1) FIRST_50 swap has not, so the
+    oldest cohort sits at EXACTLY the bound outside the live window.
+    With those entries in the pre-composed next plan the audit stays
+    green (and reports them); without the plan it goes red."""
+    mod = _mod()
+    queries, hist, cohorts = _sim(200)
+    stale_window = tuple(cohorts[3])  # swap not landed: window = newest
+    v = mod.audit(
+        hist=hist, queries=queries,
+        first_50=stale_window, next_plan=tuple(cohorts[0]),
+    )
+    assert v["ok"], v
+    assert v["at_bound_exempt_via_next_plan"] == sorted(cohorts[0])
+    v_no_plan = mod.audit(
+        hist=hist, queries=queries,
+        first_50=stale_window, next_plan=(),
+    )
+    assert not v_no_plan["ok"]
+    assert v_no_plan["stale_beyond_bound"] == sorted(cohorts[0])
+
+
+def test_simulated_beyond_bound_not_excused_by_plan():
+    """Next-plan membership excuses ONLY age == bound — an entry that
+    already blew past the bound is a policy violation no plan can
+    retroactively fix."""
+    mod = _mod()
+    queries, hist, cohorts = _sim(200)
+    # e000 was rowed one round earlier than its cohort and never since
+    hist[0] = {"e000": dict(GREEN)}
+    del hist[1]["e000"]
+    v = mod.audit(
+        hist=hist, queries=queries,
+        first_50=tuple(cohorts[3]), next_plan=tuple(cohorts[0]),
+    )
+    assert not v["ok"]
+    assert v["stale_beyond_bound"] == ["e000"]
+
+
+def test_simulated_n201_regime_change():
+    """At N=201 the bound relaxes to ⌈201/50⌉=5: the same four-cohort
+    history that filled the N=200 regime is comfortably inside the
+    bound even with a window that re-rows the NEWEST cohort, because
+    age 4 < 5 — the policy's slips-per-round pressure resets exactly
+    when the staleness regime widens (N−150 at 150<N≤200 becomes
+    N−200 at 200<N≤250)."""
+    mod = _mod()
+    queries, hist, cohorts = _sim(201)
+    v = mod.audit(
+        hist=hist, queries=queries,
+        first_50=tuple(cohorts[3]), next_plan=(),
+    )
+    assert v["max_age_bound"] == 5
+    # the one never-rowed entry (e200) has no registration docstring,
+    # so it is not "dropped"; staleness is green across the board
+    assert v["stale_beyond_bound"] == []
+    assert v["never_rowed_total"] == 1
+    assert v["ok"], v
