@@ -1169,20 +1169,44 @@ def build_text_index(
 
 def save_text_index(index: TextIndex, path: str) -> None:
     """Persist: postings partitioned by pbucket (a q-term search prunes
-    to <= q of the 64 directories), stats as a 1-row parquet."""
-    index.postings.write.mode("overwrite").partitionBy("pbucket").parquet(
-        f"{path}/postings"
+    to <= q of the 64 directories), stats as a 1-row parquet. Both
+    parts go through ``staged_overwrite``: a reopened index's postings
+    are a lazy scan of ``{path}/postings``, so a plain overwrite
+    re-save to the same path would delete the files its own write plan
+    reads (the ``save_importance_model``/``save_phrase_index``
+    hazard)."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite,
     )
+
     spark = index.postings.sparkSession
-    spark.createDataFrame(
-        [(index.n_docs, index.t_tokens, index.id_col)],
-        "n_docs long, t_tokens long, id_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    staged_overwrite(
+        spark,
+        index.postings,
+        f"{path}/postings",
+        partition_by=["pbucket"],
+    )
+    staged_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(index.n_docs, index.t_tokens, index.id_col)],
+            "n_docs long, t_tokens long, id_col string",
+        ).coalesce(1),
+        f"{path}/stats",
+    )
 
 
 def load_text_index(spark, path: str) -> TextIndex:
     """Reopen a saved index; postings stay a lazy partitioned scan so a
-    search's pbucket filter becomes partition pruning."""
+    search's pbucket filter becomes partition pruning. Calls
+    ``recover_staged`` on both parts first so a save that crashed
+    mid-swap reopens the intact previous generation."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+    )
+
+    recover_staged(spark, f"{path}/postings")
+    recover_staged(spark, f"{path}/stats")
     row = spark.read.parquet(f"{path}/stats").collect()[0]
     return TextIndex(
         spark.read.parquet(f"{path}/postings"),
@@ -1425,6 +1449,7 @@ def build_phrase_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> PhraseIndex:
     """Tokenize the corpus ONCE into positional postings (the
     ``TextIndex`` economics: repeated phrase queries stop re-scanning
@@ -1432,7 +1457,16 @@ def build_phrase_index(
     1-based (``phrase_match``'s convention) and sorted, so downstream
     intersections inherit ascending order. ``pbucket`` is the 64-way
     term-hash partition key — a k-term phrase search prunes the
-    persisted scan to ≤ k of 64 directories."""
+    persisted scan to ≤ k of 64 directories.
+
+    ``materialize=True`` runs the build NOW (``localCheckpoint``, the
+    ``fit_importance_model`` fit-once pattern) so a k-term
+    :func:`phrase_search_indexed` on an index that was never saved
+    reads the computed postings k times instead of re-running the
+    tokenize + groupBy once per phrase term. Leave it False when the
+    very next step is :func:`save_phrase_index` — the save itself
+    executes the build exactly once and reopening gives a plain scan,
+    so a checkpoint would only duplicate the work."""
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
@@ -1450,6 +1484,8 @@ def build_phrase_index(
             "pbucket", F.pmod(F.xxhash64("term"), F.lit(_PBUCKETS))
         )
     )
+    if materialize:
+        postings = postings.localCheckpoint()
     return PhraseIndex(postings, id_col)
 
 
@@ -1457,19 +1493,45 @@ def save_phrase_index(index: PhraseIndex, path: str) -> None:
     """Persist partitioned by ``pbucket`` so a reopened search's bucket
     filter becomes partition pruning, plus a 1-row stats parquet with
     the id column name (the ``save_text_index`` layout — without it a
-    non-default ``id_col`` index would silently reopen broken)."""
-    index.postings.write.mode("overwrite").partitionBy(
-        "pbucket"
-    ).parquet(f"{path}/postings")
+    non-default ``id_col`` index would silently reopen broken).
+
+    Both parts go through ``staged_overwrite`` (write-then-swap): a
+    reopened index's postings are a lazy scan of ``{path}/postings``,
+    so a plain ``mode('overwrite')`` re-save to the same path would
+    delete the parquet files its own write plan is reading — the
+    ``save_importance_model`` hazard, same fix."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite,
+    )
+
     spark = index.postings.sparkSession
-    spark.createDataFrame(
-        [(index.id_col,)], "id_col string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    staged_overwrite(
+        spark,
+        index.postings,
+        f"{path}/postings",
+        partition_by=["pbucket"],
+    )
+    staged_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(index.id_col,)], "id_col string"
+        ).coalesce(1),
+        f"{path}/stats",
+    )
 
 
 def load_phrase_index(spark, path: str) -> PhraseIndex:
     """Reopen a saved index; the postings stay a lazy partitioned scan
-    and the id column name comes from the persisted stats."""
+    and the id column name comes from the persisted stats. Calls
+    ``recover_staged`` on both parts first so a save that crashed
+    mid-swap reopens the intact previous generation
+    (``load_importance_model``'s contract)."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+    )
+
+    recover_staged(spark, f"{path}/postings")
+    recover_staged(spark, f"{path}/stats")
     row = spark.read.parquet(f"{path}/stats").collect()[0]
     return PhraseIndex(
         spark.read.parquet(f"{path}/postings"), row["id_col"]
@@ -1495,10 +1557,12 @@ def phrase_search_indexed(
     fan-in is k doc-keyed frames each ≤ corpus-docs rows — no
     positional explode, no shuffle of raw text.
 
-    On an UNSAVED index the postings are a lazy plan and each of the k
-    sides re-runs the build — ``save``/``load`` (or persist the
-    postings yourself) before repeated searches; the build exists to
-    be amortized, not re-run per term."""
+    On an UNSAVED, UNMATERIALIZED index the postings are a lazy plan
+    and each of the k sides re-runs the build —
+    ``build_phrase_index(..., materialize=True)`` checkpoints the
+    postings so they compute once, and ``save``/``load`` is the
+    durable equivalent for repeated workloads; the build exists to be
+    amortized, not re-run per term."""
     terms = phrase.split() if isinstance(phrase, str) else list(phrase)
     terms = [t.lower() for t in terms]
     if not terms:

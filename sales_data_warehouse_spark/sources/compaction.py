@@ -101,7 +101,9 @@ def recover_staged(spark: SparkSession, path: str) -> bool:
     return True
 
 
-def staged_overwrite(spark, df, path: str) -> None:
+def staged_overwrite(
+    spark, df, path: str, partition_by: list[str] | None = None
+) -> None:
     """Overwrite ``path`` with ``df`` crash-safely: write to a staging
     dir, then swap via two renames. A plain ``mode('overwrite')``
     deletes the old data before the new job commits — a mid-write crash
@@ -109,7 +111,12 @@ def staged_overwrite(spark, df, path: str) -> None:
     the old table intact (before the first rename) or both directories
     present for recovery (``path + '.stage_old'`` — readers of
     staged-overwrite-maintained state should call :func:`recover_staged`
-    before treating a missing ``path`` as empty state)."""
+    before treating a missing ``path`` as empty state).
+
+    ``partition_by`` preserves a Hive-partitioned layout through the
+    staging dir (the text/phrase index postings are partitioned by
+    ``pbucket`` so searches prune to the queried buckets — the swap
+    must not flatten that)."""
     tmp = path + ".stage_tmp"
     old = path + ".stage_old"
     # A prior mid-swap crash leaves `old` as the ONLY durable copy
@@ -117,7 +124,10 @@ def staged_overwrite(spark, df, path: str) -> None:
     # it. Restore first — the caller's df was built against whatever
     # state it read, but the data must never be erased here.
     recover_staged(spark, path)
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     fs, _, jvm = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     fs.delete(P(old), True)

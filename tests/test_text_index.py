@@ -110,3 +110,17 @@ def test_rrf_fuse_empty_input_raises(spark):
 
     with _pytest.raises(ValueError, match="at least one ranking"):
         rrf_fuse([])
+
+
+def test_resave_reopened_index_to_same_path(spark, docs, index, tmp_path):
+    """A reopened index's postings are a lazy scan of the destination;
+    the staged write must not delete the files its own plan reads
+    (the save_importance_model hazard — fixed for text/phrase indexes
+    in r12)."""
+    path = str(tmp_path / "same")
+    save_text_index(index, path)
+    reopened = load_text_index(spark, path)
+    save_text_index(reopened, path)
+    again = load_text_index(spark, path)
+    want = _rows(bm25_topk(docs, TERMS, k=10))
+    assert _rows(bm25_search(again, TERMS, k=10)) == want
