@@ -330,46 +330,30 @@ def quality_select_top(
     reproducible in SQL (no hash tiebreak sampling inside a score
     class).
 
+    One code path: this is :func:`quality_select_top_grouped` with a
+    single constant group (r12 — the pure-integer cutoff test
+    ``1000·cum ≥ n·keep`` is ceil(n·keep/1000) exactly, so the grouped
+    engine's threshold equals the one the r4–r10 driver-side histogram
+    walk produced, property-pinned against a test-local mirror of that
+    arithmetic). Everything, including the histogram cum-window, now
+    runs distributed; nothing corpus-sized or histogram-sized reaches
+    the driver.
+
     Returns the scored rows (``text.quality_logit`` columns) that made
     the cut, plus the threshold as a column for auditability.
     """
-    from sales_data_warehouse_spark.operators.text import quality_logit
-
     if not 0 < keep_permille <= 1000:
         raise ValueError(
             f"quality_select_top: keep_permille ({keep_permille}) "
             "must be in (0, 1000]"
         )
-    scored = quality_logit(docs, text_col=text_col)
-    # ONE corpus aggregate: the (score, count) histogram is
-    # distinct-score-sized — collect it whole and derive both the total
-    # and the threshold driver-side (a cum-window + second aggregate
-    # here would rescan the corpus once per collect)
-    hist = sorted(
-        (
-            (int(r["logit_milli"]), int(r["cnt"]))
-            for r in scored.groupBy("logit_milli")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        ),
-        key=lambda sc: -sc[0],
-    )
-    n = sum(c for _, c in hist)
-    if n == 0:
-        return scored.withColumn(
-            "threshold_milli", F.lit(0).cast("bigint")
-        )
-    target = -(-n * keep_permille // 1000)  # ceil
-    cum = 0
-    threshold = hist[-1][0]
-    for s, c in hist:
-        cum += c
-        if cum >= target:
-            threshold = s
-            break
-    return scored.filter(
-        F.col("logit_milli") >= threshold
-    ).withColumn("threshold_milli", F.lit(threshold).cast("bigint"))
+    return quality_select_top_grouped(
+        docs.withColumn("_g", F.lit(1)),
+        keep_permille=keep_permille,
+        group_cols="_g",
+        text_col=text_col,
+        id_col=id_col,
+    ).drop("_g")
 
 
 def weighted_sample_topk(
@@ -1039,8 +1023,9 @@ def quality_select_top_grouped(
     clears it, which hollows out low-resource languages whose score
     distributions sit lower).
 
-    Fully distributed, unlike the global sampler's driver-side
-    histogram walk: per-group thresholds come from a cumulative count
+    Fully distributed — and since r12 this IS the only threshold
+    engine (:func:`quality_select_top` routes through here with a
+    constant group): per-group thresholds come from a cumulative count
     over the (group, integer-logit) HISTOGRAM — the window's input is
     histogram-sized, never the corpus — using the pure-integer cutoff
     test ``1000·cum ≥ n_g·keep_permille`` (⟺ ``cum ≥

@@ -7110,9 +7110,10 @@ def quality_select_grouped(spark: SparkSession, sf: str) -> DataFrame:
     ``1000·cum >= n_g·300`` — no division, no float, no sort of the
     corpus in either engine; ties at a group's threshold all kept
     (the global entry's documented overshoot contract, per group).
-    Unlike the global operator's driver-side histogram walk this plan
-    is fully distributed: the window runs over the histogram, and the
-    per-group threshold table broadcast-joins back."""
+    Fully distributed — the window runs over the histogram, and the
+    per-group threshold table broadcast-joins back; since r12 the
+    global ``quality_select_top`` routes through this same engine with
+    a constant group (one threshold code path)."""
     docs = load_table(spark, sf, "documents")
     return sampling.quality_select_top_grouped(
         docs, keep_permille=300, group_cols="lang"

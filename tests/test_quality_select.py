@@ -63,3 +63,57 @@ def test_no_global_row_sort_in_plan(spark):
     # (distinct-score-sized); the kept-rows side must be sort-free —
     # a global percent_rank formulation would show Sort over the docs
     assert "percent_rank" not in plan.lower()
+
+
+def test_global_equals_retired_driver_side_arithmetic(spark):
+    """r12 routed the global selector through the grouped engine
+    (constant group). The grouped integer cutoff ``1000·cum ≥ n·keep``
+    is ``cum ≥ ceil(n·keep/1000)`` exactly, so the threshold — and
+    therefore the kept row set — must equal what the retired r4–r11
+    driver-side histogram walk produced. Mirror that walk here
+    verbatim and compare on real documents at several keep rates."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    scored = quality_logit(docs)
+    hist = sorted(
+        (
+            (int(r["logit_milli"]), int(r["cnt"]))
+            for r in scored.groupBy("logit_milli")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ),
+        key=lambda sc: -sc[0],
+    )
+    n = sum(c for _, c in hist)
+    assert n > 0
+    for keep_permille in (1, 300, 777, 1000):
+        target = -(-n * keep_permille // 1000)  # ceil
+        cum, threshold = 0, hist[-1][0]
+        for s, c in hist:
+            cum += c
+            if cum >= target:
+                threshold = s
+                break
+        out = quality_select_top(docs, keep_permille=keep_permille)
+        rows = out.collect()
+        assert {int(r["threshold_milli"]) for r in rows} == {threshold}
+        want = {
+            r["doc_id"]
+            for r in scored.filter(
+                F.col("logit_milli") >= threshold
+            ).collect()
+        }
+        assert {r["doc_id"] for r in rows} == want
+
+
+def test_global_output_schema_unchanged_by_routing(spark):
+    """The r12 constant-group routing must not perturb the public
+    output contract (the corpus oracle hashes columns by name)."""
+    docs = _mk(spark, ["a b c", "d e f g h"])
+    out = quality_select_top(docs, keep_permille=1000)
+    assert out.columns == [
+        "doc_id", "n_tokens", "punct_ppm", "stop_ppm",
+        "logit_milli", "keep", "threshold_milli",
+    ]
+    assert dict(out.dtypes)["threshold_milli"] == "bigint"
