@@ -1009,6 +1009,259 @@ def importance_resample_grouped(
     )
 
 
+def importance_model_report(
+    raw: DataFrame,
+    target: DataFrame,
+    top_k: int = 20,
+    source_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+    bigrams: bool = False,
+) -> DataFrame:
+    """DSIR fit diagnostic — the held-out sanity check of
+    arXiv:2302.03169's workflow, run BEFORE committing a resample of
+    100 TB (the same monitor-before-commit pattern as
+    ``similarity.ivf_recall_audit`` and ``dedup.blocking_recall``): a
+    user who is about to select by importance weight should first see
+    WHICH features drive the model and WHERE the mass lands by source.
+    Takes the corpora (not a fitted :class:`ImportanceModel`): the
+    per-feature counts are the fit's own intermediate — exactly what a
+    persisted model discards — and the diagnostic belongs at fit time,
+    when both corpora are at hand anyway.
+
+    One tidy long-format frame, ``(section, key, rank, n,
+    value_micronats)``, every value integer micro-nats — BIGINT
+    arithmetic on the same floored-log terms as
+    :func:`importance_scores`, so the report is EXACTLY reproducible
+    in any engine (no float aggregates anywhere). Sections:
+
+    * ``top_target_feature`` — the ``top_k`` features by full smoothed
+      per-occurrence log-ratio ``s + s_norm`` descending (ties by
+      feature); ``n`` = target count, ``value`` = the ratio. These are
+      the features a selected document is being REWARDED for — if they
+      look like markup or boilerplate, the target corpus is dirty.
+    * ``top_raw_feature`` — the same ascending: what the model
+      penalizes; junk here is expected, real content here is a red
+      flag.
+    * ``kl_contribution`` — the ``top_k`` features by their term of
+      the smoothed KL(target‖raw) estimate,
+      ``floor((ct+1)·(s+s_norm) / (Nt+V))`` micro-nats (floor division
+      via the pmod identity so both engines agree on negative
+      numerators); a KL dominated by a handful of features means the
+      model is a keyword detector, not a distribution match.
+    * ``source_avg_score`` / ``source_min_score`` /
+      ``source_max_score`` — when ``source_col`` is given: the per-doc
+      importance distribution grouped by source (``n`` = docs;
+      average floor-divided, min/max exact). The pre-commit question
+      "which shards will the resample drain?" answered before any
+      selection runs; NULL sources are excluded (the grouped-operator
+      family convention).
+    * ``summary`` — ``vocabulary_size`` (``n`` = |V|, ``value`` =
+      ``s_norm``) and ``kl_target_vs_raw_micronats`` (``n`` = target
+      occurrences, ``value`` = the full KL estimate, the sum of every
+      feature's floored contribution).
+
+    Unlike the scorer's raw-vocabulary inner join, the feature
+    sections run over the UNION vocabulary: a target-only feature is
+    precisely the strongest positive signal (the
+    :func:`_dsir_score_tables` argument) and belongs at the top of the
+    report. Scale shape: every section aggregates the vocabulary-sized
+    counts frame (≤ ``num_buckets`` rows in the hashed 100 TB regime)
+    — top-k via orderBy+limit (TakeOrderedAndProject, no global sort)
+    — and the source section adds one doc-keyed aggregate, the
+    :func:`importance_scores` plan. The counts frame is
+    ``localCheckpoint``-ed once (the ``fit_importance_model`` pattern)
+    so the report's sections do not each re-run the two-corpus fit."""
+    if top_k < 1:
+        raise ValueError(
+            f"importance_model_report: top_k ({top_k}) must be >= 1"
+        )
+    raw_occ = _dsir_features(raw, text_col, id_col, num_buckets, bigrams)
+    counts = _dsir_counts(
+        raw_occ, target, text_col, num_buckets, bigrams
+    ).localCheckpoint()
+    stats = counts.agg(
+        F.sum(F.coalesce(F.col("cr"), F.lit(0))).alias("n_raw"),
+        F.sum(F.coalesce(F.col("ct"), F.lit(0))).alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    ).select(
+        "n_raw",
+        "n_tgt",
+        "v",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("n_raw") + F.col("v")).cast("double")
+                / (F.col("n_tgt") + F.col("v")).cast("double")
+            )
+        ).alias("s_norm"),
+    )
+    feats = (
+        counts.select(
+            F.col("feat").cast("string").alias("key"),
+            F.coalesce(F.col("cr"), F.lit(0)).cast("bigint").alias("cr"),
+            F.coalesce(F.col("ct"), F.lit(0)).cast("bigint").alias("ct"),
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (
+                        F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)
+                    ).cast("double")
+                )
+            ).alias("s"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn("full_s", F.col("s") + F.col("s_norm"))
+        # per-feature smoothed-KL term; the pmod identity makes the
+        # integer division a true floor in every engine (`DIV`
+        # truncates, which differs from floor exactly when the
+        # numerator is negative — and penalized features make it so)
+        .withColumn("_num", (F.col("ct") + F.lit(1)) * F.col("full_s"))
+        .withColumn("_den", F.col("n_tgt") + F.col("v"))
+        .withColumn(
+            "contrib",
+            F.expr("(_num - pmod(_num, _den)) DIV _den").cast("bigint"),
+        )
+    )
+
+    by_target = [F.col("full_s").desc(), F.col("key").asc()]
+    by_raw = [F.col("full_s").asc(), F.col("key").asc()]
+    by_kl = [F.col("contrib").desc(), F.col("key").asc()]
+    w_t, w_r, w_k = (Window.orderBy(*o) for o in (by_target, by_raw, by_kl))
+    sec_t = (
+        feats.orderBy(*by_target)
+        .limit(top_k)
+        .select(
+            F.lit("top_target_feature").alias("section"),
+            "key",
+            F.row_number().over(w_t).cast("bigint").alias("rank"),
+            F.col("ct").alias("n"),
+            F.col("full_s").cast("bigint").alias("value_micronats"),
+        )
+    )
+    sec_r = (
+        feats.orderBy(*by_raw)
+        .limit(top_k)
+        .select(
+            F.lit("top_raw_feature").alias("section"),
+            "key",
+            F.row_number().over(w_r).cast("bigint").alias("rank"),
+            F.col("cr").alias("n"),
+            F.col("full_s").cast("bigint").alias("value_micronats"),
+        )
+    )
+    sec_k = (
+        feats.orderBy(*by_kl)
+        .limit(top_k)
+        .select(
+            F.lit("kl_contribution").alias("section"),
+            "key",
+            F.row_number().over(w_k).cast("bigint").alias("rank"),
+            F.col("ct").alias("n"),
+            F.col("contrib").alias("value_micronats"),
+        )
+    )
+    summary = feats.agg(
+        F.sum("contrib").alias("_kl_total")
+    ).crossJoin(F.broadcast(stats))
+    sec_s = summary.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("vocabulary_size").alias("key"),
+                    F.lit(1).cast("bigint").alias("rank"),
+                    F.col("v").cast("bigint").alias("n"),
+                    F.col("s_norm").cast("bigint").alias(
+                        "value_micronats"
+                    ),
+                ),
+                F.struct(
+                    F.lit("kl_target_vs_raw_micronats").alias("key"),
+                    F.lit(2).cast("bigint").alias("rank"),
+                    F.col("n_tgt").cast("bigint").alias("n"),
+                    F.col("_kl_total").cast("bigint").alias(
+                        "value_micronats"
+                    ),
+                ),
+            )
+        ).alias("_row")
+    ).select(
+        F.lit("summary").alias("section"),
+        F.col("_row.key").alias("key"),
+        F.col("_row.rank").alias("rank"),
+        F.col("_row.n").alias("n"),
+        F.col("_row.value_micronats").alias("value_micronats"),
+    )
+    out = sec_t.unionByName(sec_r).unionByName(sec_k).unionByName(sec_s)
+
+    if source_col is not None:
+        scores = _dsir_scores_from(counts)
+        if num_buckets is not None:
+            scores = F.broadcast(scores)
+        per_doc = (
+            raw_occ.join(scores, "feat")
+            .groupBy("doc")
+            .agg(
+                F.count(F.lit(1)).alias("_nf"),
+                F.sum("s").alias("_ssum"),
+            )
+            .crossJoin(F.broadcast(stats.select("s_norm")))
+            .select(
+                "doc",
+                (F.col("_ssum") + F.col("_nf") * F.col("s_norm")).alias(
+                    "_imp"
+                ),
+            )
+        )
+        src = (
+            per_doc.join(
+                raw.select(
+                    F.col(id_col).alias("doc"),
+                    F.col(source_col).alias("key"),
+                ),
+                "doc",
+            )
+            .filter(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_imp").alias("_sum"),
+                F.min("_imp").alias("_min"),
+                F.max("_imp").alias("_max"),
+            )
+            .withColumn(
+                "rank",
+                F.row_number()
+                .over(Window.orderBy(F.col("key").asc()))
+                .cast("bigint"),
+            )
+            .withColumn(
+                "_avg",
+                F.expr("(_sum - pmod(_sum, n)) DIV n").cast("bigint"),
+            )
+        )
+
+        def _src_section(section: str, value_col: str) -> DataFrame:
+            return src.select(
+                F.lit(section).alias("section"),
+                F.col("key").cast("string").alias("key"),
+                "rank",
+                F.col("n").cast("bigint").alias("n"),
+                F.col(value_col).cast("bigint").alias("value_micronats"),
+            )
+
+        out = (
+            out.unionByName(_src_section("source_avg_score", "_avg"))
+            .unionByName(_src_section("source_min_score", "_min"))
+            .unionByName(_src_section("source_max_score", "_max"))
+        )
+    return out
+
+
 def quality_select_top_grouped(
     docs: DataFrame,
     keep_permille: int = 300,

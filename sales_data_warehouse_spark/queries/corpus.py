@@ -7262,6 +7262,124 @@ def importance_resample_grouped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "importance_model_report",
+    _DSIR_SCORE_CTES
+    + r""",
+    fs AS (
+      SELECT COALESCE(rf.tok, tf.tok) AS tok,
+             COALESCE(rf.cr, 0) AS cr,
+             COALESCE(tf.ct, 0) AS ct,
+             CAST(FLOOR(1e6 * LN((COALESCE(tf.ct, 0) + 1.0)
+                                 / (COALESCE(rf.cr, 0) + 1.0)))
+                  AS BIGINT)
+               + (SELECT s_norm FROM norm) AS full_s
+      FROM rf FULL OUTER JOIN tf ON rf.tok = tf.tok
+    ),
+    klc AS (
+      SELECT tok, ct, full_s,
+             CAST(((ct + 1) * full_s
+                   - ((((ct + 1) * full_s) % (SELECT n_tgt + v FROM tot)
+                       + (SELECT n_tgt + v FROM tot))
+                      % (SELECT n_tgt + v FROM tot)))
+                  // (SELECT n_tgt + v FROM tot) AS BIGINT) AS contrib
+      FROM fs
+    ),
+    sec_t AS (
+      SELECT 'top_target_feature' AS section, tok AS key,
+             CAST(ROW_NUMBER() OVER (ORDER BY full_s DESC, tok)
+                  AS BIGINT) AS rank,
+             ct AS n, full_s AS value_micronats
+      FROM fs
+    ),
+    sec_r AS (
+      SELECT 'top_raw_feature' AS section, tok AS key,
+             CAST(ROW_NUMBER() OVER (ORDER BY full_s ASC, tok)
+                  AS BIGINT) AS rank,
+             cr AS n, full_s AS value_micronats
+      FROM fs
+    ),
+    sec_k AS (
+      SELECT 'kl_contribution' AS section, tok AS key,
+             CAST(ROW_NUMBER() OVER (ORDER BY contrib DESC, tok)
+                  AS BIGINT) AS rank,
+             ct AS n, contrib AS value_micronats
+      FROM klc
+    ),
+    imp AS (
+      SELECT t.doc_id,
+             CAST(SUM(sc.s) + COUNT(*) * (SELECT s_norm FROM norm)
+                  AS BIGINT) AS im
+      FROM rt t JOIN sc USING (tok)
+      GROUP BY t.doc_id
+    ),
+    srcrank AS (
+      SELECT key, n, simp, mn, mx,
+             CAST(ROW_NUMBER() OVER (ORDER BY key) AS BIGINT) AS rank
+      FROM (
+        SELECT d.source AS key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(im) AS BIGINT) AS simp,
+               CAST(MIN(im) AS BIGINT) AS mn,
+               CAST(MAX(im) AS BIGINT) AS mx
+        FROM documents d JOIN imp USING (doc_id)
+        WHERE d.source IS NOT NULL
+        GROUP BY d.source
+      )
+    )
+    SELECT section, key, rank, n, value_micronats
+    FROM sec_t WHERE rank <= 10
+    UNION ALL
+    SELECT section, key, rank, n, value_micronats
+    FROM sec_r WHERE rank <= 10
+    UNION ALL
+    SELECT section, key, rank, n, value_micronats
+    FROM sec_k WHERE rank <= 10
+    UNION ALL
+    SELECT 'summary', 'vocabulary_size', CAST(1 AS BIGINT),
+           (SELECT v FROM tot), (SELECT s_norm FROM norm)
+    UNION ALL
+    SELECT 'summary', 'kl_target_vs_raw_micronats', CAST(2 AS BIGINT),
+           (SELECT n_tgt FROM tot),
+           (SELECT CAST(SUM(contrib) AS BIGINT) FROM klc)
+    UNION ALL
+    SELECT 'source_avg_score', key, rank, n,
+           CAST((simp - ((simp % n + n) % n)) // n AS BIGINT)
+    FROM srcrank
+    UNION ALL
+    SELECT 'source_min_score', key, rank, n, mn FROM srcrank
+    UNION ALL
+    SELECT 'source_max_score', key, rank, n, mx FROM srcrank
+    """,
+)
+def importance_model_report(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR fit diagnostic report (round 12, corpus entry #170):
+    ``sampling.importance_model_report`` — the held-out sanity check a
+    user runs BEFORE committing a 100 TB resample (r11 VERDICT
+    next-round #6; the ``ivf_recall_audit``/``blocking_recall``
+    monitor-before-commit pattern applied to arXiv:2302.03169): top-10
+    rewarded and penalized features with their smoothed per-occurrence
+    log-ratios, the top-10 per-feature KL(target‖raw) contributions,
+    the full-KL and vocabulary summary rows, and the per-source
+    importance-score distribution (avg/min/max) over the whole corpus.
+
+    EXACT oracle: every value is integer micro-nats on the shared
+    #163 floored-log kernel — the feature sections run over the UNION
+    vocabulary (a target-only feature is the strongest positive
+    signal, the persisted-model argument), KL contributions and
+    per-source averages use the pmod floor-division identity (`DIV`
+    truncates toward zero, which diverges from floor exactly on the
+    negative values penalized features produce), and section ranks
+    are total orders (score, then feature) in both engines."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.importance_model_report(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        top_k=10,
+        source_col="source",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -7544,8 +7662,196 @@ R12_FIRST_50_PLAN = (
 # commit tagged "round 11"). The ten r8-stale r11 slips lead, the nine
 # never-rowed r11 registrations (#161-169) get their first hard rows,
 # and the nineteen designated r9-rowed slips sit out exactly one round
-# (they lead the r13 window by construction — pre-composed later this
-# round as R13_FIRST_50_PLAN).
+# (they lead the r13 window by construction — see R13_FIRST_50_PLAN
+# below).
+#
+# r12 registered ONE new entry after position 50 (the decided
+# registration pacing): #170 importance_model_report (the DSIR fit
+# diagnostic — r11 VERDICT next-round #6; exact integer micro-nat
+# oracle over the shared #163 kernel), never-rowed, first in line for
+# r13 by construction. N = 170.
+#
+# r12 CODE-CHANGED surfaces and their row coverage (the promotion
+# rule's bookkeeping):
+#   * sampling.quality_select_top now routes through the grouped
+#     threshold engine (one code path; r11 VERDICT #7). Its entry is
+#     r10-rowed -> PROMOTED into the r13 window (not slip-eligible);
+#     until that row lands, the shared engine itself is re-rowed THIS
+#     round via quality_select_grouped (#167, in the r12 window) and
+#     the global==mirror-of-retired-arithmetic property is pinned in
+#     tests/test_quality_select.py.
+#   * text.save_text_index/load_text_index now stage their writes
+#     (crash-safe + resave-to-same-path-safe; r11 ADVICE pattern).
+#     bm25_search_persisted's r11 row predates the change -> PROMOTED
+#     into the r13 window regardless of staleness (the policy's
+#     code-changed rule), costing one extra r13 slip (21 vs the
+#     steady-state 20).
+#   * text.build_phrase_index gained materialize=True (fit-once
+#     checkpoint; r11 VERDICT #5) and save/load_phrase_index now
+#     stage + recover (r11 ADVICE #1). The phrase surface's corpus
+#     entry phrase_search (#169) is in the r12 window, so its fresh
+#     row postdates the change; the index half is pinned every
+#     session by tests/test_phrase_index.py (incl. the new
+#     build-once plan pin, resave, and crash-recovery tests).
+#
+# r13 WINDOW, PRE-COMPOSED (N=170 -> steady-state slips N-150 = 20,
+# +1 forced by the bm25_search_persisted promotion = TWENTY-ONE slips
+# from the 50 r10-rowed entries; candidates = 19 r12 slips + 1
+# never-rowed + 1 promotion + 50 r10-rowed = 71 for 50 slots). The 21
+# designated slips, each with >= 3 consecutive greens (r4/r7/r10
+# unless noted), kernel untouched since its last row, and the honest
+# twin/redundant-pinning rationale:
+#   1. dedup_ngram_jaccard_capped (greens r2/r4/r7/r10; the capped
+#      production twin sits out once — its uncapped truth twin
+#      dedup_ngram_jaccard carries a fresh r11 row over the SAME
+#      shared shingle kernel and oracle family);
+#   2. dedup_clusters_star (greens r2/r4/r7/r10; twin dedup_clusters
+#      carries a fresh r11 row over the same connected-components
+#      kernel);
+#   3. dedup_minhash_lsh (greens r2/r4/r7/r10; the banded-signature
+#      kernel is re-rowed THIS round via fuzzy_join_minhash_exact
+#      (#162, r12 window) and carries fuzzy_join_minhash's r11 row);
+#   4. dedup_minhash_incremental (greens r4/r7/r10; same banded
+#      kernel rationale, and the incremental band-state contract is
+#      pinned every session by the dedup/streaming suites);
+#   5. embedding_normalize (greens r4/r7/r10; embedding_stats is in
+#      the r12 window, re-rowing the same similarity.py array-kernel
+#      surface; similarity.py untouched in r12);
+#   6. embedding_truncate (greens r4/r7/r10; same embedding_stats
+#      rationale);
+#   7. embedding_quantize (greens r4/r7/r10; same rationale — the
+#      extra slip slot the promotion costs comes from this family,
+#      which keeps three sibling entries and an r12-rowed stats
+#      twin);
+#   8. unigram_surprisal (greens r4/r7/r10; twin bigram_surprisal is
+#      in the r12 window over the same surprisal kernel);
+#   9. gopher_quality_filter (greens r4/r7/r10; text_quality AND
+#      repetition_quality are in the r12 window over the same
+#      quality-heuristic kernel; r12's text.py changes touch only
+#      the index save/load and phrase surfaces, not these kernels);
+#  10. quality_logit (greens r4/r7/r10; quality_select_grouped (#167,
+#      r12 window) re-rows the scoring kernel this round, and
+#      quality_select_top joins it in the r13 window by promotion);
+#  11. bm25_topk (greens r4/r7/r10; its persisted twin
+#      bm25_search_persisted is IN the r13 window by promotion,
+#      re-rowing the shared scoring tail the same round, and
+#      tfidf_top_terms leads the r13 window re-rowing the postings
+#      kernel);
+#  12. session_funnel (greens r4/r7/r10; twin funnel_conversion is
+#      rowed in r13 by construction — it leads as an r12 slip);
+#  13. rolling_active_users (greens r4/r7/r10; RANGE-frame twin
+#      rolling_range_avg is rowed in r13 by construction);
+#  14. stats_correlation (greens r4/r7/r10; the decimal-exact-moments
+#      kernel is re-rowed THIS round via trend_slope_per_user (r12
+#      window));
+#  15. user_paths (greens r4/r7/r10; the session kernel family keeps
+#      cadence — sessionize carries a fresh r11 row and session_stats
+#      is rowed in r13 by construction);
+#  16. multimodal_features (greens r4/r7/r10; the three multimodal
+#      twins decode/frame_sample/audio_windows are ALL rowed in r13
+#      by construction — the whole mapInPandas kernel surface
+#      re-rows the same round this entry sits out);
+#  17. leakage_safe_split (greens r4/r7/r10; train_test_split carries
+#      a fresh r11 row over the same keyed-hash split kernel);
+#  18. epoch_shuffle (greens r4/r7/r10; same train_test_split
+#      rationale for the keyed-hash family);
+#  19. table_profile (greens r4/r7/r10; profile.py untouched;
+#      table_drift_report AND corpus_health_report stay in the r13
+#      window re-rowing the shared profile kernel);
+#  20. full_outer_join (greens r4/r7/r10; a pure corpus query
+#      re-verified type-strictly by the parity suite every session;
+#      the join family keeps fresh rows — join_multiway r11,
+#      join_composite_key in the r13 window);
+#  21. union_by_name_missing (greens r4/r7/r10; set_union carries a
+#      fresh r11 row over the same unionByName surface; pure corpus
+#      query, parity-pinned every session).
+# NOT slip-eligible and staying in the r13 window: the five
+# single-rowed r9 registrations (fuzzy_join_edit_distance,
+# blocking_selectivity, bucket_join_selectivity, blocking_recall,
+# ivf_recall_audit), source_lexical_diversity (two rows r7/r10), and
+# quality_select_top + bm25_search_persisted (code-changed
+# promotions). language_id (greens r1/r3/r6/r10) is eligible but
+# retained — its 4-round-gap history already used its slip once.
+# None of r12's nineteen slips may slip again in r13. If any r13
+# designee's code changes before composition time, promote it and
+# slip the next most redundantly pinned r10-rowed entry instead.
+#
+# r14 FEASIBILITY (the arithmetic checked a round ahead, as always):
+# N=170 at the r13 close -> 20 steady-state slips from the 50
+# r11-rowed entries (CORRECTNESS_r11.json keys). Of those, the
+# r8-cohort members carry greens r2/r5/r8/r11-or-better and the four
+# r10 registrations (#157-160) carry a single r11 row each — the
+# single-rowed four are NOT eligible and stay; the remaining 46 are
+# candidates, comfortable for 20. The binding constraint stays the
+# honesty of the twin rationales, not the count.
+
+#: The r13 window, PRE-COMPOSED from the policy above (the nineteen
+#: r12 slips lead, then the round's never-rowed registration #170 and
+#: the bm25_search_persisted code-change promotion, then the 50
+#: r10-rowed entries minus the twenty-one designated slips — exactly
+#: 50). Next round's composer sets ``FIRST_50 = R13_FIRST_50_PLAN``
+#: (verbatim or with the promotions the policy allows);
+#: ``tests/test_driver_window`` pins the structural invariants and
+#: ``tools/window_audit.py`` exempts the at-bound handoff through
+#: this plan.
+R13_FIRST_50_PLAN = (
+    # nineteen r12-slipped r9-rowed entries (may not slip twice)
+    "set_except_all",
+    "set_intersect_all",
+    "not_exists_customers",
+    "exists_subquery_orders",
+    "in_subquery_big_orders",
+    "ann_bruteforce_topk",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_audio_windows",
+    "doc_fingerprint",
+    "token_counting",
+    "doc_chunking",
+    "funnel_conversion",
+    "tfidf_top_terms",
+    "rolling_range_avg",
+    "topk_unshipped_revenue",
+    "session_stats",
+    "zscore_outliers",
+    "gap_fill_locf",
+    # first hard row for the r12 registration #170
+    "importance_model_report",
+    # r12 code-change promotion (save/load_text_index staging)
+    "bm25_search_persisted",
+    # 29 of the 50 r10-rowed entries (twenty-one designated slips —
+    # see the composer note above)
+    "asof_join_grouped_pricelist",
+    "asof_join_pricelist",
+    "basket_affinity",
+    "blocking_recall",
+    "blocking_selectivity",
+    "bucket_join_selectivity",
+    "cohort_ltv",
+    "corpus_health_report",
+    "curation_pipeline",
+    "dedup_keep_best",
+    "dedup_lines",
+    "dedup_repeated_spans",
+    "dedup_simhash",
+    "doc_sequence_packing",
+    "embedding_centroids",
+    "fuzzy_join_edit_distance",
+    "hybrid_retrieval_rrf",
+    "ivf_recall_audit",
+    "join_composite_key",
+    "language_id",
+    "quality_select_top",
+    "rfm_segmentation",
+    "semantic_outliers",
+    "source_lexical_diversity",
+    "source_overlap_matrix",
+    "table_drift_report",
+    "temperature_mixture",
+    "topk_rank_ties",
+    "window_cume_dist",
+)
+
 FIRST_50 = R12_FIRST_50_PLAN
 
 

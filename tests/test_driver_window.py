@@ -79,8 +79,14 @@ def test_r12_plan_satisfies_the_rotation_policy():
             rowed |= set(json.load(fh))
     never_rowed = {n for n in QUERIES if n not in rowed}
     # every never-rowed entry not already due in the CURRENT window is
-    # in the next-round plan (the "first in line" promise)
-    pending = never_rowed - set(FIRST_50)
+    # in a pre-composed plan (the "first in line" promise): the r11
+    # registrations belong to this r12 plan; anything registered in
+    # r12 itself (after this window froze) is first in line for r13
+    from sales_data_warehouse_spark.queries.corpus import (
+        R13_FIRST_50_PLAN,
+    )
+
+    pending = never_rowed - set(FIRST_50) - set(R13_FIRST_50_PLAN)
     assert pending <= set(plan), sorted(pending - set(plan))
     # the ten r11 slips lead and may not slip again
     r11_slips = {
@@ -100,3 +106,71 @@ def test_r12_plan_satisfies_the_rotation_policy():
         "gap_fill_locf",
     }
     assert not designated & set(plan)
+
+
+def test_r13_plan_satisfies_the_rotation_policy():
+    """Same structural pins for the NEXT pre-composed window: 50
+    unique registered entries; the nineteen r12 slips lead (no entry
+    slips twice running); every never-rowed registration not already
+    in the current window is present (first in line); the two r12
+    code-change promotions (quality_select_top via the grouped-engine
+    routing, bm25_search_persisted via the staged index save) are
+    present; none of the twenty-one designated slips is present; and
+    slips + plan exactly partition the r10-rowed cohort."""
+    import glob
+    import json
+
+    from sales_data_warehouse_spark.queries.corpus import (
+        R12_FIRST_50_PLAN,
+        R13_FIRST_50_PLAN,
+    )
+
+    plan = list(R13_FIRST_50_PLAN)
+    assert len(plan) == len(set(plan)) == 50
+    assert not [n for n in plan if n not in QUERIES]
+
+    rowed = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            rowed |= set(json.load(fh))
+    pending = {n for n in QUERIES if n not in rowed} - set(FIRST_50)
+    assert pending <= set(plan), sorted(pending - set(plan))
+
+    r12_slips = {
+        "set_except_all", "set_intersect_all", "not_exists_customers",
+        "exists_subquery_orders", "in_subquery_big_orders",
+        "ann_bruteforce_topk", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_audio_windows",
+        "doc_fingerprint", "token_counting", "doc_chunking",
+        "funnel_conversion", "tfidf_top_terms", "rolling_range_avg",
+        "topk_unshipped_revenue", "session_stats", "zscore_outliers",
+        "gap_fill_locf",
+    }
+    assert r12_slips <= set(plan)
+    promotions = {"quality_select_top", "bm25_search_persisted"}
+    assert promotions <= set(plan)
+    designated = {
+        "dedup_ngram_jaccard_capped", "dedup_clusters_star",
+        "dedup_minhash_lsh", "dedup_minhash_incremental",
+        "embedding_normalize", "embedding_truncate",
+        "embedding_quantize", "unigram_surprisal",
+        "gopher_quality_filter", "quality_logit", "bm25_topk",
+        "session_funnel", "rolling_active_users", "stats_correlation",
+        "user_paths", "multimodal_features", "leakage_safe_split",
+        "epoch_shuffle", "table_profile", "full_outer_join",
+        "union_by_name_missing",
+    }
+    assert len(designated) == 21
+    assert not designated & set(plan)
+    # the r10-rowed cohort is exactly partitioned: designated slips
+    # out, the other 29 in
+    with open("CORRECTNESS_r10.json") as fh:
+        r10_cohort = set(json.load(fh))
+    assert designated <= r10_cohort
+    assert r10_cohort - designated <= set(plan)
+    # no double-slip in r13 of anything that slipped in r12
+    assert not designated & r12_slips
+    # the plan never overlaps what the CURRENT window is about to row,
+    # except entries legitimately due again next round — sanity: the
+    # two windows share nothing (r12 rows are age 1 entering r13)
+    assert not set(plan) & set(R12_FIRST_50_PLAN)

@@ -520,3 +520,136 @@ def test_importance_scores_match_mirror_on_random_corpora(
     assert got == _mirror_scores(
         list(enumerate(raw_rows)), tgt_rows, bigrams=bigrams
     )
+
+
+def _mirror_report(raw_docs, tgt_texts, top_k, sources=None):
+    """Independent Python replay of importance_model_report: the full
+    row set (section, key, rank, n, value_micronats). Python's // IS
+    floor division, so the KL/avg rows independently pin the pmod
+    floor-div identity the engines use."""
+    import re
+
+    def toks(t):
+        return re.split(r"\s+", t.lower())
+
+    cr, ct = Counter(), Counter()
+    per_doc = {}
+    for i, t in raw_docs:
+        fs = toks(t)
+        per_doc[i] = fs
+        cr.update(fs)
+    for t in tgt_texts:
+        ct.update(toks(t))
+    vocab = sorted(set(cr) | set(ct))
+    v, n_raw, n_tgt = len(vocab), sum(cr.values()), sum(ct.values())
+    s_norm = math.floor(1e6 * math.log((n_raw + v) / (n_tgt + v)))
+    full = {
+        f: math.floor(
+            1e6 * math.log((ct.get(f, 0) + 1.0) / (cr.get(f, 0) + 1.0))
+        )
+        + s_norm
+        for f in vocab
+    }
+    den = n_tgt + v
+    contrib = {f: (ct.get(f, 0) + 1) * full[f] // den for f in vocab}
+    rows = []
+    for rank, f in enumerate(
+        sorted(vocab, key=lambda f: (-full[f], f))[:top_k], 1
+    ):
+        rows.append(("top_target_feature", f, rank, ct.get(f, 0), full[f]))
+    for rank, f in enumerate(
+        sorted(vocab, key=lambda f: (full[f], f))[:top_k], 1
+    ):
+        rows.append(("top_raw_feature", f, rank, cr.get(f, 0), full[f]))
+    for rank, f in enumerate(
+        sorted(vocab, key=lambda f: (-contrib[f], f))[:top_k], 1
+    ):
+        rows.append(("kl_contribution", f, rank, ct.get(f, 0), contrib[f]))
+    rows.append(("summary", "vocabulary_size", 1, v, s_norm))
+    rows.append(
+        (
+            "summary",
+            "kl_target_vs_raw_micronats",
+            2,
+            n_tgt,
+            sum(contrib.values()),
+        )
+    )
+    if sources:
+        s_tbl = {
+            f: math.floor(
+                1e6 * math.log((ct.get(f, 0) + 1.0) / (c + 1.0))
+            )
+            for f, c in cr.items()
+        }
+        imp = {
+            i: sum(s_tbl[f] for f in fs) + len(fs) * s_norm
+            for i, fs in per_doc.items()
+        }
+        by_src = {}
+        for i, im in imp.items():
+            src = sources.get(i)
+            if src is not None:
+                by_src.setdefault(src, []).append(im)
+        for rank, src in enumerate(sorted(by_src), 1):
+            vals = by_src[src]
+            n = len(vals)
+            rows.append(
+                ("source_avg_score", src, rank, n, sum(vals) // n)
+            )
+            rows.append(("source_min_score", src, rank, n, min(vals)))
+            rows.append(("source_max_score", src, rank, n, max(vals)))
+    return set(rows)
+
+
+def test_model_report_matches_python_mirror(spark):
+    sources = {1: "web", 2: "web", 3: "wiki", 4: None, 5: "wiki"}
+    raw = spark.createDataFrame(
+        [(i, t, sources[i]) for i, t in RAW],
+        "doc_id bigint, text string, source string",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(TGT)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.section, r.key, r.rank, r.n, r.value_micronats)
+        for r in sampling.importance_model_report(
+            raw, tgt, top_k=4, source_col="source"
+        ).collect()
+    }
+    assert got == _mirror_report(RAW, TGT, 4, sources)
+    # penalized features exist, so the floor-division branch for
+    # negative numerators is genuinely exercised
+    assert any(
+        v < 0 for (s, _, _, _, v) in got if s == "kl_contribution"
+    )
+
+
+def test_model_report_without_sources_and_guard(frames):
+    raw, tgt = frames
+    rows = sampling.importance_model_report(raw, tgt, top_k=3).collect()
+    sections = {r.section for r in rows}
+    assert sections == {
+        "top_target_feature", "top_raw_feature",
+        "kl_contribution", "summary",
+    }
+    with pytest.raises(ValueError, match="top_k"):
+        sampling.importance_model_report(raw, tgt, top_k=0)
+
+
+def test_model_report_hashed_mode_runs_bucket_keys(frames):
+    raw, tgt = frames
+    rows = sampling.importance_model_report(
+        raw, tgt, top_k=3, num_buckets=8
+    ).collect()
+    keys = {
+        r.key for r in rows if r.section == "top_target_feature"
+    }
+    # hashed mode's feature keys are stringified bucket ids
+    assert keys and all(k.isdigit() for k in keys)
+    vocab_n = [
+        r.n for r in rows
+        if (r.section, r.key) == ("summary", "vocabulary_size")
+    ]
+    assert vocab_n and vocab_n[0] <= 8
