@@ -583,12 +583,13 @@ def _sf1_block(spark, sf_dir: str, sf: float) -> dict[str, float]:
     # r10 VERDICT watch item: dedup_edit_distance's ratio drifted 2.04
     # (r9) -> 2.17 (r10); the trigger for a tools/attrib_3x.py
     # treatment was ~2.3. Four full r11 runs measured 2.11 / 2.09 /
-    # 2.22 / 1.99 — in-spread, no trend past the trigger; watch stays.
+    # 2.22 / 1.99 and the first r12 run 2.10 — in-spread, no trend
+    # past the trigger; watch stays.
     if "dedup_edit_distance" in extras:
         extras["dedup_edit_distance"]["scaling_note"] = (
             "watched since r9: ratio 2.04 (r9) / 2.17 (r10) / "
-            "2.11-1.99 across four r11 runs — in-spread, below the "
-            "2.3 attribution trigger"
+            "2.11-1.99 across four r11 runs / 2.10 (r12) — in-spread, "
+            "below the 2.3 attribution trigger"
         )
 
     # bigram_surprisal's LEFT JOIN stays a broadcast only while the

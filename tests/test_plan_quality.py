@@ -60,6 +60,19 @@ CARTESIAN_OK = {
     "importance_weights",
     "importance_resample",
     "importance_resample_grouped",
+    # r12: the fit-diagnostic report crossJoins the BROADCAST 1-row
+    # stats frame (n_raw/n_tgt/v/s_norm) into the vocabulary-sized
+    # feature table and the per-doc aggregate — the same 1 x n class
+    # as importance_weights; the corpus-sized work is the two-corpus
+    # fit upstream.
+    "importance_model_report",
+    # r12: the global quality selector is a constant-group call into
+    # the grouped engine, so its threshold equi-join degenerates (the
+    # constant key folds away) into a broadcast nested-loop against
+    # the ONE-row threshold table — 1 x n, constant cost at any
+    # scale. Real-group callers keep the BroadcastHashJoin; only the
+    # degenerate constant-group shape lands here.
+    "quality_select_top",
 }
 
 

@@ -168,6 +168,33 @@ def main() -> None:
                 docs, docs.filter(F.col("lang") == "en"), 1000, "lang"
             )
         ),
+        # r12: the fit diagnostic (corpus-entry shape — exact vocab,
+        # per-source section): the two-corpus fit once
+        # (localCheckpoint), then vocabulary-sized section aggregates
+        # + one doc-keyed aggregate for the source rows; the delta vs
+        # the exact resample probe is what the report adds on top of
+        # a fit at the same token volume
+        "importance_model_report": lambda: (
+            sampling.importance_model_report(
+                docs,
+                docs.filter(F.col("lang") == "en"),
+                top_k=10,
+                source_col="source",
+            )
+        ),
+        # r12: the 100 TB mode of the same report — hashed
+        # unigram+bigram features into 10k buckets; everything after
+        # the two scans is bucket-table-sized
+        "importance_model_report_hashed": lambda: (
+            sampling.importance_model_report(
+                docs,
+                docs.filter(F.col("lang") == "en"),
+                top_k=10,
+                source_col="source",
+                num_buckets=10_000,
+                bigrams=True,
+            )
+        ),
     }
     out = {}
     for name, make in probes.items():
