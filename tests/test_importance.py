@@ -653,3 +653,43 @@ def test_model_report_hashed_mode_runs_bucket_keys(frames):
         if (r.section, r.key) == ("summary", "vocabulary_size")
     ]
     assert vocab_n and vocab_n[0] <= 8
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw_rows=st.lists(_TEXTS, min_size=1, max_size=8),
+    tgt_rows=st.lists(_TEXTS, min_size=1, max_size=5),
+    top_k=st.integers(min_value=1, max_value=6),
+)
+def test_model_report_matches_mirror_on_random_corpora(
+    spark, raw_rows, tgt_rows, top_k
+):
+    """Property: the report's COMPLETE row set — section top-ks with
+    their tie-broken ranks, floored KL contributions (negative
+    numerators included), the summary rows, and the per-source
+    avg/min/max — is exactly the Python mirror on arbitrary small
+    corpora at arbitrary top_k. Any vocab overlap pattern exercises
+    the UNION-vocabulary full-outer counts (target-only and raw-only
+    features both rank)."""
+    sources = {i: f"s{i % 2}" for i in range(len(raw_rows))}
+    raw = spark.createDataFrame(
+        [(i, t, sources[i]) for i, t in enumerate(raw_rows)],
+        "doc_id bigint, text string, source string",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(tgt_rows)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.section, r.key, r.rank, r.n, r.value_micronats)
+        for r in sampling.importance_model_report(
+            raw, tgt, top_k=top_k, source_col="source"
+        ).collect()
+    }
+    assert got == _mirror_report(
+        list(enumerate(raw_rows)), tgt_rows, top_k, sources
+    )
