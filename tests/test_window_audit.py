@@ -136,6 +136,47 @@ def test_simulated_beyond_bound_not_excused_by_plan():
     assert v["stale_beyond_bound"] == ["e000"]
 
 
+def test_r13_handoff_projection_is_green():
+    """The r12→r13 handoff, projected BEFORE it happens (the composer
+    convention: prove the next round's audit state at composition
+    time): take the real committed history through round 11, land a
+    synthetic all-green round-12 artifact for exactly the r12 window,
+    and audit with the live registry. The nineteen r12 slips sit at
+    exactly the age bound and must be exempted through
+    R13_FIRST_50_PLAN; nothing else may flag. Pinned to rounds ≤ 11 +
+    synthetic r12 so the test stays stable after the real r12
+    artifact lands."""
+    import glob
+    import json
+
+    from sales_data_warehouse_spark.queries.corpus import (
+        QUERIES,
+        R12_FIRST_50_PLAN,
+        R13_FIRST_50_PLAN,
+    )
+
+    mod = _mod()
+    hist = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        if rnd <= 11:
+            with open(path) as fh:
+                hist[rnd] = json.load(fh)
+    hist[12] = {name: dict(GREEN) for name in R12_FIRST_50_PLAN}
+    v = mod.audit(
+        hist=hist,
+        queries=QUERIES,
+        first_50=tuple(R12_FIRST_50_PLAN),
+        next_plan=tuple(R13_FIRST_50_PLAN),
+    )
+    assert v["ok"], v
+    # the nineteen r12 slips are exactly the at-bound exemptions
+    assert len(v["at_bound_exempt_via_next_plan"]) == 19, v
+    assert v["never_rowed_pending_next_window"] == [
+        "importance_model_report"
+    ], v
+
+
 def test_simulated_n201_regime_change():
     """At N=201 the bound relaxes to ⌈201/50⌉=5: the same four-cohort
     history that filled the N=200 regime is comfortably inside the
