@@ -157,3 +157,38 @@ def test_recover_staged_restores_mid_swap_crash(spark, tmp_path):
     import os
 
     assert not os.path.exists(path + ".stage_old")
+
+
+def test_staged_overwrite_preserves_partitioned_layout(spark, tmp_path):
+    """partition_by (r12, added for the text/phrase index postings):
+    the Hive key=value layout must survive the staging swap — readers
+    rely on it for partition pruning — and a re-save whose df is a
+    lazy scan of the destination itself must round-trip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.range(0, 20).withColumn("b", F.pmod("id", F.lit(4)))
+    staged_overwrite(spark, df, path, partition_by=["b"])
+    dirs = {d for d in os.listdir(path) if d.startswith("b=")}
+    assert dirs == {"b=0", "b=1", "b=2", "b=3"}
+    # pruning-relevant: a b-filter on the reopened table is a
+    # PartitionFilters entry, not a data filter
+    reopened = spark.read.parquet(path)
+    plan = (
+        reopened.filter(F.col("b") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*b", plan), plan[:1500]
+    # re-save the reopened (lazy-scan-of-destination) table in place
+    staged_overwrite(spark, reopened, path, partition_by=["b"])
+    again = spark.read.parquet(path)
+    assert again.count() == 20
+    assert {d for d in os.listdir(path) if d.startswith("b=")} == dirs
