@@ -174,3 +174,31 @@ def test_r13_plan_satisfies_the_rotation_policy():
     # except entries legitimately due again next round — sanity: the
     # two windows share nothing (r12 rows are age 1 entering r13)
     assert not set(plan) & set(R12_FIRST_50_PLAN)
+    # SLIP ELIGIBILITY is machine-checked, not just claimed: every
+    # designated slip carries >= 3 hard rows, the latest in r10 (the
+    # cohort the r13 slips must come from)
+    hist = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        with open(path) as fh:
+            for name in json.load(fh):
+                hist.setdefault(name, []).append(rnd)
+    bad = {
+        s: hist.get(s, [])
+        for s in designated
+        if len(hist.get(s, [])) < 3 or hist[s][-1] != 10
+    }
+    assert not bad, bad
+    # the composer note's fresh-twin claims: each named twin carries
+    # the row round the rationale asserts
+    for twin in (
+        "dedup_ngram_jaccard", "dedup_clusters", "fuzzy_join_minhash",
+        "sessionize", "train_test_split", "set_union",
+    ):
+        assert 11 in hist[twin], (twin, hist.get(twin))
+    for twin in (
+        "fuzzy_join_minhash_exact", "embedding_stats",
+        "bigram_surprisal", "text_quality", "repetition_quality",
+        "trend_slope_per_user", "quality_select_grouped",
+    ):
+        assert twin in set(R12_FIRST_50_PLAN), twin
