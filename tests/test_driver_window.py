@@ -133,7 +133,17 @@ def test_r13_plan_satisfies_the_rotation_policy():
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         with open(path) as fh:
             rowed |= set(json.load(fh))
-    pending = {n for n in QUERIES if n not in rowed} - set(FIRST_50)
+    # anything registered in r13 itself (after this window froze) is
+    # first in line for r14, not r13
+    from sales_data_warehouse_spark.queries.corpus import (
+        R14_FIRST_50_PLAN,
+    )
+
+    pending = (
+        {n for n in QUERIES if n not in rowed}
+        - set(FIRST_50)
+        - set(R14_FIRST_50_PLAN)
+    )
     assert pending <= set(plan), sorted(pending - set(plan))
 
     r12_slips = {
@@ -202,3 +212,112 @@ def test_r13_plan_satisfies_the_rotation_policy():
         "trend_slope_per_user", "quality_select_grouped",
     ):
         assert twin in set(R12_FIRST_50_PLAN), twin
+
+
+def test_r14_plan_satisfies_the_rotation_policy():
+    """Same structural pins for the NEXT pre-composed window (composed
+    at the r13 swap, per the write-the-next-note-with-the-swap
+    convention): 50 unique registered entries; the twenty-one r13
+    slips lead (no entry slips twice running); none of the twenty
+    designated r14 slips is present; slips + plan exactly partition
+    the r11-rowed cohort (minus bm25_search_persisted, which re-rows
+    in r13 by promotion); every designated slip is machine-checked
+    eligible (>= 3 hard rows, latest r11); and every fresh-twin claim
+    in the composer note holds."""
+    import glob
+    import json
+
+    from sales_data_warehouse_spark.queries.corpus import (
+        R13_FIRST_50_PLAN,
+        R14_FIRST_50_PLAN,
+    )
+
+    plan = list(R14_FIRST_50_PLAN)
+    assert len(plan) == len(set(plan)) == 50
+    assert not [n for n in plan if n not in QUERIES]
+
+    r13_slips = {
+        "dedup_ngram_jaccard_capped", "dedup_clusters_star",
+        "dedup_minhash_lsh", "dedup_minhash_incremental",
+        "embedding_normalize", "embedding_truncate",
+        "embedding_quantize", "unigram_surprisal",
+        "gopher_quality_filter", "quality_logit", "bm25_topk",
+        "session_funnel", "rolling_active_users", "stats_correlation",
+        "user_paths", "multimodal_features", "leakage_safe_split",
+        "epoch_shuffle", "table_profile", "full_outer_join",
+        "union_by_name_missing",
+    }
+    assert len(r13_slips) == 21
+    assert r13_slips <= set(plan)
+
+    designated = {
+        "dedup_ngram_jaccard", "dedup_clusters", "dedup_exact",
+        "dedup_embedding_cosine", "sessionize", "set_union",
+        "train_test_split", "approx_sketches", "tumbling_window_agg",
+        "date_functions", "rollup_revenue", "cube_quantity",
+        "pivot_status_by_year", "topk_revenue_orders", "group_having",
+        "left_join_coalesce", "window_dense_rank", "window_lag_gap",
+        "window_running_total", "source_dup_ratio",
+    }
+    assert len(designated) == 20
+    assert not designated & set(plan)
+    # no double-slip of anything that slipped in r13
+    assert not designated & r13_slips
+    # the r11-rowed cohort is exactly partitioned: designated slips
+    # out, the other 29 in (bm25_search_persisted re-rows in r13)
+    with open("CORRECTNESS_r11.json") as fh:
+        cohort = set(json.load(fh)) - {"bm25_search_persisted"}
+    assert designated <= cohort
+    assert cohort - designated <= set(plan)
+    # the plan never overlaps the CURRENT window (r13 rows are age 1
+    # entering r14)
+    assert not set(plan) & set(R13_FIRST_50_PLAN)
+    # SLIP ELIGIBILITY is machine-checked, not just claimed: every
+    # designated slip carries >= 3 hard rows, the latest in r11 (the
+    # cohort the r14 slips must come from) — which also pins that the
+    # four single-rowed and two double-rowed cohort members were NOT
+    # designated
+    hist = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        with open(path) as fh:
+            for name in json.load(fh):
+                hist.setdefault(name, []).append(rnd)
+    bad = {
+        s: hist.get(s, [])
+        for s in designated
+        if len(hist.get(s, [])) < 3 or hist[s][-1] != 11
+    }
+    assert not bad, bad
+    # the composer note's fresh-twin claims, by freshness class:
+    # (a) twins rowed in r14 BY CONSTRUCTION (they lead as r13 slips)
+    for twin in (
+        "dedup_ngram_jaccard_capped", "dedup_clusters_star",
+        "session_funnel", "user_paths", "union_by_name_missing",
+        "leakage_safe_split", "epoch_shuffle", "rolling_active_users",
+    ):
+        assert twin in r13_slips and twin in set(plan), twin
+    # (b) twins carrying r12 rows
+    for twin in (
+        "semantic_dedup", "date_spine", "time_hierarchy",
+        "set_except", "set_intersect", "semi_join_having",
+    ):
+        assert 12 in hist[twin], (twin, hist.get(twin))
+    # (c) twins rowed in r13 (in the current window)
+    for twin in (
+        "session_stats", "topk_unshipped_revenue", "topk_rank_ties",
+        "window_cume_dist", "rolling_range_avg", "gap_fill_locf",
+        "source_overlap_matrix", "source_lexical_diversity",
+        "join_composite_key", "embedding_centroids",
+        "semantic_outliers", "dedup_keep_best", "dedup_lines",
+    ):
+        assert twin in set(R13_FIRST_50_PLAN), twin
+    # (d) retained siblings the rationales lean on stay in the window
+    for kept in (
+        "dedup_exact_incremental", "approx_frequent_items_exact",
+        "grouping_sets_revenue", "unpivot_lineitem_metrics",
+        "topk_global_sort", "pricing_summary", "sliding_window_rate",
+        "streaming_dedup_batch_contract", "window_top1_per_group",
+        "window_frame_first_last", "ntile_buckets", "join_multiway",
+    ):
+        assert kept in set(plan), kept
