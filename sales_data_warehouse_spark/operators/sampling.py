@@ -347,13 +347,22 @@ def quality_select_top(
             f"quality_select_top: keep_permille ({keep_permille}) "
             "must be in (0, 1000]"
         )
+    # collision-resistant internal carry name (r12 ADVICE: a caller
+    # column literally named "_g" was silently overwritten — the fixed
+    # output projection hid it, but the collision was invisible)
+    const_group = "__qst_const_group"
+    if const_group in docs.columns:
+        raise ValueError(
+            f"quality_select_top: input already has a {const_group!r} "
+            "column (reserved internal carry name)"
+        )
     return quality_select_top_grouped(
-        docs.withColumn("_g", F.lit(1)),
+        docs.withColumn(const_group, F.lit(1)),
         keep_permille=keep_permille,
-        group_cols="_g",
+        group_cols=const_group,
         text_col=text_col,
         id_col=id_col,
-    ).drop("_g")
+    ).drop(const_group)
 
 
 def weighted_sample_topk(
@@ -1081,6 +1090,16 @@ def importance_model_report(
     counts = _dsir_counts(
         raw_occ, target, text_col, num_buckets, bigrams
     ).localCheckpoint()
+    # empty-fit guard (r12 ADVICE): zero features means both corpora
+    # were empty or all-NULL text — the summary aggregates would emit
+    # NULL value_micronats (SUM over zero rows). Fail fast like the
+    # top_k guard; the checkpoint above already materialized counts,
+    # so this emptiness probe is metadata-cheap, not a second fit.
+    if counts.isEmpty():
+        raise ValueError(
+            "importance_model_report: empty fit — both corpora "
+            "produced zero features (empty or all-NULL text)"
+        )
     stats = counts.agg(
         F.sum(F.coalesce(F.col("cr"), F.lit(0))).alias("n_raw"),
         F.sum(F.coalesce(F.col("ct"), F.lit(0))).alias("n_tgt"),

@@ -638,6 +638,19 @@ def test_model_report_without_sources_and_guard(frames):
         sampling.importance_model_report(raw, tgt, top_k=0)
 
 
+def test_model_report_empty_fit_raises(spark):
+    """r12 ADVICE: an empty counts frame (both corpora empty or
+    all-NULL text) used to emit summary rows with NULL value_micronats
+    (SUM over zero rows); the fit now fails fast instead."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    for raw, tgt in [(empty, empty), (nulls, nulls)]:
+        with pytest.raises(ValueError, match="empty fit"):
+            sampling.importance_model_report(raw, tgt, top_k=3)
+
+
 def test_model_report_hashed_mode_runs_bucket_keys(frames):
     raw, tgt = frames
     rows = sampling.importance_model_report(

@@ -51,6 +51,25 @@ def test_keep_all_and_keep_none_bounds(spark):
     assert len(top) == 1
 
 
+def test_caller_g_column_survives_and_reserved_name_raises(spark):
+    """r12 ADVICE: the internal constant-group carry was literally
+    named ``_g``, silently overwriting a caller column of that name.
+    The carry is now collision-resistant (``__qst_const_group``) and
+    the reserved name raises instead of being clobbered."""
+    docs = _mk(spark, [" ".join(["the"] * (5 + 10 * i)) for i in range(10)])
+    tagged = docs.withColumn("_g", F.col("doc_id") * 7)
+    out = quality_select_top(tagged, keep_permille=300)
+    # note: output projection is fixed, so `_g` is not expected in the
+    # output — the pin is that the run no longer hinges on clobbering
+    # it, and the reserved internal name is refused loudly
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="__qst_const_group"):
+        quality_select_top(
+            docs.withColumn("__qst_const_group", F.lit(9)),
+            keep_permille=300,
+        )
+
+
 def test_no_global_row_sort_in_plan(spark):
     docs = _mk(spark, [" ".join(["the"] * (5 + i)) for i in range(20)])
     plan = (
