@@ -904,48 +904,58 @@ def save_importance_model(model: ImportanceModel, path: str) -> None:
     feat, long s — round-trip losslessly) plus a 1-row stats parquet
     with the normalizer and the feature-space config.
 
-    Writes go through ``staged_overwrite`` (write-then-swap), for the
-    usual crash-safety AND because a reopened model's score table is a
-    lazy scan of ``{path}/scores`` — a plain ``mode('overwrite')`` of
-    the same path would delete the very files the write's plan reads,
-    so "reopen, then re-save to the same path" would destroy the
-    model."""
+    The scores+stats PAIR goes through ``staged_overwrite_dir`` as ONE
+    atomic swap (r12 review: two independent per-part swaps left a
+    crash window pairing new scores with a stale normalizer — skewed
+    importance weights on the reopened model). Whole-directory staging
+    also keeps re-save-to-same-path safe: a reopened model's score
+    table is a lazy scan of ``{path}/scores``, untouched until the new
+    generation is fully written — a plain ``mode('overwrite')`` would
+    delete the very files the write's plan reads."""
     from sales_data_warehouse_spark.sources.compaction import (
-        staged_overwrite,
+        staged_overwrite_dir,
     )
 
     spark = model.scores.sparkSession
-    staged_overwrite(spark, model.scores, f"{path}/scores")
-    staged_overwrite(
+    staged_overwrite_dir(
         spark,
-        spark.createDataFrame(
-            [
-                (
-                    model.s_norm,
-                    model.num_buckets,
-                    model.bigrams,
-                    "bucket"
-                    if model.num_buckets is not None
-                    else "token",
-                )
-            ],
-            "s_norm long, num_buckets long, bigrams boolean, "
-            "feat_kind string",
-        ).coalesce(1),
-        f"{path}/stats",
+        {
+            "scores": (model.scores, None),
+            "stats": (
+                spark.createDataFrame(
+                    [
+                        (
+                            model.s_norm,
+                            model.num_buckets,
+                            model.bigrams,
+                            "bucket"
+                            if model.num_buckets is not None
+                            else "token",
+                        )
+                    ],
+                    "s_norm long, num_buckets long, bigrams boolean, "
+                    "feat_kind string",
+                ).coalesce(1),
+                None,
+            ),
+        },
+        path,
     )
 
 
 def load_importance_model(spark, path: str) -> ImportanceModel:
     """Reopen a saved model; the score table stays a lazy parquet scan
     (broadcast at score time in hashed mode). Calls
-    ``recover_staged`` on both parts first, so a save that crashed
-    mid-swap reopens the intact previous generation instead of
+    ``recover_staged`` on the model directory first (the save stages
+    the scores+stats pair as one swap), then on both parts for models
+    last saved by the pre-r13 per-part staging — so a save that
+    crashed mid-swap reopens the intact previous generation instead of
     failing on a missing directory."""
     from sales_data_warehouse_spark.sources.compaction import (
         recover_staged,
     )
 
+    recover_staged(spark, path)
     recover_staged(spark, f"{path}/scores")
     recover_staged(spark, f"{path}/stats")
     row = spark.read.parquet(f"{path}/stats").collect()[0]

@@ -1169,42 +1169,48 @@ def build_text_index(
 
 def save_text_index(index: TextIndex, path: str) -> None:
     """Persist: postings partitioned by pbucket (a q-term search prunes
-    to <= q of the 64 directories), stats as a 1-row parquet. Both
-    parts go through ``staged_overwrite``: a reopened index's postings
-    are a lazy scan of ``{path}/postings``, so a plain overwrite
-    re-save to the same path would delete the files its own write plan
-    reads (the ``save_importance_model``/``save_phrase_index``
-    hazard)."""
+    to <= q of the 64 directories), stats as a 1-row parquet. The PAIR
+    goes through ``staged_overwrite_dir`` as ONE atomic swap (r12
+    review: two independent per-part swaps left a crash window where
+    new postings paired with stale stats, silently skewing BM25
+    idf/avgdl on the reopened index). The whole-directory staging also
+    keeps re-save-to-same-path safe: a reopened index's postings are a
+    lazy scan of ``{path}/postings``, untouched until the new
+    generation is fully written."""
     from sales_data_warehouse_spark.sources.compaction import (
-        staged_overwrite,
+        staged_overwrite_dir,
     )
 
     spark = index.postings.sparkSession
-    staged_overwrite(
+    staged_overwrite_dir(
         spark,
-        index.postings,
-        f"{path}/postings",
-        partition_by=["pbucket"],
-    )
-    staged_overwrite(
-        spark,
-        spark.createDataFrame(
-            [(index.n_docs, index.t_tokens, index.id_col)],
-            "n_docs long, t_tokens long, id_col string",
-        ).coalesce(1),
-        f"{path}/stats",
+        {
+            "postings": (index.postings, ["pbucket"]),
+            "stats": (
+                spark.createDataFrame(
+                    [(index.n_docs, index.t_tokens, index.id_col)],
+                    "n_docs long, t_tokens long, id_col string",
+                ).coalesce(1),
+                None,
+            ),
+        },
+        path,
     )
 
 
 def load_text_index(spark, path: str) -> TextIndex:
     """Reopen a saved index; postings stay a lazy partitioned scan so a
     search's pbucket filter becomes partition pruning. Calls
-    ``recover_staged`` on both parts first so a save that crashed
-    mid-swap reopens the intact previous generation."""
+    ``recover_staged`` on the index directory first (the
+    whole-directory save stages the PAIR as one swap) so a save that
+    crashed mid-swap reopens the intact previous generation — and on
+    both parts for indexes last saved by the per-part staging of
+    releases before the r13 atomic-pair fix."""
     from sales_data_warehouse_spark.sources.compaction import (
         recover_staged,
     )
 
+    recover_staged(spark, path)
     recover_staged(spark, f"{path}/postings")
     recover_staged(spark, f"{path}/stats")
     row = spark.read.parquet(f"{path}/stats").collect()[0]
@@ -1495,41 +1501,45 @@ def save_phrase_index(index: PhraseIndex, path: str) -> None:
     the id column name (the ``save_text_index`` layout — without it a
     non-default ``id_col`` index would silently reopen broken).
 
-    Both parts go through ``staged_overwrite`` (write-then-swap): a
-    reopened index's postings are a lazy scan of ``{path}/postings``,
-    so a plain ``mode('overwrite')`` re-save to the same path would
-    delete the parquet files its own write plan is reading — the
-    ``save_importance_model`` hazard, same fix."""
+    The PAIR goes through ``staged_overwrite_dir`` as ONE atomic swap
+    (r12 review: per-part swaps left a new-postings/stale-stats crash
+    window — here a stale ``id_col`` reopens the index against the
+    wrong key column). Whole-directory staging keeps re-save-to-same-
+    path safe too: a reopened index's postings are a lazy scan of
+    ``{path}/postings``, untouched until the new generation is fully
+    written — the ``save_importance_model`` hazard, same fix."""
     from sales_data_warehouse_spark.sources.compaction import (
-        staged_overwrite,
+        staged_overwrite_dir,
     )
 
     spark = index.postings.sparkSession
-    staged_overwrite(
+    staged_overwrite_dir(
         spark,
-        index.postings,
-        f"{path}/postings",
-        partition_by=["pbucket"],
-    )
-    staged_overwrite(
-        spark,
-        spark.createDataFrame(
-            [(index.id_col,)], "id_col string"
-        ).coalesce(1),
-        f"{path}/stats",
+        {
+            "postings": (index.postings, ["pbucket"]),
+            "stats": (
+                spark.createDataFrame(
+                    [(index.id_col,)], "id_col string"
+                ).coalesce(1),
+                None,
+            ),
+        },
+        path,
     )
 
 
 def load_phrase_index(spark, path: str) -> PhraseIndex:
     """Reopen a saved index; the postings stay a lazy partitioned scan
     and the id column name comes from the persisted stats. Calls
-    ``recover_staged`` on both parts first so a save that crashed
-    mid-swap reopens the intact previous generation
+    ``recover_staged`` on the index directory first (the save stages
+    the pair as one swap), then on both parts for indexes last saved
+    by the pre-r13 per-part staging
     (``load_importance_model``'s contract)."""
     from sales_data_warehouse_spark.sources.compaction import (
         recover_staged,
     )
 
+    recover_staged(spark, path)
     recover_staged(spark, f"{path}/postings")
     recover_staged(spark, f"{path}/stats")
     row = spark.read.parquet(f"{path}/stats").collect()[0]

@@ -7778,16 +7778,18 @@ R12_FIRST_50_PLAN = (
 #
 # r14 WINDOW, PRE-COMPOSED (round 13 composer note; N=170 at
 # composition time -> steady-state slips N-150 = 20 from the r11-rowed
-# cohort; candidates = 21 r13 slips + 49 r11-rowed entries = 70 for 50
-# slots; the cohort is 49, not 50, because bm25_search_persisted — an
-# r11-rowed entry — is IN the r13 window by promotion and re-rows
-# there). Of the 49, the four single-rowed r10 registrations
-# (fuzzy_join_minhash, fuzzy_lookup_edit_distance, jsonl_roundtrip,
-# weighted_sample — one r11 row each) and the two double-rowed
-# r8-cohort entries (asof_join_tolerance, knn_label_vote — r8/r11)
-# are NOT slip-eligible (<3 greens) and stay. The 20 designated
-# slips, each with >= 3 consecutive greens, kernel untouched since
-# its r11 row, and the honest twin/redundant-pinning rationale:
+# cohort, +1 forced by the importance_model_persisted code-change
+# promotion (below) = TWENTY-ONE designated slips; candidates = 21 r13
+# slips + 1 promotion + 49 r11-rowed entries = 71 for 50 slots; the
+# cohort is 49, not 50, because bm25_search_persisted — an r11-rowed
+# entry — is IN the r13 window by promotion and re-rows there). Of the
+# 49, the four single-rowed r10 registrations (fuzzy_join_minhash,
+# fuzzy_lookup_edit_distance, jsonl_roundtrip, weighted_sample — one
+# r11 row each) and the two double-rowed r8-cohort entries
+# (asof_join_tolerance, knn_label_vote — r8/r11) are NOT slip-eligible
+# (<3 greens) and stay. The 21 designated slips, each with >= 3
+# consecutive greens, kernel untouched since its r11 row, and the
+# honest twin/redundant-pinning rationale:
 #   1. dedup_ngram_jaccard (greens r1/r2/r4/r7/r11; its capped
 #      production twin dedup_ngram_jaccard_capped is rowed in r14 BY
 #      CONSTRUCTION — it leads as an r13 slip — over the same shared
@@ -7850,12 +7852,37 @@ R12_FIRST_50_PLAN = (
 #      twin rolling_active_users is rowed in r14 by construction);
 #  20. source_dup_ratio (greens r5/r8/r11; source_overlap_matrix and
 #      source_lexical_diversity carry r13 rows over the same
-#      per-source kernel).
+#      per-source kernel);
+#  21. case_when_classify (greens r1/r2/r5/r8/r11; pure corpus query
+#      re-verified type-strictly by the parity suite every session;
+#      the CASE kernel in product_dimension carries scd2_versions'
+#      r12 row — the slip slot forced by the
+#      importance_model_persisted promotion, taken from the named
+#      next-in-line order).
+#
+# r13 CODE-CHANGED surface and its promotion (the r12 rule's
+# bookkeeping): save/load_importance_model, save/load_text_index and
+# save/load_phrase_index now stage each scores/postings+stats PAIR as
+# ONE whole-directory swap (staged_overwrite_dir — the r12 ADVICE
+# crash window pairing a new data part with stale stats is closed).
+#   * importance_model_persisted exercises save/load_importance_model
+#     directly; its r12 row predates the change -> PROMOTED into the
+#     r14 window, costing the extra slip (#21 above).
+#   * bm25_search_persisted exercises save/load_text_index and is IN
+#     the r13 window by its own r12 promotion — its r13 row postdates
+#     this change; no further action.
+#   * phrase_search's kernel is text.phrase_match (scan path only —
+#     it builds no index and never touches save/load), so the
+#     save_phrase_index change does not promote it; the phrase
+#     index's save/load/recover surface has no corpus entry and is
+#     pinned every session by tests/test_phrase_index.py and the
+#     staged_overwrite_dir unit tests.
+#
 # None of r13's twenty-one slips may slip again in r14. If any r14
 # designee's code changes before composition time, promote it and
 # slip the next most redundantly pinned r11-rowed entry instead
-# (next in line by the same criteria: case_when_classify, then
-# json_props_extract — both r1/r2/r5/r8/r11, pure corpus queries
+# (next in line by the same criteria: json_props_extract, then
+# percentile_quantity — both r1/r2/r5/r8/r11, pure corpus queries
 # parity-pinned every session). Any r13 registration lands after
 # position 50, is first in line here, and costs one extra slip from
 # the same next-in-line order.
@@ -7936,8 +7963,9 @@ R13_FIRST_50_PLAN = (
 )
 
 #: The r14 window, PRE-COMPOSED from the r14 composer note above (the
-#: twenty-one r13 slips lead, then the 29 r11-rowed entries retained
-#: after the twenty designated slips — exactly 50). Next round's
+#: twenty-one r13 slips lead, then the importance_model_persisted
+#: code-change promotion, then the 28 r11-rowed entries retained
+#: after the twenty-one designated slips — exactly 50). Next round's
 #: composer sets ``FIRST_50 = R14_FIRST_50_PLAN`` (verbatim or with
 #: the promotions the policy allows); ``tests/test_driver_window``
 #: pins the structural invariants and ``tools/window_audit.py``
@@ -7965,13 +7993,15 @@ R14_FIRST_50_PLAN = (
     "table_profile",
     "full_outer_join",
     "union_by_name_missing",
-    # 29 of the 49 r11-rowed entries (twenty designated slips — see
-    # the composer note above; bm25_search_persisted re-rows in r13)
+    # r13 code-change promotion (atomic scores+stats pair staging)
+    "importance_model_persisted",
+    # 28 of the 49 r11-rowed entries (twenty-one designated slips —
+    # see the composer note above; bm25_search_persisted re-rows in
+    # r13)
     "ann_ivf_persisted",
     "approx_frequent_items_exact",
     "asof_join_forward",
     "asof_join_tolerance",
-    "case_when_classify",
     "cleanse_reject_routing",
     "dedup_containment",
     "dedup_exact_incremental",

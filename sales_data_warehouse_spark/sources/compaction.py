@@ -140,6 +140,69 @@ def staged_overwrite(
     fs.delete(P(old), True)
 
 
+def staged_overwrite_dir(
+    spark,
+    parts: dict,
+    path: str,
+) -> None:
+    """Atomically overwrite a MULTI-PART state directory — an index's
+    postings + stats, a model's scores + stats — as ONE swap.
+
+    :func:`staged_overwrite` makes each part individually crash-safe,
+    but two independent swaps are not atomic as a PAIR: a crash
+    between them leaves new postings next to stale stats, and after
+    ``recover_staged`` the reopened index silently scores with the
+    wrong ``n_docs``/``t_tokens`` (r12 review finding). Here every
+    part is written under a single staging directory and the PARENT
+    swaps via the same two renames, so readers only ever see
+    generation-consistent pairs: either the whole old directory or
+    the whole new one.
+
+    ``parts`` maps a relative subdirectory name to ``(df,
+    partition_by)`` where ``partition_by`` is ``None`` or a list of
+    columns (preserving Hive layouts through the staging dir, the
+    :func:`staged_overwrite` contract). Crash windows: during the part
+    writes the live ``path`` is untouched (a stale ``.stage_tmp`` is
+    deleted by the next save); between the two renames
+    :func:`recover_staged` on the PARENT restores the previous
+    generation — callers that maintain state through this function
+    must recover the parent before treating a missing ``path`` as
+    empty, exactly as with single-part staging. Re-save-to-same-path
+    is safe for the same reason as :func:`staged_overwrite`: the new
+    parts' write plans may lazily read ``{path}/<part>``, and the
+    source directory survives untouched until the new generation is
+    fully written."""
+    tmp = path + ".stage_tmp"
+    old = path + ".stage_old"
+    # A prior mid-swap crash leaves `old` as the ONLY durable copy —
+    # restore before the unconditional delete(old) below (the
+    # staged_overwrite contract).
+    recover_staged(spark, path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    # stale staging from a save that crashed mid-part-write (the
+    # single-part variant lets mode('overwrite') clobber its tmp; a
+    # multi-part tmp may hold a PARTIAL part set and must go wholesale)
+    fs.delete(P(tmp), True)
+    for rel, (df, partition_by) in parts.items():
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(f"{tmp}/{rel}")
+    fs.delete(P(old), True)
+    if fs.exists(P(path)):
+        if not fs.rename(P(path), P(old)):
+            raise IOError(
+                f"staged_overwrite_dir: could not stage {path}"
+            )
+    if not fs.rename(P(tmp), P(path)):
+        fs.rename(P(old), P(path))
+        raise IOError(
+            f"staged_overwrite_dir: could not swap into {path}"
+        )
+    fs.delete(P(old), True)
+
+
 def table_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under ``path`` via the Hadoop FS API (works for
     local paths, HDFS, and object stores with Hadoop connectors)."""

@@ -192,3 +192,162 @@ def test_staged_overwrite_preserves_partitioned_layout(spark, tmp_path):
     again = spark.read.parquet(path)
     assert again.count() == 20
     assert {d for d in os.listdir(path) if d.startswith("b=")} == dirs
+
+
+def _read_pair(spark, path):
+    a = spark.read.parquet(f"{path}/postings")
+    b = spark.read.parquet(f"{path}/stats")
+    return a.count(), b.collect()[0]["gen"]
+
+
+def test_staged_overwrite_dir_pair_is_atomic_on_part_failure(
+    spark, tmp_path
+):
+    """THE r12 review finding: two independent per-part swaps leave a
+    crash window pairing new postings with stale stats. With the
+    whole-directory swap, a save that dies while writing its SECOND
+    part must leave the live directory holding the complete OLD
+    generation — both parts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite_dir,
+    )
+
+    path = str(tmp_path / "index")
+    staged_overwrite_dir(
+        spark,
+        {
+            "postings": (spark.range(0, 100), None),
+            "stats": (
+                spark.createDataFrame([(1,)], "gen long"), None,
+            ),
+        },
+        path,
+    )
+    assert _read_pair(spark, path) == (100, 1)
+
+    # generation 2's stats frame raises at evaluation time — the part
+    # writes happen in dict order, so postings-v2 lands in the staging
+    # dir before the failure
+    poison = spark.createDataFrame([(2,)], "gen long").select(
+        F.assert_true(F.lit(False)).alias("x"),
+        F.col("gen"),
+    )
+    with pytest.raises(Exception):
+        staged_overwrite_dir(
+            spark,
+            {
+                "postings": (spark.range(0, 7), None),
+                "stats": (poison, None),
+            },
+            path,
+        )
+    # live directory: complete old generation, pair-consistent
+    assert _read_pair(spark, path) == (100, 1)
+
+    # and the next save succeeds despite the stale partial .stage_tmp
+    staged_overwrite_dir(
+        spark,
+        {
+            "postings": (spark.range(0, 7), None),
+            "stats": (
+                spark.createDataFrame([(3,)], "gen long"), None,
+            ),
+        },
+        path,
+    )
+    assert _read_pair(spark, path) == (7, 3)
+    import os
+
+    assert not os.path.exists(path + ".stage_tmp")
+    assert not os.path.exists(path + ".stage_old")
+
+
+def test_staged_overwrite_dir_mid_swap_crash_recovers(spark, tmp_path):
+    """Parent-level mid-swap crash (path missing, path.stage_old
+    intact): recover_staged on the PARENT restores the whole pair; the
+    next save restores before staging rather than deleting the only
+    durable copy."""
+    import shutil
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+        staged_overwrite_dir,
+    )
+
+    path = str(tmp_path / "index2")
+    parts = {
+        "postings": (spark.range(0, 50), None),
+        "stats": (spark.createDataFrame([(1,)], "gen long"), None),
+    }
+    staged_overwrite_dir(spark, parts, path)
+    shutil.move(path, path + ".stage_old")
+    assert recover_staged(spark, path) is True
+    assert _read_pair(spark, path) == (50, 1)
+
+    shutil.move(path, path + ".stage_old")
+    staged_overwrite_dir(
+        spark,
+        {
+            "postings": (spark.range(0, 9), None),
+            "stats": (
+                spark.createDataFrame([(2,)], "gen long"), None,
+            ),
+        },
+        path,
+    )
+    assert _read_pair(spark, path) == (9, 2)
+
+
+def test_staged_overwrite_dir_preserves_partitioned_parts(
+    spark, tmp_path
+):
+    """partition_by flows through per part (the text/phrase index
+    postings are pbucket-partitioned), and a re-save whose parts are
+    lazy scans of the destination itself round-trips — the
+    reopen-then-resave shape of every persisted index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite_dir,
+    )
+
+    path = str(tmp_path / "index3")
+    staged_overwrite_dir(
+        spark,
+        {
+            "postings": (
+                spark.range(0, 20).withColumn(
+                    "b", F.pmod("id", F.lit(4))
+                ),
+                ["b"],
+            ),
+            "stats": (
+                spark.createDataFrame([(1,)], "gen long"), None,
+            ),
+        },
+        path,
+    )
+    dirs = {
+        d
+        for d in os.listdir(f"{path}/postings")
+        if d.startswith("b=")
+    }
+    assert dirs == {"b=0", "b=1", "b=2", "b=3"}
+    reopened = spark.read.parquet(f"{path}/postings")
+    restats = spark.read.parquet(f"{path}/stats")
+    staged_overwrite_dir(
+        spark,
+        {"postings": (reopened, ["b"]), "stats": (restats, None)},
+        path,
+    )
+    assert _read_pair(spark, path) == (20, 1)
+    assert {
+        d
+        for d in os.listdir(f"{path}/postings")
+        if d.startswith("b=")
+    } == dirs

@@ -258,13 +258,18 @@ def test_r14_plan_satisfies_the_rotation_policy():
         "pivot_status_by_year", "topk_revenue_orders", "group_having",
         "left_join_coalesce", "window_dense_rank", "window_lag_gap",
         "window_running_total", "source_dup_ratio",
+        # the slip slot forced by the importance_model_persisted
+        # promotion (r13 atomic pair-staging change)
+        "case_when_classify",
     }
-    assert len(designated) == 20
+    assert len(designated) == 21
     assert not designated & set(plan)
     # no double-slip of anything that slipped in r13
     assert not designated & r13_slips
+    # the r13 code-change promotion is present
+    assert "importance_model_persisted" in set(plan)
     # the r11-rowed cohort is exactly partitioned: designated slips
-    # out, the other 29 in (bm25_search_persisted re-rows in r13)
+    # out, the other 28 in (bm25_search_persisted re-rows in r13)
     with open("CORRECTNESS_r11.json") as fh:
         cohort = set(json.load(fh)) - {"bm25_search_persisted"}
     assert designated <= cohort
