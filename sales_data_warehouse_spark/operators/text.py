@@ -8,6 +8,8 @@ as any other columnar scan. Each operator has a matching ANSI-SQL oracle in
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -654,6 +656,7 @@ def quality_logit(
     text_col: str = "text",
     id_col: str = "doc_id",
     carry_cols: list[str] | None = None,
+    weights: dict | None = None,
 ) -> DataFrame:
     """Linear quality classifier over the ``text_quality`` features,
     entirely in scaled-integer space: ratios become exact ppm integers
@@ -669,8 +672,20 @@ def quality_logit(
     need grouping columns downstream get them in the SAME single
     projection instead of joining the corpus back to itself). One
     scan, no shuffle, no UDF.
+
+    ``weights`` swaps the published constants for another set in the
+    same integer milli format — the hook :func:`score_with_classifier`
+    uses to run a FITTED model through this exact arithmetic (r13; the
+    scorer is the contract, the weights are data).
     """
     carry = list(carry_cols or [])
+    if weights is None:
+        weights = QUALITY_LOGIT_WEIGHTS
+    if set(weights) != set(QUALITY_LOGIT_WEIGHTS):
+        raise ValueError(
+            "quality_logit: weights must have exactly the keys "
+            f"{sorted(QUALITY_LOGIT_WEIGHTS)}, got {sorted(weights)}"
+        )
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
     n_tok = token_count(t)
@@ -679,7 +694,7 @@ def quality_logit(
     n_stop = F.size(
         F.regexp_extract_all(F.lower(t), F.lit(LANG_STOPWORDS["en"]))
     ).cast("bigint")
-    w = QUALITY_LOGIT_WEIGHTS
+    w = weights
     base = docs.select(
         id_col,
         *carry,
@@ -704,6 +719,211 @@ def quality_logit(
     ).cast("bigint")
     return base.withColumn("logit_milli", logit).withColumn(
         "keep", F.col("logit_milli") >= keep_threshold_milli
+    )
+
+
+#: Demo weights FITTED by :func:`fit_quality_classifier` (r13) on the
+#: sf0.01 documents table against the ``lang == 'en'`` seed labeling —
+#: the same target the DSIR corpus entries use. Committed so the
+#: apply side is a replayable integer contract (the driver oracle
+#: inlines these constants); they describe THIS synthetic corpus, not
+#: quality truth — a real pipeline refits on its own labeled seeds
+#: (CCNet-style wiki-vs-crawl) and ships its own constants. The
+#: reproducibility test refits and pins these to ±1 milli.
+TRAINED_QUALITY_WEIGHTS = {
+    "bias_milli": -137,
+    "per_token_milli": -1,
+    "punct_ppm_milli_per_k": 0,
+    "stop_ppm_milli_per_k": -2,
+}
+
+
+@dataclass(frozen=True)
+class QualityClassifier:
+    """A fitted linear quality model in :data:`QUALITY_LOGIT_WEIGHTS`'
+    integer milli format, plus fit metadata. ``weights`` plugs
+    straight into :func:`quality_logit`'s arithmetic, so inference is
+    the same single-scan pure-JVM integer projection as the published
+    constants — the float model exists only at fit time."""
+
+    weights: dict
+    n_pos: int
+    n_neg: int
+
+
+def fit_quality_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    max_iter: int = 100,
+    reg_param: float = 0.0,
+) -> QualityClassifier:
+    """Fit a trainable quality classifier (r12 VERDICT next-round #5):
+    the CCNet/GPT-3-style step where a linear model is trained on
+    labeled seed sets (positives = a trusted corpus, negatives = raw
+    crawl) instead of hand-picked weights. Spark ML
+    ``LogisticRegression`` (LBFGS) over the EXACT integer feature
+    terms :func:`quality_logit` multiplies — ``n_tokens``,
+    ``punct_ppm DIV 1000``, ``stop_ppm DIV 1000`` — so the fitted
+    float coefficients quantize directly into the scorer's milli
+    format: ``per_token_milli = round(w_tokens * 1000)`` etc. The
+    returned model scores through :func:`score_with_classifier` in
+    pure-JVM integer arithmetic; quantization granularity is the
+    published format's (±0.0005 per unit feature), the price of a
+    bit-replayable apply side.
+
+    ``labels`` is ``(id_col, label_col)`` with labels in {0, 1} (or
+    boolean); rows of ``docs`` without a label are ignored (inner
+    join) — seed sets are small, corpora are not.
+
+    Scale shape: featurization is :func:`quality_logit`'s single scan;
+    the assemble+LBFGS path aggregates 3-feature vectors via
+    ``treeAggregate`` (one reduction per iteration, nothing
+    corpus-sized on the driver). Deterministic on fixed data: LBFGS
+    from a zero start with no sampling anywhere.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = quality_logit(docs, text_col=text_col, id_col=id_col)
+    train = feats.join(
+        labels.select(
+            F.col(id_col),
+            F.col(label_col).cast("double").alias("_y"),
+        ),
+        id_col,
+    ).select(
+        F.col("n_tokens").cast("double").alias("_f_tokens"),
+        F.expr("punct_ppm DIV 1000").cast("double").alias("_f_punct_k"),
+        F.expr("stop_ppm DIV 1000").cast("double").alias("_f_stop_k"),
+        "_y",
+    )
+    # cache the featurized seed set for the iterative fit: LBFGS runs
+    # one treeAggregate job per iteration, and without this each
+    # iteration would re-run the tokenize/regex featurization scan —
+    # the frame is seed-set-sized (labels are small by construction),
+    # so the cache is bounded
+    assembled = (
+        VectorAssembler(
+            inputCols=["_f_tokens", "_f_punct_k", "_f_stop_k"],
+            outputCol="features",
+        )
+        .transform(train)
+        .select("features", "_y")
+        .persist()
+    )
+    try:
+        counts = assembled.agg(
+            F.sum(F.col("_y")).cast("bigint").alias("p"),
+            F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n"),
+        ).collect()[0]  # bounded: one 2-field row (class balance)
+        n_pos, n_neg = int(counts["p"] or 0), int(counts["n"] or 0)
+        if n_pos == 0 or n_neg == 0:
+            raise ValueError(
+                "fit_quality_classifier: need both classes in the "
+                f"labeled seed set (got {n_pos} positive / {n_neg} "
+                "negative)"
+            )
+        model = LogisticRegression(
+            featuresCol="features",
+            labelCol="_y",
+            maxIter=max_iter,
+            regParam=reg_param,
+            standardization=True,
+            family="binomial",
+        ).fit(assembled)
+    finally:
+        assembled.unpersist()
+    w_tok, w_punct, w_stop = (float(c) for c in model.coefficients)
+    return QualityClassifier(
+        weights={
+            "bias_milli": round(float(model.intercept) * 1000),
+            "per_token_milli": round(w_tok * 1000),
+            "punct_ppm_milli_per_k": round(w_punct * 1000),
+            "stop_ppm_milli_per_k": round(w_stop * 1000),
+        },
+        n_pos=n_pos,
+        n_neg=n_neg,
+    )
+
+
+def score_with_classifier(
+    docs: DataFrame,
+    clf: QualityClassifier | dict,
+    keep_threshold_milli: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a fitted (or committed) quality model: exactly
+    :func:`quality_logit` with the model's milli weights — same
+    single-scan integer plan, same output schema, bit-identical across
+    engines. Accepts either a :class:`QualityClassifier` or a bare
+    weights dict (e.g. :data:`TRAINED_QUALITY_WEIGHTS`)."""
+    weights = clf.weights if isinstance(clf, QualityClassifier) else clf
+    return quality_logit(
+        docs,
+        keep_threshold_milli=keep_threshold_milli,
+        text_col=text_col,
+        id_col=id_col,
+        carry_cols=carry_cols,
+        weights=weights,
+    )
+
+
+def save_quality_classifier(
+    spark, clf: QualityClassifier, path: str
+) -> None:
+    """Persist as ONE 1-row parquet (weights + class counts) via
+    ``staged_overwrite`` — single-part state, so the plain staged swap
+    is already atomic (no pair-consistency window to close, unlike the
+    postings+stats indexes)."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite,
+    )
+
+    w = clf.weights
+    staged_overwrite(
+        spark,
+        spark.createDataFrame(
+            [
+                (
+                    w["bias_milli"],
+                    w["per_token_milli"],
+                    w["punct_ppm_milli_per_k"],
+                    w["stop_ppm_milli_per_k"],
+                    clf.n_pos,
+                    clf.n_neg,
+                )
+            ],
+            "bias_milli long, per_token_milli long, "
+            "punct_ppm_milli_per_k long, stop_ppm_milli_per_k long, "
+            "n_pos long, n_neg long",
+        ).coalesce(1),
+        path,
+    )
+
+
+def load_quality_classifier(spark, path: str) -> QualityClassifier:
+    """Reopen a saved classifier; recovers a crashed mid-swap save
+    first (the ``load_importance_model`` contract)."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+    )
+
+    recover_staged(spark, path)
+    row = spark.read.parquet(path).collect()[0]
+    return QualityClassifier(
+        weights={
+            "bias_milli": int(row["bias_milli"]),
+            "per_token_milli": int(row["per_token_milli"]),
+            "punct_ppm_milli_per_k": int(row["punct_ppm_milli_per_k"]),
+            "stop_ppm_milli_per_k": int(row["stop_ppm_milli_per_k"]),
+        },
+        n_pos=int(row["n_pos"]),
+        n_neg=int(row["n_neg"]),
     )
 
 

@@ -7380,6 +7380,60 @@ def importance_model_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_classifier_scores",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(LEN(REGEXP_EXTRACT_ALL(
+                    LOWER(text), '\b(the|and|of|to|in|is|for)\b'))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             CAST((n_punct * 1000000) // n_chars AS BIGINT) AS punct_ppm,
+             CAST((n_stop * 1000000) // n_tokens AS BIGINT) AS stop_ppm
+      FROM f
+    )
+    SELECT doc_id, n_tokens, punct_ppm, stop_ppm,
+           CAST(-137 + (-1) * n_tokens + 0 * (punct_ppm // 1000)
+                + (-2) * (stop_ppm // 1000) AS BIGINT) AS logit_milli,
+           (-137 + (-1) * n_tokens + 0 * (punct_ppm // 1000)
+            + (-2) * (stop_ppm // 1000)) >= -250 AS keep
+    FROM p
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained quality classifier, apply side (round 13, corpus entry
+    #171): ``text.score_with_classifier`` with the committed
+    ``TRAINED_QUALITY_WEIGHTS`` — milli weights FITTED by
+    ``fit_quality_classifier`` (Spark ML LogisticRegression over the
+    exact integer feature terms ``quality_logit`` multiplies; r12
+    VERDICT next-round #5, the CCNet/GPT-3-style trainable step) and
+    exported into the published integer scorer, so inference is the
+    same single-scan pure-JVM integer projection as ``quality_logit``
+    and the oracle inlines the learned constants verbatim. The fit
+    side (LBFGS) is SQL-inexpressible by nature and is pinned by
+    ``tests/test_quality_classifier.py``: a NumPy IRLS mirror
+    reproduces the coefficients, a refit reproduces the committed
+    milli weights, and save/load round-trips through the staged swap.
+    Keep threshold −250 milli (≈ the corpus median logit under the
+    demo ``lang == 'en'`` seed labeling), so both output classes are
+    populated."""
+    return text.score_with_classifier(
+        load_table(spark, sf, "documents"),
+        text.TRAINED_QUALITY_WEIGHTS,
+        keep_threshold_milli=-250,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -7776,18 +7830,20 @@ R12_FIRST_50_PLAN = (
 # designee's code changes before composition time, promote it and
 # slip the next most redundantly pinned r10-rowed entry instead.
 #
-# r14 WINDOW, PRE-COMPOSED (round 13 composer note; N=170 at
-# composition time -> steady-state slips N-150 = 20 from the r11-rowed
-# cohort, +1 forced by the importance_model_persisted code-change
-# promotion (below) = TWENTY-ONE designated slips; candidates = 21 r13
-# slips + 1 promotion + 49 r11-rowed entries = 71 for 50 slots; the
-# cohort is 49, not 50, because bm25_search_persisted — an r11-rowed
-# entry — is IN the r13 window by promotion and re-rows there). Of the
-# 49, the four single-rowed r10 registrations (fuzzy_join_minhash,
+# r14 WINDOW, PRE-COMPOSED (round 13 composer note; N=171 at
+# composition time after this round's ONE registration, #171
+# quality_classifier_scores -> steady-state slips N-150 = 21 from the
+# r11-rowed cohort, +1 forced by the importance_model_persisted
+# code-change promotion (below) = TWENTY-TWO designated slips;
+# candidates = 21 r13 slips + 1 promotion + 1 never-rowed + 49
+# r11-rowed entries = 72 for 50 slots; the cohort is 49, not 50,
+# because bm25_search_persisted — an r11-rowed entry — is IN the r13
+# window by promotion and re-rows there). Of the 49, the four
+# single-rowed r10 registrations (fuzzy_join_minhash,
 # fuzzy_lookup_edit_distance, jsonl_roundtrip, weighted_sample — one
 # r11 row each) and the two double-rowed r8-cohort entries
 # (asof_join_tolerance, knn_label_vote — r8/r11) are NOT slip-eligible
-# (<3 greens) and stay. The 21 designated slips, each with >= 3
+# (<3 greens) and stay. The 22 designated slips, each with >= 3
 # consecutive greens, kernel untouched since its r11 row, and the
 # honest twin/redundant-pinning rationale:
 #   1. dedup_ngram_jaccard (greens r1/r2/r4/r7/r11; its capped
@@ -7858,7 +7914,20 @@ R12_FIRST_50_PLAN = (
 #      the CASE kernel in product_dimension carries scd2_versions'
 #      r12 row — the slip slot forced by the
 #      importance_model_persisted promotion, taken from the named
-#      next-in-line order).
+#      next-in-line order);
+#  22. json_props_extract (greens r1/r2/r5/r8/r11; pure corpus query
+#      re-verified type-strictly by the parity suite every session;
+#      jsonl_roundtrip stays in the r14 window re-rowing the JSON
+#      parse surface — the slip slot forced by this round's #171
+#      registration, taken from the named next-in-line order).
+#
+# r13 REGISTRATION (pacing: judge-brief-driven, one this round): #171
+# quality_classifier_scores (r12 VERDICT next-round #5 — the trainable
+# quality classifier: fit_quality_classifier / score_with_classifier
+# with the committed TRAINED_QUALITY_WEIGHTS; exact integer oracle on
+# the apply side, NumPy-mirror property oracle on the fit side in
+# tests/test_quality_classifier.py). Registered after position 50,
+# never-rowed, first in line for r14 by construction.
 #
 # r13 CODE-CHANGED surface and its promotion (the r12 rule's
 # bookkeeping): save/load_importance_model, save/load_text_index and
@@ -7881,11 +7950,12 @@ R12_FIRST_50_PLAN = (
 # None of r13's twenty-one slips may slip again in r14. If any r14
 # designee's code changes before composition time, promote it and
 # slip the next most redundantly pinned r11-rowed entry instead
-# (next in line by the same criteria: json_props_extract, then
-# percentile_quantity — both r1/r2/r5/r8/r11, pure corpus queries
-# parity-pinned every session). Any r13 registration lands after
-# position 50, is first in line here, and costs one extra slip from
-# the same next-in-line order.
+# (next in line by the same criteria: percentile_quantity, then
+# ntile_buckets — both r1/r2/r5/r8/r11, pure corpus queries
+# parity-pinned every session; a slip of ntile_buckets would also
+# amend window_dense_rank's retained-sibling rationale). Any further
+# r13 registration lands after position 50, is first in line here,
+# and costs one extra slip from the same next-in-line order.
 #
 # r15 FEASIBILITY (the arithmetic checked a round ahead, as always):
 # N=170 at the r14 close -> 20 steady-state slips from the 50
@@ -7963,9 +8033,10 @@ R13_FIRST_50_PLAN = (
 )
 
 #: The r14 window, PRE-COMPOSED from the r14 composer note above (the
-#: twenty-one r13 slips lead, then the importance_model_persisted
-#: code-change promotion, then the 28 r11-rowed entries retained
-#: after the twenty-one designated slips — exactly 50). Next round's
+#: twenty-one r13 slips lead, then the never-rowed #171 registration
+#: and the importance_model_persisted code-change promotion, then the
+#: 27 r11-rowed entries retained after the twenty-two designated
+#: slips — exactly 50). Next round's
 #: composer sets ``FIRST_50 = R14_FIRST_50_PLAN`` (verbatim or with
 #: the promotions the policy allows); ``tests/test_driver_window``
 #: pins the structural invariants and ``tools/window_audit.py``
@@ -7993,9 +8064,11 @@ R14_FIRST_50_PLAN = (
     "table_profile",
     "full_outer_join",
     "union_by_name_missing",
+    # first hard row for the r13 registration #171
+    "quality_classifier_scores",
     # r13 code-change promotion (atomic scores+stats pair staging)
     "importance_model_persisted",
-    # 28 of the 49 r11-rowed entries (twenty-one designated slips —
+    # 27 of the 49 r11-rowed entries (twenty-two designated slips —
     # see the composer note above; bm25_search_persisted re-rows in
     # r13)
     "ann_ivf_persisted",
@@ -8012,7 +8085,6 @@ R14_FIRST_50_PLAN = (
     "fuzzy_lookup_edit_distance",
     "grouping_sets_revenue",
     "join_multiway",
-    "json_props_extract",
     "jsonl_roundtrip",
     "knn_label_vote",
     "location_hierarchy",

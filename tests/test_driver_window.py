@@ -81,12 +81,19 @@ def test_r12_plan_satisfies_the_rotation_policy():
     # every never-rowed entry not already due in the CURRENT window is
     # in a pre-composed plan (the "first in line" promise): the r11
     # registrations belong to this r12 plan; anything registered in
-    # r12 itself (after this window froze) is first in line for r13
+    # r12 itself (after this window froze) is first in line for r13,
+    # and r13 registrations for r14
     from sales_data_warehouse_spark.queries.corpus import (
         R13_FIRST_50_PLAN,
+        R14_FIRST_50_PLAN,
     )
 
-    pending = never_rowed - set(FIRST_50) - set(R13_FIRST_50_PLAN)
+    pending = (
+        never_rowed
+        - set(FIRST_50)
+        - set(R13_FIRST_50_PLAN)
+        - set(R14_FIRST_50_PLAN)
+    )
     assert pending <= set(plan), sorted(pending - set(plan))
     # the ten r11 slips lead and may not slip again
     r11_slips = {
@@ -261,15 +268,19 @@ def test_r14_plan_satisfies_the_rotation_policy():
         # the slip slot forced by the importance_model_persisted
         # promotion (r13 atomic pair-staging change)
         "case_when_classify",
+        # the slip slot forced by the r13 registration (#171)
+        "json_props_extract",
     }
-    assert len(designated) == 21
+    assert len(designated) == 22
     assert not designated & set(plan)
     # no double-slip of anything that slipped in r13
     assert not designated & r13_slips
-    # the r13 code-change promotion is present
+    # the r13 code-change promotion and the r13 registration are both
+    # present (first in line)
     assert "importance_model_persisted" in set(plan)
+    assert "quality_classifier_scores" in set(plan)
     # the r11-rowed cohort is exactly partitioned: designated slips
-    # out, the other 28 in (bm25_search_persisted re-rows in r13)
+    # out, the other 27 in (bm25_search_persisted re-rows in r13)
     with open("CORRECTNESS_r11.json") as fh:
         cohort = set(json.load(fh)) - {"bm25_search_persisted"}
     assert designated <= cohort

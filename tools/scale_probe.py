@@ -195,7 +195,35 @@ def main() -> None:
                 bigrams=True,
             )
         ),
+        # r13: the trainable quality classifier, fit+apply — LBFGS
+        # over 3-feature vectors (treeAggregate reductions per
+        # iteration, nothing corpus-sized on the driver) on a
+        # 2-permille deterministic seed sample (the labeled-seed-set
+        # production shape: seeds are small, corpora are not), then
+        # the exported integer weights applied corpus-wide through
+        # quality_logit's single-scan projection
+        "quality_classifier_fit_apply": lambda: (
+            lambda seed: text.score_with_classifier(
+                docs,
+                text.fit_quality_classifier(
+                    seed,
+                    seed.select(
+                        "doc_id",
+                        (F.col("lang") == "en").alias("label"),
+                    ),
+                ),
+            )
+        )(
+            docs.filter(
+                sampling.permille_hash(F.col("doc_id")) < 2
+            )
+        ),
     }
+    if len(sys.argv) > 3:  # optional probe-name filter: a,b,c
+        only = set(sys.argv[3].split(","))
+        unknown = only - set(probes)
+        assert not unknown, f"unknown probes: {sorted(unknown)}"
+        probes = {k: v for k, v in probes.items() if k in only}
     out = {}
     for name, make in probes.items():
         # isolate probes from each other: drop any cache the previous
