@@ -172,6 +172,11 @@ def staged_overwrite_dir(
     parts' write plans may lazily read ``{path}/<part>``, and the
     source directory survives untouched until the new generation is
     fully written."""
+    if not parts:
+        raise ValueError(
+            "staged_overwrite_dir: parts is empty — refusing to swap "
+            f"{path} to nothing (use fs_delete to drop state)"
+        )
     tmp = path + ".stage_tmp"
     old = path + ".stage_old"
     # A prior mid-swap crash leaves `old` as the ONLY durable copy —

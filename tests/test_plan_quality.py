@@ -247,6 +247,16 @@ def test_gopher_filter_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_classifier_apply_is_shuffle_free(spark):
+    # r13: the fitted-classifier apply side is quality_logit's plan —
+    # one codegen projection over the scan; an Exchange here means the
+    # weights parametrization leaked a join or aggregation
+    plan = _lib_executed_plan(
+        QUERIES["quality_classifier_scores"](spark, SF_DIR)
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
 def test_unigram_surprisal_aggregates_are_partial(spark):
     # vocab counts and per-doc sums must both partial-aggregate
     # map-side; HashAggregate appears in partial+final pairs
