@@ -763,7 +763,10 @@ def fit_quality_classifier(
     """Fit a trainable quality classifier (r12 VERDICT next-round #5):
     the CCNet/GPT-3-style step where a linear model is trained on
     labeled seed sets (positives = a trusted corpus, negatives = raw
-    crawl) instead of hand-picked weights. Spark ML
+    crawl) instead of hand-picked weights — CCNet trains a fastText
+    head on wiki-vs-crawl (Wenzek et al., arXiv:1911.00359 §4.3) and
+    GPT-3 a logistic classifier over the same split (Brown et al.,
+    arXiv:2005.14165 Appendix A). Spark ML
     ``LogisticRegression`` (LBFGS) over the EXACT integer feature
     terms :func:`quality_logit` multiplies — ``n_tokens``,
     ``punct_ppm DIV 1000``, ``stop_ppm DIV 1000`` — so the fitted
