@@ -1040,6 +1040,23 @@ def main() -> None:
                     "code are 4.75 / 7.23 / 1.47 s, matching r9 levels "
                     "(measured r11; see comment above this field)"
                 ),
+                # r13: the box entered a degraded-throughput window
+                # mid-round — same-code builder headlines swung
+                # 23.8 -> 29.6 -> 52.8 s within hours at a stable JVM
+                # probe (0.105-0.114), load average ~10 with this
+                # container idle, zero steal, zero iowait. An
+                # interleaved attrib_rerun A/B of the r12-close commit
+                # vs the r13 tree read fully overlapping warm ranges
+                # (README r13 builder note), so ANY elevated r13
+                # headline on this host class should be read against
+                # that A/B before suspecting code.
+                "host_volatility_note": (
+                    "r13 builder same-code headline swing 23.8-52.8 s "
+                    "at stable probes; interleaved r12-vs-r13 A/B "
+                    "shows overlapping per-query ranges — elevation "
+                    "is a host parallel-throughput axis the 1-thread "
+                    "probes do not see (see README r13 builder note)"
+                ),
                 "input_rows": input_rows,
                 "calibration": {
                     "probe_range_sum_sec": round(probe, 3),
