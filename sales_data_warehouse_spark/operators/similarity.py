@@ -672,39 +672,56 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     pruning — the scan never touches unprobed cells), plus the tiny
     centroid codebook as its own parquet table.
 
-    Both parts are stamped with the same ``_generation`` marker (an
-    underscore-prefixed file inside each parquet directory — invisible
-    to scans) so :func:`load_ivf_index` can verify the cell assignments
-    and the centroid codebook come from the SAME build: probing cells
-    against another generation's centroids silently collapses recall.
+    The assigned+centers PAIR is written under one staging directory
+    and the index directory swaps in as ONE ``staged_overwrite_dir``
+    swap (r13, extending the text/phrase/importance atomic-pair fix):
+    the pre-r13 per-part overwrite both destroyed the previous
+    generation before the new one committed (a mid-save crash left a
+    broken index with nothing to recover) and could mix generations
+    across the two part writes. Both parts are still stamped with the
+    same ``_generation`` marker (an underscore-prefixed file inside
+    each parquet directory — invisible to scans), written into the
+    staging dir BEFORE the swap, so :func:`load_ivf_index`'s
+    mixed-build refusal keeps protecting indexes saved by older code
+    and any exotic manual surgery: probing cells against another
+    generation's centroids silently collapses recall.
 
-    Also clears ``{path}/_ingest_batches`` — the streaming-append
-    replay markers (``streaming.embeddings.ivf_append_batch``) belong
-    to the PREVIOUS index generation. A rebuild that kept them, fed by
-    a stream that reuses its checkpoint path with cleared contents,
-    would silently skip batches 0..N (the markers would claim those
-    appends already landed in an index that no longer contains them)."""
+    The whole directory IS the index: the swap atomically drops
+    ``{path}/_ingest_batches`` — the streaming-append replay markers
+    (``streaming.embeddings.ivf_append_batch``) belong to the
+    PREVIOUS generation, and a save that kept them, fed by a stream
+    that reuses its checkpoint path with cleared contents, would
+    silently skip batches 0..N (the markers would claim those appends
+    already landed in an index that no longer contains them)."""
     import uuid
 
     from sales_data_warehouse_spark.sources.compaction import (
-        fs_delete,
         fs_write_text,
+        staged_overwrite_dir,
     )
 
-    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/assigned"
-    )
     spark = index.assigned.sparkSession
     rows = [
         (i, [float(x) for x in ctr]) for i, ctr in enumerate(index.centers)
     ]
-    spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/centers")
+    centers_df = spark.createDataFrame(
+        rows, "cell INT, center ARRAY<DOUBLE>"
+    ).coalesce(1)
     gen = uuid.uuid4().hex
-    fs_write_text(spark, f"{path}/assigned/_generation", gen)
-    fs_write_text(spark, f"{path}/centers/_generation", gen)
-    fs_delete(spark, f"{path}/_ingest_batches")
+
+    def _stamp(tmp: str) -> None:
+        fs_write_text(spark, f"{tmp}/assigned/_generation", gen)
+        fs_write_text(spark, f"{tmp}/centers/_generation", gen)
+
+    staged_overwrite_dir(
+        spark,
+        {
+            "assigned": (index.assigned, ["cell"]),
+            "centers": (centers_df, None),
+        },
+        path,
+        finalize=_stamp,
+    )
 
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
@@ -713,16 +730,23 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     dynamic partition pruning / broadcast-hash-join filtering restricts
     the read to the probed cell directories.
 
-    Verifies the two parts carry the SAME ``_generation`` marker and
-    fails loudly on mismatch — the signature of a rebuild that crashed
-    between the assigned swap and the centers swap (new cell
-    assignments, old codebook). A mixed-generation index loads without
-    any structural error but probes cells against the wrong centroids,
-    silently collapsing recall; loud is the only safe failure mode.
-    Indexes saved before generation stamping (both markers absent) are
+    Recovers a save/rebuild that crashed mid-swap first (``path``
+    missing, ``path + '.stage_old'`` holding the previous generation —
+    the whole-directory staging of the r13 save), then verifies the
+    two parts carry the SAME ``_generation`` marker and fails loudly
+    on mismatch — the signature of a PRE-r13 save or rebuild that
+    crashed between its two per-part swaps (new cell assignments, old
+    codebook). A mixed-generation index loads without any structural
+    error but probes cells against the wrong centroids, silently
+    collapsing recall; loud is the only safe failure mode. Indexes
+    saved before generation stamping (both markers absent) are
     accepted for back-compat."""
-    from sales_data_warehouse_spark.sources.compaction import fs_read_text
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+        recover_staged,
+    )
 
+    recover_staged(spark, path)
     gen_a = fs_read_text(spark, f"{path}/assigned/_generation")
     gen_c = fs_read_text(spark, f"{path}/centers/_generation")
     if gen_a != gen_c:
@@ -754,39 +778,33 @@ def rebuild_ivf_index(
     to stale centroids). Fresh KMeans over every vector in the index,
     fresh cell assignments, same path.
 
-    Crash-safe despite reading and replacing the same location: a
-    plain ``save_ivf_index`` here would ``mode("overwrite")`` the very
-    parquet directory its input plan is still scanning mid-job. The
-    rebuild instead writes the new ``assigned``/``centers`` to staging
-    directories, then swaps each in with two renames (the
-    ``compact_table`` pattern) — a crash before the first rename
-    leaves the old index intact, a crash between renames leaves both
-    generations on disk for recovery under ``*.rebuild_old``. The two
-    part swaps are NOT atomic together, so a crash after the assigned
-    swap but before the centers swap leaves a mixed-generation index
-    on disk (new cell assignments, old codebook); both staging parts
-    are therefore stamped with the same ``_generation`` marker BEFORE
-    the swaps (the renames carry the markers with the data), and
-    :func:`load_ivf_index` refuses a mixed pair loudly instead of
-    probing cells against the wrong centroids. The
-    streaming replay markers (``_ingest_batches``) are cleared LAST,
-    after both swaps: they belong to the previous generation (see
-    :func:`save_ivf_index`), and clearing them only once the new data
-    is live means a crash mid-rebuild can only over-append (IVF search
-    tolerates duplicates), never silently drop.
+    Crash-safe despite reading and replacing the same location: the
+    new ``assigned``/``centers`` pair is written under one staging
+    directory and the index directory swaps in as ONE
+    ``staged_overwrite_dir`` swap (r13 — the pre-r13 per-part rename
+    protocol left a detectable-but-mixed generation on disk if the
+    crash landed between the two part swaps; the whole-directory swap
+    removes that window: a crash before the swap leaves the old index
+    untouched, a crash mid-swap is restored by
+    :func:`load_ivf_index`'s ``recover_staged``). The input plan
+    lazily scans the live ``{path}/assigned`` while the staging dir is
+    written — the source is never deleted before the new generation is
+    complete (a plain ``save_ivf_index`` pre-r13 would have
+    ``mode("overwrite")``-deleted the very directory its input plan
+    was scanning; the staged save now shares the rebuild's safety).
+    Both staging parts are still stamped with the same
+    ``_generation`` marker before the swap, keeping the loud
+    mixed-pair refusal for indexes produced by older code. The
+    streaming replay markers (``_ingest_batches``) belong to the
+    previous generation (see :func:`save_ivf_index`) and vanish
+    ATOMICALLY with the swap — strictly better than the pre-r13
+    clear-after-swap, which left a crash window that could only
+    over-append.
 
     Scale: one full index scan for the KMeans fit (maxIter-bounded)
     plus one assignment-and-write pass — the same cost class as the
     original build, which is the honest price of moving centroids;
     everything cheaper is :func:`ivf_append`."""
-    import uuid
-
-    from sales_data_warehouse_spark.sources.compaction import (
-        _hadoop_fs,
-        fs_delete,
-        fs_write_text,
-    )
-
     corpus = spark.read.parquet(f"{path}/assigned").select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("cv").alias("embedding"),
@@ -796,33 +814,7 @@ def rebuild_ivf_index(
     index = build_ivf_index(
         corpus, num_centroids=num_centroids, seed=seed, cache=False
     )
-    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/assigned.rebuild_tmp"
-    )
-    rows = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(index.centers)
-    ]
-    spark.createDataFrame(rows, "cell INT, center ARRAY<DOUBLE>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/centers.rebuild_tmp")
-    gen = uuid.uuid4().hex
-    fs_write_text(spark, f"{path}/assigned.rebuild_tmp/_generation", gen)
-    fs_write_text(spark, f"{path}/centers.rebuild_tmp/_generation", gen)
-
-    fs, _, jvm = _hadoop_fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    for part in ("assigned", "centers"):
-        live = f"{path}/{part}"
-        tmp = f"{live}.rebuild_tmp"
-        old = f"{live}.rebuild_old"
-        fs.delete(P(old), True)
-        if fs.exists(P(live)) and not fs.rename(P(live), P(old)):
-            raise IOError(f"rebuild_ivf_index: could not stage {live}")
-        if not fs.rename(P(tmp), P(live)):
-            fs.rename(P(old), P(live))
-            raise IOError(f"rebuild_ivf_index: could not swap {live}")
-        fs.delete(P(old), True)
-    fs_delete(spark, f"{path}/_ingest_batches")
+    save_ivf_index(index, path)
     return load_ivf_index(spark, path)
 
 

@@ -7946,6 +7946,14 @@ R12_FIRST_50_PLAN = (
 #     index's save/load/recover surface has no corpus entry and is
 #     pinned every session by tests/test_phrase_index.py and the
 #     staged_overwrite_dir unit tests.
+#   * save/load/rebuild_ivf_index joined the same whole-directory
+#     swap later in r13 (the pre-r13 per-part overwrite destroyed the
+#     old generation before the new one committed; generation markers
+#     kept for legacy-load refusal). ann_ivf_persisted exercises
+#     save/load directly; its r11 row predates the change and it is
+#     ALREADY retained in this plan — the promotion rule is satisfied
+#     by existing plan membership, no extra slip. ivf_recall_audit is
+#     in the r13 window (post-change row this round).
 #
 # None of r13's twenty-one slips may slip again in r14. If any r14
 # designee's code changes before composition time, promote it and

@@ -144,6 +144,7 @@ def staged_overwrite_dir(
     spark,
     parts: dict,
     path: str,
+    finalize=None,
 ) -> None:
     """Atomically overwrite a MULTI-PART state directory — an index's
     postings + stats, a model's scores + stats — as ONE swap.
@@ -171,7 +172,14 @@ def staged_overwrite_dir(
     is safe for the same reason as :func:`staged_overwrite`: the new
     parts' write plans may lazily read ``{path}/<part>``, and the
     source directory survives untouched until the new generation is
-    fully written."""
+    fully written.
+
+    ``finalize(tmp_path)``, when given, runs after every part is
+    written and BEFORE the swap — the hook for stamping sidecar
+    markers (e.g. the IVF index's per-part ``_generation`` files) so
+    the renamed-in directory is complete the instant it becomes
+    visible; nothing should ever write into ``path`` itself after the
+    swap to "finish" it."""
     if not parts:
         raise ValueError(
             "staged_overwrite_dir: parts is empty — refusing to swap "
@@ -194,6 +202,8 @@ def staged_overwrite_dir(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(f"{tmp}/{rel}")
+    if finalize is not None:
+        finalize(tmp)
     fs.delete(P(old), True)
     if fs.exists(P(path)):
         if not fs.rename(P(path), P(old)):

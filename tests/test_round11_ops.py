@@ -279,6 +279,36 @@ def test_ivf_generation_one_marker_missing_fails(spark, tmp_path):
         similarity.load_ivf_index(spark, path)
 
 
+def test_ivf_save_is_atomic_and_resave_safe(spark, tmp_path):
+    """r13: the whole index directory swaps as one staged_overwrite_dir
+    swap. A mid-swap crash (path missing, .stage_old intact) must
+    reopen the previous generation via load's recover_staged; a
+    reopen-then-resave to the SAME path (the assigned frame is a lazy
+    scan of the destination) must round-trip — the pre-r13 per-part
+    mode('overwrite') destroyed the generation being read."""
+    import shutil
+
+    emb, path = _tiny_index(spark, tmp_path)
+    idx = similarity.load_ivf_index(spark, path)
+    n0 = idx.assigned.count()
+
+    # reopen-then-resave in place
+    similarity.save_ivf_index(idx, path)
+    again = similarity.load_ivf_index(spark, path)
+    assert again.assigned.count() == n0
+    assert again.centers == idx.centers
+
+    # mid-swap crash window: the whole directory staged away
+    shutil.move(path, path + ".stage_old")
+    recovered = similarity.load_ivf_index(spark, path)
+    assert recovered.assigned.count() == n0
+    assert (
+        similarity.ivf_search(recovered, emb.limit(2), k=3, nprobe=4)
+        .count()
+        == 6
+    )
+
+
 # --- minhash_lsh_join verify='exact' (r10 VERDICT "What's wrong" #1) ---
 
 
