@@ -846,6 +846,17 @@ def fit_importance_model(
     counts = _dsir_counts(
         raw_occ, target, text_col, num_buckets, bigrams
     ).localCheckpoint()
+    # empty-fit guard (r13, the importance_model_report rule applied
+    # to the fit itself): zero features means both corpora were empty
+    # or all-NULL text — the normalizer below would collect a NULL
+    # s_norm and every later score_with_model call would fail with a
+    # cryptic arithmetic error far from the cause. The checkpoint
+    # already materialized counts, so this probe is metadata-cheap.
+    if counts.isEmpty():
+        raise ValueError(
+            "fit_importance_model: empty fit — both corpora produced "
+            "zero features (empty or all-NULL text)"
+        )
     s_norm = _dsir_norm_from(counts).collect()[0]["s_norm"]
     return ImportanceModel(
         _dsir_scores_from(counts), s_norm, num_buckets, bigrams

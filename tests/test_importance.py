@@ -649,6 +649,10 @@ def test_model_report_empty_fit_raises(spark):
     for raw, tgt in [(empty, empty), (nulls, nulls)]:
         with pytest.raises(ValueError, match="empty fit"):
             sampling.importance_model_report(raw, tgt, top_k=3)
+        # the fit itself guards identically (r13): a NULL s_norm would
+        # otherwise surface as a cryptic arithmetic error at score time
+        with pytest.raises(ValueError, match="empty fit"):
+            sampling.fit_importance_model(raw, tgt)
 
 
 def test_model_report_hashed_mode_runs_bucket_keys(frames):
