@@ -351,3 +351,64 @@ def test_staged_overwrite_dir_preserves_partitioned_parts(
         for d in os.listdir(f"{path}/postings")
         if d.startswith("b=")
     } == dirs
+
+
+def test_staged_overwrite_dir_survives_swap_failure(spark, tmp_path):
+    """If the final rename-in cannot complete, the original directory
+    must be restored (the rollback path of the single-part variant,
+    pinned for the multi-part swap too)."""
+    from unittest.mock import patch
+
+    import pytest
+
+    from sales_data_warehouse_spark.sources import compaction
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite_dir,
+    )
+
+    path = str(tmp_path / "idx")
+    parts_v1 = {
+        "postings": (spark.range(0, 40), None),
+        "stats": (spark.createDataFrame([(1,)], "gen long"), None),
+    }
+    staged_overwrite_dir(spark, parts_v1, path)
+
+    real_fs = compaction._hadoop_fs
+
+    class FlakyFs:
+        """Proxy that fails the rename INTO the target path once."""
+
+        def __init__(self, fs, target):
+            self._fs = fs
+            self._target = target
+
+        def rename(self, src, dst):
+            if str(dst).endswith(
+                self._target.rsplit("/", 1)[-1]
+            ) and str(src).endswith(".stage_tmp"):
+                return False  # simulated swap failure
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def flaky(spark_, p):
+        fs, hp, jvm = real_fs(spark_, p)
+        return FlakyFs(fs, path), hp, jvm
+
+    with patch.object(compaction, "_hadoop_fs", flaky):
+        with pytest.raises(IOError, match="could not swap"):
+            staged_overwrite_dir(
+                spark,
+                {
+                    "postings": (spark.range(0, 9), None),
+                    "stats": (
+                        spark.createDataFrame([(2,)], "gen long"),
+                        None,
+                    ),
+                },
+                path,
+            )
+
+    # original pair intact after the failed swap
+    assert _read_pair(spark, path) == (40, 1)
