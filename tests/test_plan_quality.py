@@ -251,10 +251,16 @@ def test_classifier_apply_is_shuffle_free(spark):
     # r13: the fitted-classifier apply side is quality_logit's plan —
     # one codegen projection over the scan; an Exchange here means the
     # weights parametrization leaked a join or aggregation
-    plan = _lib_executed_plan(
-        QUERIES["quality_classifier_scores"](spark, SF_DIR)
-    )
+    df = QUERIES["quality_classifier_scores"](spark, SF_DIR)
+    plan = _lib_executed_plan(df)
     assert "Exchange" not in plan, plan[:2000]
+    # and the scan is pruned to the two columns the features need —
+    # documents has 5; reading text+doc_id only is what makes the
+    # apply run at parquet-scan speed at 100 TB
+    scans = scan_columns(df)
+    assert scans and all(
+        set(cols) <= {"doc_id", "text"} for cols in scans
+    ), scans
 
 
 def test_unigram_surprisal_aggregates_are_partial(spark):
