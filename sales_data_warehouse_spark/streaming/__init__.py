@@ -48,6 +48,7 @@ from sales_data_warehouse_spark.streaming.documents import (
     read_documents_stream,
     start_streaming_doc_dedup,
     start_streaming_near_dedup,
+    start_streaming_quality_scores,
 )
 from sales_data_warehouse_spark.streaming.embeddings import (
     EMBEDDINGS_SCHEMA,
@@ -83,6 +84,7 @@ __all__ = [
     "start_streaming_doc_dedup",
     "near_dedup_documents_batch",
     "start_streaming_near_dedup",
+    "start_streaming_quality_scores",
     "EMBEDDINGS_SCHEMA",
     "read_embeddings_stream",
     "ivf_append_batch",

@@ -203,3 +203,58 @@ def start_streaming_near_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_quality_scores(
+    spark: SparkSession,
+    drop_dir: str,
+    classifier_path: str,
+    output_dir: str,
+    keep_threshold_milli: int = 0,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous drop-dir → quality-scored documents with a FITTED
+    classifier (the streaming twin of
+    ``text.score_with_classifier``; fit once offline with
+    ``fit_quality_classifier``, persist, score every arriving shard).
+
+    Unlike the DSIR scorer (``streaming.sampling
+    .start_streaming_importance_scores``), this needs NO
+    ``foreachBatch``: the apply side is a stateless single-scan
+    integer projection — no join, no aggregate, no cross-batch state —
+    so it composes as a PURE streaming plan
+    (``readStream → projection → writeStream`` append sink), which
+    buys exactly-once parquet output from the file-sink commit log
+    instead of hand-rolled per-batch idempotence. The model's milli
+    weights are read ONCE at start (a 1-row parquet) and baked into
+    the plan as literals: long-running streams never re-read the
+    model, and there is nothing vocabulary-sized to broadcast.
+
+    Output schema is ``quality_logit``'s (id, n_tokens, punct_ppm,
+    stop_ppm, logit_milli, keep) at ``{output_dir}/scored``; read it
+    back any time with ``spark.read.parquet``. Returns the
+    StreamingQuery."""
+    from sales_data_warehouse_spark.operators.text import (
+        load_quality_classifier,
+        score_with_classifier,
+    )
+
+    clf = load_quality_classifier(spark, classifier_path)
+    stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
+    scored = score_with_classifier(
+        stream, clf, keep_threshold_milli=keep_threshold_milli
+    )
+    writer = (
+        scored.writeStream.format("parquet")
+        .option("path", f"{output_dir}/scored")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{output_dir}/_quality_checkpoint",
+        )
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -326,3 +326,86 @@ def test_streaming_etl_checkpoint_resume_exactly_once(spark, tmp_path):
     assert q3.awaitTermination(300)
     q3.stop()
     assert spark.read.parquet(str(out / "cleansed")).count() == 2
+
+
+def test_streaming_quality_scores_match_batch(spark, tmp_path):
+    """r13: the fitted-classifier streaming scorer is a PURE streaming
+    plan (stateless integer projection, parquet append sink) — drained
+    over a two-file drop dir it must reproduce the batch
+    score_with_classifier rows exactly, including the keep split."""
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators import text
+    from sales_data_warehouse_spark.streaming import (
+        start_streaming_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(["word"] * (5 + (i * 7) % 17))
+                + " the" * ((i * 5) % 7)
+                + "." * ((i * 3) % 5),
+                "en",
+                f"src{i % 3}",
+                0,
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    # fit on a deterministic labeling, persist, and stream against it
+    clf = text.fit_quality_classifier(
+        docs, docs.select("doc_id", (F.col("doc_id") % 3 == 0).alias("label"))
+    )
+    model_path = str(tmp_path / "clf")
+    text.save_quality_classifier(spark, clf, model_path)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = docs.toPandas()
+    for name, part in (
+        ("f1.parquet", pdf[pdf.doc_id < 20]),
+        ("f2.parquet", pdf[pdf.doc_id >= 20]),
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(drop / name),
+        )
+    # pick a threshold that genuinely splits THIS fitted model's
+    # logits (the median), so the keep column is exercised both ways
+    logits = sorted(
+        r["logit_milli"]
+        for r in text.score_with_classifier(docs, clf).collect()
+    )
+    thr = logits[len(logits) // 2]
+    out = str(tmp_path / "out")
+    q = start_streaming_quality_scores(
+        spark,
+        str(drop),
+        model_path,
+        out,
+        keep_threshold_milli=thr,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/scored").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            text.score_with_classifier(
+                docs, clf, keep_threshold_milli=thr
+            ).collect(),
+        )
+    )
+    assert got == want
+    kept = {r for r in got if r[-1]}
+    assert 0 < len(kept) < len(got)  # the threshold splits both ways
