@@ -310,6 +310,7 @@ def quality_select_top(
     keep_permille: int = 300,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights: dict | None = None,
 ) -> DataFrame:
     """Keep the top ``keep_permille``/1000 of the corpus by quality
     score — the "train on the best 30%" selection step downstream of a
@@ -362,6 +363,7 @@ def quality_select_top(
         group_cols=const_group,
         text_col=text_col,
         id_col=id_col,
+        weights=weights,
     ).drop(const_group)
 
 
@@ -1308,6 +1310,7 @@ def quality_select_top_grouped(
     group_cols: str | list[str] = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights: dict | None = None,
 ) -> DataFrame:
     """Per-group top-quality selection: keep the top
     ``keep_permille``/1000 of EACH group by quality score — "the best
@@ -1335,7 +1338,14 @@ def quality_select_top_grouped(
     ``threshold_milli``. The group columns ride the scorer's single
     projection (``quality_logit(carry_cols=...)``) — no corpus-to-
     corpus join anywhere in the plan; the only join is the broadcast
-    of the group-count-sized threshold table."""
+    of the group-count-sized threshold table.
+
+    ``weights`` selects by a FITTED model instead of the published
+    constants (r13 — the GPT-3/CCNet workflow: train a quality
+    classifier on labeled seeds, then keep the best q‰ per group by
+    ITS score): the dict flows into :func:`text.quality_logit`
+    unchanged, so the threshold histogram, tie contract, and plan are
+    identical — only the scoring constants differ."""
     from sales_data_warehouse_spark.operators.text import quality_logit
 
     if not 0 < keep_permille <= 1000:
@@ -1349,7 +1359,11 @@ def quality_select_top_grouped(
     if not groups:
         raise ValueError("quality_select_top_grouped: group_cols is empty")
     scored = quality_logit(
-        docs, text_col=text_col, id_col=id_col, carry_cols=groups
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        carry_cols=groups,
+        weights=weights,
     )
     hist = scored.groupBy(*groups, "logit_milli").agg(
         F.count(F.lit(1)).alias("_cnt")

@@ -7833,10 +7833,11 @@ R12_FIRST_50_PLAN = (
 # r14 WINDOW, PRE-COMPOSED (round 13 composer note; N=171 at
 # composition time after this round's ONE registration, #171
 # quality_classifier_scores -> steady-state slips N-150 = 21 from the
-# r11-rowed cohort, +1 forced by the importance_model_persisted
-# code-change promotion (below) = TWENTY-TWO designated slips;
-# candidates = 21 r13 slips + 1 promotion + 1 never-rowed + 49
-# r11-rowed entries = 72 for 50 slots; the cohort is 49, not 50,
+# r11-rowed cohort, +2 forced by the importance_model_persisted and
+# quality_select_grouped code-change promotions (below) =
+# TWENTY-THREE designated slips; candidates = 21 r13 slips + 2
+# promotions + 1 never-rowed + 49 r11-rowed entries = 73 for 50
+# slots; the cohort is 49, not 50,
 # because bm25_search_persisted — an r11-rowed entry — is IN the r13
 # window by promotion and re-rows there). Of the 49, the four
 # single-rowed r10 registrations (fuzzy_join_minhash,
@@ -7919,7 +7920,11 @@ R12_FIRST_50_PLAN = (
 #      re-verified type-strictly by the parity suite every session;
 #      jsonl_roundtrip stays in the r14 window re-rowing the JSON
 #      parse surface — the slip slot forced by this round's #171
-#      registration, taken from the named next-in-line order).
+#      registration, taken from the named next-in-line order);
+#  23. percentile_quantity (greens r1/r2/r5/r8/r11; pure corpus query
+#      re-verified type-strictly by the parity suite every session —
+#      the slip slot forced by the quality_select_grouped promotion,
+#      taken from the named next-in-line order).
 #
 # r13 REGISTRATION (pacing: judge-brief-driven, one this round): #171
 # quality_classifier_scores (r12 VERDICT next-round #5 — the trainable
@@ -7946,6 +7951,14 @@ R12_FIRST_50_PLAN = (
 #     index's save/load/recover surface has no corpus entry and is
 #     pinned every session by tests/test_phrase_index.py and the
 #     staged_overwrite_dir unit tests.
+#   * quality_select_top_grouped (and its global constant-group
+#     caller) gained a weights parameter so the threshold engine can
+#     select by a FITTED classifier's milli weights (the #171
+#     workflow's selection step; default path unchanged and
+#     property-pinned). quality_select_grouped rides that kernel and
+#     its r12 row predates the change -> PROMOTED into the r14
+#     window, costing slip #23; quality_select_top is IN the r13
+#     window (post-change row this round).
 #   * save/load/rebuild_ivf_index joined the same whole-directory
 #     swap later in r13 (the pre-r13 per-part overwrite destroyed the
 #     old generation before the new one committed; generation markers
@@ -7958,10 +7971,10 @@ R12_FIRST_50_PLAN = (
 # None of r13's twenty-one slips may slip again in r14. If any r14
 # designee's code changes before composition time, promote it and
 # slip the next most redundantly pinned r11-rowed entry instead
-# (next in line by the same criteria: percentile_quantity, then
-# ntile_buckets — both r1/r2/r5/r8/r11, pure corpus queries
-# parity-pinned every session; a slip of ntile_buckets would also
-# amend window_dense_rank's retained-sibling rationale). Any further
+# (next in line by the same criteria: ntile_buckets — which would
+# also amend window_dense_rank's retained-sibling rationale — then
+# cleanse_reject_routing, re-pinned by the ETL goldens every run;
+# both r1/r2/r5/r8/r11). Any further
 # r13 registration lands after position 50, is first in line here,
 # and costs one extra slip from the same next-in-line order.
 #
@@ -8042,9 +8055,9 @@ R13_FIRST_50_PLAN = (
 
 #: The r14 window, PRE-COMPOSED from the r14 composer note above (the
 #: twenty-one r13 slips lead, then the never-rowed #171 registration
-#: and the importance_model_persisted code-change promotion, then the
-#: 27 r11-rowed entries retained after the twenty-two designated
-#: slips — exactly 50). Next round's
+#: and the importance_model_persisted + quality_select_grouped
+#: code-change promotions, then the 26 r11-rowed entries retained
+#: after the twenty-three designated slips — exactly 50). Next round's
 #: composer sets ``FIRST_50 = R14_FIRST_50_PLAN`` (verbatim or with
 #: the promotions the policy allows); ``tests/test_driver_window``
 #: pins the structural invariants and ``tools/window_audit.py``
@@ -8074,9 +8087,11 @@ R14_FIRST_50_PLAN = (
     "union_by_name_missing",
     # first hard row for the r13 registration #171
     "quality_classifier_scores",
-    # r13 code-change promotion (atomic scores+stats pair staging)
+    # r13 code-change promotions (atomic scores+stats pair staging;
+    # the threshold engine's fitted-weights parameter)
     "importance_model_persisted",
-    # 27 of the 49 r11-rowed entries (twenty-two designated slips —
+    "quality_select_grouped",
+    # 26 of the 49 r11-rowed entries (twenty-three designated slips —
     # see the composer note above; bm25_search_persisted re-rows in
     # r13)
     "ann_ivf_persisted",
@@ -8097,7 +8112,6 @@ R14_FIRST_50_PLAN = (
     "knn_label_vote",
     "location_hierarchy",
     "ntile_buckets",
-    "percentile_quantity",
     "pricing_summary",
     "sliding_window_rate",
     "streaming_dedup_batch_contract",

@@ -270,17 +270,21 @@ def test_r14_plan_satisfies_the_rotation_policy():
         "case_when_classify",
         # the slip slot forced by the r13 registration (#171)
         "json_props_extract",
+        # the slip slot forced by the quality_select_grouped promotion
+        # (the threshold engine's r13 fitted-weights parameter)
+        "percentile_quantity",
     }
-    assert len(designated) == 22
+    assert len(designated) == 23
     assert not designated & set(plan)
     # no double-slip of anything that slipped in r13
     assert not designated & r13_slips
-    # the r13 code-change promotion and the r13 registration are both
+    # the r13 code-change promotions and the r13 registration are all
     # present (first in line)
     assert "importance_model_persisted" in set(plan)
+    assert "quality_select_grouped" in set(plan)
     assert "quality_classifier_scores" in set(plan)
     # the r11-rowed cohort is exactly partitioned: designated slips
-    # out, the other 27 in (bm25_search_persisted re-rows in r13)
+    # out, the other 26 in (bm25_search_persisted re-rows in r13)
     with open("CORRECTNESS_r11.json") as fh:
         cohort = set(json.load(fh)) - {"bm25_search_persisted"}
     assert designated <= cohort

@@ -136,3 +136,50 @@ def test_global_output_schema_unchanged_by_routing(spark):
         "logit_milli", "keep", "threshold_milli",
     ]
     assert dict(out.dtypes)["threshold_milli"] == "bigint"
+
+
+def test_select_by_fitted_weights(spark):
+    """r13: the threshold engine accepts a fitted model's weights (the
+    GPT-3/CCNet select-by-trained-classifier step). Selection by custom
+    weights must equal the histogram contract applied to THOSE scores:
+    every kept doc's custom logit >= the reported threshold, the keep
+    count meets the ceil target, and the default path is unchanged."""
+    from sales_data_warehouse_spark.operators.sampling import (
+        quality_select_top_grouped,
+    )
+    from sales_data_warehouse_spark.operators.text import (
+        score_with_classifier,
+    )
+
+    docs = _mk(spark, [" ".join(["the"] * (5 + 7 * i)) for i in range(12)])
+    docs = docs.withColumn("lang", F.expr("'l' || cast(doc_id % 2 as string)"))
+    fitted = {
+        "bias_milli": 10,
+        "per_token_milli": -3,  # opposite sign of the published weights
+        "punct_ppm_milli_per_k": 0,
+        "stop_ppm_milli_per_k": 1,
+    }
+    out = quality_select_top_grouped(
+        docs, keep_permille=500, group_cols="lang", weights=fitted
+    ).collect()
+    scores = {
+        (r["doc_id"]): r["logit_milli"]
+        for r in score_with_classifier(docs, fitted).collect()
+    }
+    # per group: >= ceil(6 * 0.5) = 3 kept, all at/above the threshold,
+    # and the kept set is the TOP of the custom ordering (the inverted
+    # per-token weight makes this differ from the default selection)
+    for g in ("l0", "l1"):
+        kept = [r for r in out if r["lang"] == g]
+        assert len(kept) >= 3
+        thr = kept[0]["threshold_milli"]
+        assert all(r["logit_milli"] >= thr for r in kept)
+        assert all(scores[r["doc_id"]] == r["logit_milli"] for r in kept)
+        group_ids = [i for i in scores if (i % 2 == (0 if g == "l0" else 1))]
+        top_by_custom = sorted(
+            group_ids, key=lambda i: scores[i], reverse=True
+        )[:3]
+        assert set(top_by_custom) <= {r["doc_id"] for r in kept}
+    # shortest docs win under the inverted weight — the opposite of the
+    # published-weights selection
+    assert {r["doc_id"] for r in out if r["lang"] == "l0"} == {0, 2, 4}
