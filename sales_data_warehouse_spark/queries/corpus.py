@@ -7844,7 +7844,7 @@ R12_FIRST_50_PLAN = (
 # fuzzy_lookup_edit_distance, jsonl_roundtrip, weighted_sample — one
 # r11 row each) and the two double-rowed r8-cohort entries
 # (asof_join_tolerance, knn_label_vote — r8/r11) are NOT slip-eligible
-# (<3 greens) and stay. The 22 designated slips, each with >= 3
+# (<3 greens) and stay. The 23 designated slips, each with >= 3
 # consecutive greens, kernel untouched since its r11 row, and the
 # honest twin/redundant-pinning rationale:
 #   1. dedup_ngram_jaccard (greens r1/r2/r4/r7/r11; its capped
@@ -7978,12 +7978,98 @@ R12_FIRST_50_PLAN = (
 # r13 registration lands after position 50, is first in line here,
 # and costs one extra slip from the same next-in-line order.
 #
-# r15 FEASIBILITY (the arithmetic checked a round ahead, as always):
-# N=170 at the r14 close -> 20 steady-state slips from the 50
-# r12-rowed entries (CORRECTNESS_r12.json keys). Of those, the nine
-# r11 registrations (#161-169) carry a single r12 row each and are
-# NOT eligible; the remaining 41 carry greens r2/r5/r8-or-better plus
-# their r12 row — comfortable for 20. The binding constraint stays
+# r15 WINDOW, PRE-COMPOSED (round 14 composer note, written at the
+# swap per convention; N=171 at swap time -> steady-state slips
+# N-150 = 21 from the r12-rowed cohort; each r14 registration and
+# each r14 code-change promotion costs one extra slip, taken from
+# the named next-in-line order at the end of this note). The r15
+# window leads with the twenty-three r14 slips (may not slip twice),
+# then any r14 registrations (never-rowed, first in line) and r14
+# code-change promotions, then the r12-rowed entries retained after
+# the designated slips. The slip cohort is the 50
+# CORRECTNESS_r12.json keys MINUS importance_model_persisted and
+# quality_select_grouped (both re-row in r14 by promotion) = 48. Of
+# the 48, the seven remaining single-r12-rowed r11 registrations
+# (weighted_sample_grouped, fuzzy_join_minhash_exact,
+# importance_weights, importance_resample,
+# importance_resample_grouped, ngram_novelty, phrase_search) and the
+# double-rowed dedup_edit_distance (r9/r12 — keep its attrib_3x
+# watch note) are NOT slip-eligible (<3 greens) and stay. The 21
+# steady-state designated slips, each with >= 3 consecutive greens,
+# kernel untouched since its r12 row, and the honest
+# twin/redundant-pinning rationale:
+#   1. set_except (greens r1/r2/r5/r8/r12; set_except_all carries an
+#      r13 row over the same EXCEPT [ALL] kernel);
+#   2. set_intersect (greens r1/r2/r5/r8/r12; set_intersect_all
+#      carries an r13 row over the same INTERSECT [ALL] kernel);
+#   3. anti_join (greens r1/r2/r5/r8/r12; not_exists_customers
+#      carries an r13 row over the same left_anti shape);
+#   4. semi_join_having (greens r1/r2/r5/r8/r12;
+#      exists_subquery_orders carries an r13 row over the same
+#      pre-agg + left_semi shape);
+#   5. distinct_dedup (greens r1/r2/r5/r8/r12;
+#      dedup_exact_incremental carries an r14 row — it is in the r14
+#      window — over the same exact-hash surface, and dedup_keep_best
+#      + dedup_lines carry r13 rows);
+#   6. scalar_aggregates (greens r1/r2/r5/r8/r12; pricing_summary
+#      carries an r14 row — in the r14 window; pure corpus query
+#      re-verified type-strictly by the parity suite every session);
+#   7. date_spine (greens r1/r2/r5/r8/r12; the F.sequence calendar
+#      kernel in time_dimension is pinned by the ETL goldens every
+#      run);
+#   8. time_hierarchy (greens r1/r2/r5/r8/r12; same ETL-golden
+#      pinning of time_dimension every run, and join_multiway
+#      carries an r14 row over the hierarchy-join shape);
+#   9. string_functions (greens r1/r2/r5/r8/r12;
+#      cleanse_reject_routing carries an r14 row — in the r14
+#      window — over the cleansing string kernel);
+#  10. scd2_versions (greens r1/r2/r5/r8/r12; the SCD2 kernel is
+#      pinned by the test_etl_reference goldens every run);
+#  11. ann_ivf_topk (greens r3/r6/r9/r12; ann_ivf_persisted carries
+#      an r14 row and ivf_recall_audit an r13 row over the same IVF
+#      kernel);
+#  12. ann_lsh_topk (greens r3/r6/r9/r12; ann_bruteforce_topk — the
+#      exact-oracle baseline the LSH entry is audited against —
+#      carries an r13 row and ann_ivf_persisted an r14 row over the
+#      similarity.py ANN surface);
+#  13. asof_join_nearest (greens r6/r9/r12; asof_join_forward and
+#      asof_join_tolerance carry r14 rows — both in the r14 window —
+#      over the same as-of router, and the pricelist pair carries
+#      r13 rows);
+#  14. attribution_last_touch (greens r3/r6/r9/r12;
+#      funnel_conversion and session_stats carry r13 rows over the
+#      same per-user event-ordering kernel in timeseries.py, and
+#      user_paths + session_funnel carry r14 rows by construction);
+#  15. bigram_surprisal (greens r5/r6/r9/r12; unigram_surprisal
+#      carries an r14 row by construction over the same surprisal
+#      kernel);
+#  16. bpe_pair_counts (greens r3/r6/r9/r12; token_counting carries
+#      an r13 row over the same tokenizer family);
+#  17. corpus_filter_pipeline (greens r3/r6/r9/r12;
+#      curation_pipeline carries an r13 row over the same lazy
+#      single-plan composition kernel);
+#  18. decontaminate_ngrams (greens r3/r6/r9/r12;
+#      dedup_ngram_jaccard_capped carries an r14 row by construction
+#      over the shared shingle kernel);
+#  19. doc_pii_scrub (greens r3/r6/r9/r12; doc_chunking and
+#      doc_fingerprint carry r13 rows over the chunking.py surface);
+#  20. doc_winnowing (greens r3/r6/r9/r12; doc_fingerprint carries
+#      an r13 row over the same rolling-hash fingerprint family);
+#  21. embedding_stats (greens r3/r6/r9/r12; embedding_normalize,
+#      embedding_truncate and embedding_quantize carry r14 rows by
+#      construction over the same embedding-array kernel).
+# None of r14's twenty-three slips may slip again in r15. Next in
+# line for the extra slips forced by r14 registrations or
+# promotions (same criteria, in order): fuzzy_name_match
+# (r3/r6/r9/r12; fuzzy_lookup_edit_distance carries an r14 row over
+# the same edit-distance kernel), then hypertable_rollup
+# (r3/r6/r9/r12; grouping_sets_revenue carries an r14 row over the
+# same rollup surface), then mixture_interleave (r3/r6/r9/r12;
+# temperature_mixture carries an r13 row over the same mixture
+# kernel). r16 FEASIBILITY: N at the r15 close >= 172 -> >= 22
+# steady-state slips from the 50 r13-rowed entries; of those, only
+# quality_classifier_scores carries a single row (not eligible); the
+# rest carry >= 3 greens — comfortable. The binding constraint stays
 # the honesty of the twin rationales, not the count.
 
 #: The r13 window, PRE-COMPOSED from the policy above (the nineteen
@@ -8122,7 +8208,7 @@ R14_FIRST_50_PLAN = (
     "window_top1_per_group",
 )
 
-FIRST_50 = R13_FIRST_50_PLAN
+FIRST_50 = R14_FIRST_50_PLAN
 
 
 def _reorder_for_driver() -> None:

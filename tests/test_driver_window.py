@@ -225,8 +225,8 @@ def test_r14_plan_satisfies_the_rotation_policy():
     """Same structural pins for the NEXT pre-composed window (composed
     at the r13 swap, per the write-the-next-note-with-the-swap
     convention): 50 unique registered entries; the twenty-one r13
-    slips lead (no entry slips twice running); none of the twenty
-    designated r14 slips is present; slips + plan exactly partition
+    slips lead (no entry slips twice running); none of the
+    twenty-three designated r14 slips is present; slips + plan exactly partition
     the r11-rowed cohort (minus bm25_search_persisted, which re-rows
     in r13 by promotion); every designated slip is machine-checked
     eligible (>= 3 hard rows, latest r11); and every fresh-twin claim
