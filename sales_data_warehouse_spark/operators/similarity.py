@@ -805,6 +805,16 @@ def rebuild_ivf_index(
     plus one assignment-and-write pass — the same cost class as the
     original build, which is the honest price of moving centroids;
     everything cheaper is :func:`ivf_append`."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+    )
+
+    # Same entry contract as load_ivf_index: a save/rebuild that
+    # crashed mid-swap leaves `path` missing with `path + '.stage_old'`
+    # holding the previous generation — recover it before reading
+    # `{path}/assigned`, or the rebuild-after-crash fails on a missing
+    # path the recovery protocol could have restored (r13 advice).
+    recover_staged(spark, path)
     corpus = spark.read.parquet(f"{path}/assigned").select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("cv").alias("embedding"),

@@ -686,6 +686,27 @@ def quality_logit(
             "quality_logit: weights must have exactly the keys "
             f"{sorted(QUALITY_LOGIT_WEIGHTS)}, got {sorted(weights)}"
         )
+    import numbers
+
+    # Values are part of the contract too, not just keys: a float
+    # milli weight would build a float logit expression that the
+    # bigint cast silently truncates, breaking the bit-identical
+    # cross-engine scoring this hook exists for (r13 advice). Accept
+    # any integral type (int, numpy integer) and normalize to Python
+    # int; refuse bools and floats loudly.
+    bad = {
+        k: v
+        for k, v in weights.items()
+        if isinstance(v, bool) or not isinstance(v, numbers.Integral)
+    }
+    if bad:
+        raise ValueError(
+            "quality_logit: weights are integer milli-units by "
+            f"contract; got non-integer values {bad!r}. Quantize "
+            "first (round(w * 1000)) — silent float truncation is "
+            "exactly what the integer format rules out."
+        )
+    weights = {k: int(v) for k, v in weights.items()}
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
     n_tok = token_count(t)

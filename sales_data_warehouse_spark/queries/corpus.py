@@ -8058,11 +8058,29 @@ R12_FIRST_50_PLAN = (
 #  21. embedding_stats (greens r3/r6/r9/r12; embedding_normalize,
 #      embedding_truncate and embedding_quantize carry r14 rows by
 #      construction over the same embedding-array kernel).
+# r14 CODE-CHANGED surface and its promotions (the standing rule's
+# bookkeeping, kept in the same commits as the changes):
+#   * quality_logit gained the integer-value weights guard (r13
+#     ADVICE — key-set was checked, value types were not; float
+#     milli weights would silently truncate under the bigint cast).
+#     Entries riding the kernel IN the r14 window re-row post-change
+#     by construction (quality_logit, quality_classifier_scores,
+#     quality_select_grouped); quality_select_top rides it through
+#     sampling.quality_select_top_grouped's quality_logit call and
+#     its r13 row predates the change -> PROMOTED into the r15
+#     window, costing slip #22 fuzzy_name_match (r3/r6/r9/r12;
+#     fuzzy_lookup_edit_distance carries an r14 row over the same
+#     edit-distance kernel) from the named next-in-line order. The
+#     streaming quality scorer also rides quality_logit but has no
+#     corpus entry — it is pinned streaming == batch by
+#     tests/test_streaming.py every session.
+#   * rebuild_ivf_index gained the recover_staged entry call (r13
+#     ADVICE). ann_ivf_persisted covers the save/load/rebuild
+#     surface and is IN the r14 window (post-change row this round);
+#     no promotion.
 # None of r14's twenty-three slips may slip again in r15. Next in
-# line for the extra slips forced by r14 registrations or
-# promotions (same criteria, in order): fuzzy_name_match
-# (r3/r6/r9/r12; fuzzy_lookup_edit_distance carries an r14 row over
-# the same edit-distance kernel), then hypertable_rollup
+# line for further extra slips forced by r14 registrations or
+# promotions (same criteria, in order): hypertable_rollup
 # (r3/r6/r9/r12; grouping_sets_revenue carries an r14 row over the
 # same rollup surface), then mixture_interleave (r3/r6/r9/r12;
 # temperature_mixture carries an r13 row over the same mixture

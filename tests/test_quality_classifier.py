@@ -157,6 +157,26 @@ def test_guards(spark):
     one_class = docs.select("doc_id", F.lit(1).alias("label"))
     with pytest.raises(ValueError, match="both classes"):
         text.fit_quality_classifier(docs, one_class)
+    # values are contract too (r13 advice): un-quantized float milli
+    # weights would build a float logit silently truncated by the
+    # bigint cast — refuse loudly
+    with pytest.raises(ValueError, match="integer milli-units"):
+        text.quality_logit(
+            docs,
+            weights=dict(
+                text.TRAINED_QUALITY_WEIGHTS, bias_milli=-137.2
+            ),
+        )
+    with pytest.raises(ValueError, match="integer milli-units"):
+        text.quality_logit(
+            docs,
+            weights=dict(text.TRAINED_QUALITY_WEIGHTS, bias_milli=True),
+        )
+    # integral non-Python-int types (numpy) are normalized, not refused
+    npw = {
+        k: np.int64(v) for k, v in text.TRAINED_QUALITY_WEIGHTS.items()
+    }
+    assert text.quality_logit(docs.limit(5), weights=npw).count() == 5
 
 
 def test_save_load_roundtrip_and_crash_recovery(spark, tmp_path):

@@ -255,6 +255,25 @@ def test_ivf_generation_matched_pair_loads(spark, tmp_path):
     )
 
 
+def test_ivf_rebuild_recovers_mid_swap_crash(spark, tmp_path):
+    """rebuild_ivf_index after a save that crashed mid-swap (path
+    missing, path.stage_old intact) recovers the previous generation
+    before reading {path}/assigned — the same entry contract as
+    load_ivf_index — instead of failing on a missing path the
+    recovery protocol could have restored (r13 advice)."""
+    import os
+    import shutil
+
+    emb, path = _tiny_index(spark, tmp_path)
+    shutil.move(path, path + ".stage_old")
+    rebuilt = similarity.rebuild_ivf_index(spark, path, num_centroids=4)
+    assert not os.path.exists(path + ".stage_old")
+    assert (
+        similarity.ivf_search(rebuilt, emb.limit(2), k=3, nprobe=4).count()
+        == 6
+    )
+
+
 def test_ivf_generation_mismatch_fails_loudly(spark, tmp_path):
     """The crash signature the manifest exists for: assigned swapped to
     the new generation, centers still the old one. load_ivf_index must
