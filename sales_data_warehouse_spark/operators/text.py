@@ -951,6 +951,407 @@ def load_quality_classifier(spark, path: str) -> QualityClassifier:
     )
 
 
+def ngram_occurrences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+    bigrams: bool = True,
+) -> DataFrame:
+    """One row per n-gram feature OCCURRENCE (a bag, not a set):
+    lowercased whitespace unigrams plus word bigrams — the
+    CCNet/fastText classifier feature space, which is deliberately the
+    SAME feature space as the DSIR family's
+    (``sampling._dsir_features``): ``TOKEN_SPLIT`` tokens and the one
+    shared :func:`bigrams_from_tokens` kernel, so the n-gram
+    definition cannot drift between the importance weigher and the
+    quality classifier. With ``num_buckets`` the feature is hashed to
+    a bucket id (``pmod(xxhash64(feat), B)``) BEFORE any aggregation —
+    the fastText hashing trick (Joulin et al., arXiv:1607.01759 §2.1)
+    — so no stage ever carries the raw vocabulary. Output columns:
+    ``(doc, feat)``; one scan, one generate, no shuffle."""
+    if num_buckets is not None and num_buckets < 1:
+        raise ValueError(
+            f"num_buckets ({num_buckets}) must be >= 1 (pmod by 0 is "
+            "NULL under non-ANSI semantics — every join key would "
+            "silently miss)"
+        )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("_w"),
+    )
+    feats = F.col("_w")
+    if bigrams:
+        feats = F.concat(feats, bigrams_from_tokens("_w"))
+    out = base.select("doc", F.explode(feats).alias("feat"))
+    if num_buckets is not None:
+        out = out.withColumn(
+            "feat", F.pmod(F.xxhash64("feat"), F.lit(num_buckets))
+        )
+    return out
+
+
+@dataclass(frozen=True)
+class NgramQualityClassifier:
+    """A fitted bag-of-hashed-ngrams quality model — the real
+    CCNet/fastText shape (Wenzek et al., arXiv:1911.00359 §4.3 train a
+    fastText head on wiki-vs-crawl; GPT-3, arXiv:2005.14165 Appendix A,
+    a logistic classifier over the same split), where the r13 scalar
+    model (:class:`QualityClassifier`) separates only on shape
+    statistics, this one separates on CONTENT. ``weights`` maps each
+    feature seen at fit time — the n-gram string in exact mode
+    (``num_buckets is None``), the xxhash64 bucket id otherwise — to an
+    integer milli weight; inference is one explode + one broadcast
+    lookup + one integer sum, no float anywhere (the
+    :data:`TRAINED_QUALITY_WEIGHTS` contract: the float model exists
+    only at fit time)."""
+
+    bias_milli: int
+    weights: dict
+    num_buckets: int | None
+    bigrams: bool
+    n_pos: int
+    n_neg: int
+
+
+def fit_quality_classifier_ngrams(
+    docs: DataFrame,
+    labels: DataFrame,
+    num_buckets: int | None = 4096,
+    vocab_size: int | None = None,
+    bigrams: bool = True,
+    max_iter: int = 100,
+    reg_param: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> NgramQualityClassifier:
+    """Fit the hashed-n-gram quality classifier (r13 VERDICT #4 — the
+    upgrade from three shape features to content features). Spark ML
+    ``LogisticRegression`` (LBFGS) over per-document bucket-count
+    vectors: featurize ONLY the labeled seed docs (inner join first —
+    seed sets are small by construction, corpora are not), hash each
+    unigram/bigram to one of ``num_buckets`` buckets, and build the
+    dense count vector entirely JVM-side (``map_from_entries`` +
+    ``transform(sequence(...))`` + ``array_to_vector`` — no Python
+    row path, no VectorUDT UDF). Exact mode (``num_buckets=None``)
+    keys features by the n-gram STRING, restricted to the
+    ``vocab_size`` most document-frequent n-grams of the seed set
+    (ties by n-gram ascending — deterministic), which is the
+    committable/SQL-expressible form the driver oracle uses; hashed
+    mode is the 100 TB production form (B bounds the model, the
+    vector dim, and the broadcast, whatever the corpus vocabulary
+    does).
+
+    The returned model's ``weights`` contain every feature SEEN at
+    fit time (zero-milli entries included — they define the model's
+    vocabulary and the ``n_features`` match count downstream);
+    unseen features are out-of-vocabulary at apply time, exactly
+    fastText's behavior for an untrained bucket.
+
+    Scale shape: one seed-sized shuffle to per-doc counts, one
+    bounded vocab collect (``<= min(num_buckets, seed vocabulary)``
+    rows), then LBFGS treeAggregate over dense dim-``B`` vectors —
+    one reduction per iteration, nothing corpus-sized on the driver;
+    fit cost is set by SEED size and ``num_buckets``, not the corpus.
+    Deterministic on fixed data: LBFGS from a zero start, no sampling
+    anywhere."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    spark = docs.sparkSession
+    labeled = docs.join(
+        labels.select(
+            F.col(id_col),
+            F.col(label_col).cast("double").alias("_y"),
+        ),
+        id_col,
+    )
+    occ = ngram_occurrences(
+        labeled, text_col, id_col, num_buckets=num_buckets, bigrams=bigrams
+    )
+    cnts = occ.groupBy("doc", "feat").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    if num_buckets is not None:
+        # bucket ids ARE vector indices; record which buckets the seed
+        # set actually touched (bounded by min(B, seed vocabulary))
+        seen = sorted(
+            int(r["feat"])
+            for r in cnts.select("feat").distinct().collect()
+        )
+        dim = num_buckets
+        indexed = cnts.withColumn("_i", F.col("feat").cast("int"))
+        vocab = [int(b) for b in seen]
+    else:
+        dfreq = (
+            cnts.groupBy("feat")
+            .agg(F.countDistinct("doc").alias("_df"))
+            .orderBy(F.col("_df").desc(), F.col("feat").asc())
+        )
+        if vocab_size is not None:
+            dfreq = dfreq.limit(vocab_size)
+        vocab = [r["feat"] for r in dfreq.collect()]  # bounded: top-V
+        dim = len(vocab)
+        if dim == 0:
+            raise ValueError(
+                "fit_quality_classifier_ngrams: empty seed vocabulary"
+            )
+        mapping = spark.createDataFrame(
+            [(f, i) for i, f in enumerate(vocab)], "feat string, _i int"
+        )
+        indexed = cnts.join(F.broadcast(mapping), "feat")
+    vecs = indexed.groupBy("doc").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_i", "_c"))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i), F.lit(0.0)),
+    )
+    assembled = (
+        labeled.select(F.col(id_col).alias("doc"), "_y")
+        .join(vecs, "doc", "left")
+        .select("_y", array_to_vector(dense).alias("features"))
+        .persist()  # seed-set-sized; LBFGS re-reads it per iteration
+    )
+    try:
+        counts = assembled.agg(
+            F.sum(F.col("_y")).cast("bigint").alias("p"),
+            F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n"),
+        ).collect()[0]  # bounded: one 2-field row (class balance)
+        n_pos, n_neg = int(counts["p"] or 0), int(counts["n"] or 0)
+        if n_pos == 0 or n_neg == 0:
+            raise ValueError(
+                "fit_quality_classifier_ngrams: need both classes in "
+                f"the labeled seed set (got {n_pos} positive / "
+                f"{n_neg} negative)"
+            )
+        model = LogisticRegression(
+            featuresCol="features",
+            labelCol="_y",
+            maxIter=max_iter,
+            regParam=reg_param,
+            standardization=True,
+            family="binomial",
+        ).fit(assembled)
+    finally:
+        assembled.unpersist()
+    coefs = model.coefficients.toArray()
+    if num_buckets is not None:
+        weights = {int(b): round(float(coefs[b]) * 1000) for b in vocab}
+    else:
+        weights = {
+            f: round(float(coefs[i]) * 1000) for i, f in enumerate(vocab)
+        }
+    return NgramQualityClassifier(
+        bias_milli=round(float(model.intercept) * 1000),
+        weights=weights,
+        num_buckets=num_buckets,
+        bigrams=bigrams,
+        n_pos=n_pos,
+        n_neg=n_neg,
+    )
+
+
+def score_with_ngram_classifier(
+    docs: DataFrame,
+    clf: NgramQualityClassifier,
+    keep_threshold_milli: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a fitted n-gram quality model in pure-JVM integer
+    arithmetic: explode the document's unigrams+bigrams, hash to the
+    model's bucket space (or keep the string in exact mode),
+    broadcast-join the milli weight table (at most
+    ``len(clf.weights)`` rows — model-sized, never corpus-sized), and
+    sum per document. Output: ``(id_col, n_features, logit_milli,
+    keep)`` where ``n_features`` counts the occurrences matched by
+    the model's vocabulary (the DSIR ``n_features`` semantics) and
+    ``logit_milli = bias + sum of matched milli weights`` — BIGINT
+    end to end, bit-identical across engines (the
+    :func:`quality_logit` contract extended to content features).
+
+    Scale shape: one corpus scan + generate, one broadcast hash join,
+    one partial-aggregated shuffle keyed by document, one
+    column-pruned id scan for the zero-match left join. No float, no
+    UDF, no driver-side loop."""
+    if not isinstance(clf, NgramQualityClassifier):
+        raise TypeError(
+            "score_with_ngram_classifier: clf must be an "
+            f"NgramQualityClassifier, got {type(clf).__name__}"
+        )
+    bad = {
+        k: v
+        for k, v in clf.weights.items()
+        if isinstance(v, bool) or not isinstance(v, int)
+    }
+    if bad:
+        raise ValueError(
+            "score_with_ngram_classifier: weights are integer "
+            f"milli-units by contract; got non-integer values {bad!r}"
+        )
+    spark = docs.sparkSession
+    if clf.num_buckets is None:
+        wt = spark.createDataFrame(
+            sorted(clf.weights.items()), "feat string, _w long"
+        )
+    else:
+        wt = spark.createDataFrame(
+            sorted((int(k), int(v)) for k, v in clf.weights.items()),
+            "feat long, _w long",
+        )
+    occ = ngram_occurrences(
+        docs, text_col, id_col,
+        num_buckets=clf.num_buckets, bigrams=clf.bigrams,
+    )
+    agg = (
+        occ.join(F.broadcast(wt), "feat")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_nf"),
+            F.sum("_w").cast("bigint").alias("_s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, F.col(id_col) == F.col("doc"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_nf"), F.lit(0))
+            .cast("bigint")
+            .alias("n_features"),
+            (
+                F.coalesce(F.col("_s"), F.lit(0))
+                + F.lit(int(clf.bias_milli))
+            )
+            .cast("bigint")
+            .alias("logit_milli"),
+        )
+        .withColumn(
+            "keep",
+            F.col("logit_milli") >= F.lit(int(keep_threshold_milli)),
+        )
+    )
+
+
+def save_ngram_classifier(
+    spark, clf: NgramQualityClassifier, path: str
+) -> None:
+    """Persist weights + meta as ONE atomic whole-directory swap
+    (``staged_overwrite_dir`` — the same no-mixed-generation contract
+    as the text/phrase/importance indexes: a crash can never pair new
+    weights with old meta). Bucket ids are stored as decimal strings
+    so the weights part has one schema in both modes; ``load`` casts
+    back using the meta's ``num_buckets``."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        staged_overwrite_dir,
+    )
+
+    weights_df = spark.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(clf.weights.items())],
+        "feat string, w_milli long",
+    ).coalesce(1)
+    meta_df = spark.createDataFrame(
+        [
+            (
+                int(clf.bias_milli),
+                None if clf.num_buckets is None else int(clf.num_buckets),
+                bool(clf.bigrams),
+                int(clf.n_pos),
+                int(clf.n_neg),
+            )
+        ],
+        "bias_milli long, num_buckets long, bigrams boolean, "
+        "n_pos long, n_neg long",
+    ).coalesce(1)
+    staged_overwrite_dir(
+        spark, {"weights": (weights_df, None), "meta": (meta_df, None)}, path
+    )
+
+
+def load_ngram_classifier(spark, path: str) -> NgramQualityClassifier:
+    """Reopen a saved n-gram classifier; recovers a crashed mid-swap
+    save first (the ``load_importance_model`` contract)."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        recover_staged,
+    )
+
+    recover_staged(spark, path)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    num_buckets = (
+        None if meta["num_buckets"] is None else int(meta["num_buckets"])
+    )
+    rows = spark.read.parquet(f"{path}/weights").collect()
+    if num_buckets is None:
+        weights = {r["feat"]: int(r["w_milli"]) for r in rows}
+    else:
+        weights = {int(r["feat"]): int(r["w_milli"]) for r in rows}
+    return NgramQualityClassifier(
+        bias_milli=int(meta["bias_milli"]),
+        weights=weights,
+        num_buckets=num_buckets,
+        bigrams=bool(meta["bigrams"]),
+        n_pos=int(meta["n_pos"]),
+        n_neg=int(meta["n_neg"]),
+    )
+
+
+#: Demo n-gram model FITTED by :func:`fit_quality_classifier_ngrams`
+#: (r14) on the sf0.01 documents table against the ``lang == 'en'``
+#: seed labeling — the :data:`TRAINED_QUALITY_WEIGHTS` provenance —
+#: in EXACT mode (``num_buckets=None``, ``vocab_size=24``: the 24
+#: most document-frequent unigrams+bigrams of the seed set), so the
+#: apply side is a replayable integer contract the driver oracle can
+#: inline as a VALUES table. They describe THIS synthetic corpus,
+#: not quality truth; a real pipeline refits on its own labeled
+#: seeds in hashed mode and ships bucket weights instead. The
+#: reproducibility test refits and pins these to ±1 milli.
+TRAINED_NGRAM_QUALITY_BIAS_MILLI = -189
+TRAINED_NGRAM_QUALITY_WEIGHTS = (
+    ("a", 73),
+    ("agg", -60),
+    ("batch", -22),
+    ("big", 93),
+    ("column", -78),
+    ("customer", -140),
+    ("data", -33),
+    ("filter", -10),
+    ("group", 61),
+    ("hash", 102),
+    ("join", -74),
+    ("merge", -41),
+    ("order", 183),
+    ("part", -37),
+    ("query", -129),
+    ("row", 3),
+    ("scan", -134),
+    ("slow", -85),
+    ("small", -87),
+    ("sort", 89),
+    ("spark", 54),
+    ("stream", -19),
+    ("table", 118),
+    ("window", 147),
+)
+
+
+def trained_ngram_classifier() -> NgramQualityClassifier:
+    """The committed demo n-gram model as a ready-to-apply
+    :class:`NgramQualityClassifier` (class counts from the documented
+    sf0.01 ``lang == 'en'`` seed labeling)."""
+    return NgramQualityClassifier(
+        bias_milli=TRAINED_NGRAM_QUALITY_BIAS_MILLI,
+        weights=dict(TRAINED_NGRAM_QUALITY_WEIGHTS),
+        num_buckets=None,
+        bigrams=True,
+        n_pos=218,
+        n_neg=282,
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 8,

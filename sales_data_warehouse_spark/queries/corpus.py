@@ -7434,6 +7434,71 @@ def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_ngram_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS l
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, UNNEST(l) AS feat FROM toks
+      UNION ALL
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, len(l) - 1),
+                                   i -> l[i] || ' ' || l[i + 1])) AS feat
+      FROM toks
+    ),
+    w(feat, wm) AS (VALUES
+      ('a', 73), ('agg', -60), ('batch', -22), ('big', 93),
+      ('column', -78), ('customer', -140), ('data', -33),
+      ('filter', -10), ('group', 61), ('hash', 102), ('join', -74),
+      ('merge', -41), ('order', 183), ('part', -37), ('query', -129),
+      ('row', 3), ('scan', -134), ('slow', -85), ('small', -87),
+      ('sort', 89), ('spark', 54), ('stream', -19), ('table', 118),
+      ('window', 147)),
+    agg AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_features,
+             CAST(SUM(w.wm) AS BIGINT) AS s
+      FROM f JOIN w USING (feat)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_features, 0) AS BIGINT) AS n_features,
+           CAST(COALESCE(a.s, 0) + (-189) AS BIGINT) AS logit_milli,
+           (COALESCE(a.s, 0) + (-189)) >= 0 AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def quality_ngram_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-n-gram quality classifier, apply side (round 14, corpus
+    entry #172): ``text.score_with_ngram_classifier`` with the
+    committed ``TRAINED_NGRAM_QUALITY_WEIGHTS`` — the CCNet/fastText
+    SHAPE of quality classification (bag of unigram+bigram counts;
+    Wenzek et al., arXiv:1911.00359 §4.3; Joulin et al.,
+    arXiv:1607.01759 §2.1), where #171 separates on shape statistics
+    this one separates on CONTENT. The committed model is the EXACT
+    (string-keyed) form — vocab = the 24 most document-frequent
+    n-grams of the sf0.01 seed set, weights fitted by
+    ``fit_quality_classifier_ngrams`` and milli-quantized — so the
+    oracle inlines the learned table verbatim and the score is BIGINT
+    end to end: one explode, one broadcast join against the 24-row
+    weight table, one integer sum per document. The hashed-bucket
+    production mode (``num_buckets`` — xxhash64 bucketing, model and
+    broadcast bounded by B whatever the corpus vocabulary does) is
+    engine-specific and is pinned hashed≡exact under a proven
+    collision-free bucketing by ``tests/test_ngram_classifier.py``,
+    the DSIR precedent; the fit side (LBFGS, SQL-inexpressible) is
+    pinned there by the NumPy IRLS mirror and the ±1-milli refit
+    reproduction."""
+    return text.score_with_ngram_classifier(
+        load_table(spark, sf, "documents"),
+        text.trained_ngram_classifier(),
+        keep_threshold_milli=0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order
 # ---------------------------------------------------------------------------
@@ -8078,13 +8143,25 @@ R12_FIRST_50_PLAN = (
 #     ADVICE). ann_ivf_persisted covers the save/load/rebuild
 #     surface and is IN the r14 window (post-change row this round);
 #     no promotion.
+# r14 REGISTRATION (pacing: judge-brief-driven, one this round):
+# #172 quality_ngram_scores (r13 VERDICT next-round #4 — the
+# hashed-n-gram quality classifier: fit_quality_classifier_ngrams /
+# score_with_ngram_classifier with the committed
+# TRAINED_NGRAM_QUALITY_WEIGHTS; exact integer oracle on the apply
+# side, NumPy-mirror + hashed≡exact property oracles on the
+# fit/hash side in tests/test_ngram_classifier.py). Registered
+# after position 50, never-rowed, first in line for r15 by
+# construction — costing slip #23 hypertable_rollup (r3/r6/r9/r12;
+# grouping_sets_revenue carries an r14 row over the same rollup
+# surface) from the named next-in-line order.
+#
 # None of r14's twenty-three slips may slip again in r15. Next in
 # line for further extra slips forced by r14 registrations or
-# promotions (same criteria, in order): hypertable_rollup
-# (r3/r6/r9/r12; grouping_sets_revenue carries an r14 row over the
-# same rollup surface), then mixture_interleave (r3/r6/r9/r12;
-# temperature_mixture carries an r13 row over the same mixture
-# kernel). r16 FEASIBILITY: N at the r15 close >= 172 -> >= 22
+# promotions (same criteria, in order): mixture_interleave
+# (r3/r6/r9/r12; temperature_mixture carries an r13 row over the
+# same mixture kernel), then range_join_weeks (r3/r6/r9/r12;
+# rolling_range_avg carries an r13 row over the same range-condition
+# join family). r16 FEASIBILITY: N at the r15 close >= 172 -> >= 22
 # steady-state slips from the 50 r13-rowed entries; of those, only
 # quality_classifier_scores carries a single row (not eligible); the
 # rest carry >= 3 greens — comfortable. The binding constraint stays
@@ -8224,6 +8301,75 @@ R14_FIRST_50_PLAN = (
     "weighted_sample",
     "window_frame_first_last",
     "window_top1_per_group",
+)
+#: The r15 window, PRE-COMPOSED from the r15 composer note above (the
+#: twenty-three r14 slips lead, then the never-rowed #172 registration
+#: and the quality_select_top code-change promotion, then the 25
+#: r12-rowed entries retained after the twenty-three designated
+#: slips — exactly 50). Next round's composer sets ``FIRST_50 =
+#: R15_FIRST_50_PLAN`` (verbatim or with the promotions the policy
+#: allows); ``tests/test_driver_window`` pins the structural
+#: invariants and ``tools/window_audit.py`` exempts the at-bound
+#: handoff through this plan.
+R15_FIRST_50_PLAN = (
+    # twenty-three r14-slipped r11-rowed entries (may not slip twice)
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "sessionize",
+    "set_union",
+    "train_test_split",
+    "approx_sketches",
+    "tumbling_window_agg",
+    "date_functions",
+    "rollup_revenue",
+    "cube_quantity",
+    "pivot_status_by_year",
+    "topk_revenue_orders",
+    "group_having",
+    "left_join_coalesce",
+    "window_dense_rank",
+    "window_lag_gap",
+    "window_running_total",
+    "source_dup_ratio",
+    "case_when_classify",
+    "json_props_extract",
+    "percentile_quantity",
+    # first hard row for the r14 registration #172
+    "quality_ngram_scores",
+    # r14 code-change promotion (quality_logit's integer-value
+    # weights guard; quality_select_top rides the kernel through the
+    # grouped threshold engine and its r13 row predates the change)
+    "quality_select_top",
+    # 25 of the 48 r12-rowed cohort entries (twenty-three designated
+    # slips — see the composer note above; importance_model_persisted
+    # and quality_select_grouped re-row in r14 by promotion)
+    "dedup_canonical_text",
+    "dedup_containment_capped",
+    "dedup_edit_distance",
+    "fuzzy_join_minhash_exact",
+    "importance_resample",
+    "importance_resample_grouped",
+    "importance_weights",
+    "mixture_interleave",
+    "ngram_novelty",
+    "phrase_search",
+    "range_join_weeks",
+    "repetition_quality",
+    "retention_cohorts",
+    "scalar_subquery_share",
+    "semantic_dedup",
+    "sketch_union_rollup",
+    "skew_salted_join",
+    "snapshot_upsert",
+    "stratified_sample",
+    "text_quality",
+    "token_budget_select",
+    "token_frequencies",
+    "trend_slope_per_user",
+    "value_histogram",
+    "weighted_sample_grouped",
 )
 
 FIRST_50 = R14_FIRST_50_PLAN

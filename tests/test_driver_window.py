@@ -86,6 +86,7 @@ def test_r12_plan_satisfies_the_rotation_policy():
     from sales_data_warehouse_spark.queries.corpus import (
         R13_FIRST_50_PLAN,
         R14_FIRST_50_PLAN,
+        R15_FIRST_50_PLAN,
     )
 
     pending = (
@@ -93,6 +94,7 @@ def test_r12_plan_satisfies_the_rotation_policy():
         - set(FIRST_50)
         - set(R13_FIRST_50_PLAN)
         - set(R14_FIRST_50_PLAN)
+        - set(R15_FIRST_50_PLAN)
     )
     assert pending <= set(plan), sorted(pending - set(plan))
     # the ten r11 slips lead and may not slip again
@@ -141,15 +143,17 @@ def test_r13_plan_satisfies_the_rotation_policy():
         with open(path) as fh:
             rowed |= set(json.load(fh))
     # anything registered in r13 itself (after this window froze) is
-    # first in line for r14, not r13
+    # first in line for r14, not r13 — and r14 registrations for r15
     from sales_data_warehouse_spark.queries.corpus import (
         R14_FIRST_50_PLAN,
+        R15_FIRST_50_PLAN,
     )
 
     pending = (
         {n for n in QUERIES if n not in rowed}
         - set(FIRST_50)
         - set(R14_FIRST_50_PLAN)
+        - set(R15_FIRST_50_PLAN)
     )
     assert pending <= set(plan), sorted(pending - set(plan))
 
@@ -341,3 +345,126 @@ def test_r14_plan_satisfies_the_rotation_policy():
         "window_frame_first_last", "ntile_buckets", "join_multiway",
     ):
         assert kept in set(plan), kept
+
+
+def test_r15_plan_satisfies_the_rotation_policy():
+    """Same structural pins for the NEXT pre-composed window (composed
+    at the r14 swap, per the write-the-next-note-with-the-swap
+    convention, amended by the round's registration and promotion
+    commits): 50 unique registered entries; the twenty-three r14
+    slips lead (no entry slips twice running); none of the
+    twenty-three designated r15 slips is present; slips + plan
+    exactly partition the 48-member r12-rowed cohort (minus
+    importance_model_persisted and quality_select_grouped, which
+    re-row in r14 by promotion); every designated slip is
+    machine-checked eligible (>= 3 hard rows, latest r12); and every
+    fresh-twin claim in the composer note holds."""
+    import glob
+    import json
+
+    from sales_data_warehouse_spark.queries.corpus import (
+        R14_FIRST_50_PLAN,
+        R15_FIRST_50_PLAN,
+    )
+
+    plan = list(R15_FIRST_50_PLAN)
+    assert len(plan) == len(set(plan)) == 50
+    assert not [n for n in plan if n not in QUERIES]
+
+    r14_slips = {
+        "dedup_ngram_jaccard", "dedup_clusters", "dedup_exact",
+        "dedup_embedding_cosine", "sessionize", "set_union",
+        "train_test_split", "approx_sketches", "tumbling_window_agg",
+        "date_functions", "rollup_revenue", "cube_quantity",
+        "pivot_status_by_year", "topk_revenue_orders", "group_having",
+        "left_join_coalesce", "window_dense_rank", "window_lag_gap",
+        "window_running_total", "source_dup_ratio",
+        "case_when_classify", "json_props_extract",
+        "percentile_quantity",
+    }
+    assert len(r14_slips) == 23
+    assert r14_slips <= set(plan)
+
+    designated = {
+        # the twenty-one steady-state r15 slips (N=171 at the r14
+        # swap -> N-150 = 21)
+        "set_except", "set_intersect", "anti_join",
+        "semi_join_having", "distinct_dedup", "scalar_aggregates",
+        "date_spine", "time_hierarchy", "string_functions",
+        "scd2_versions", "ann_ivf_topk", "ann_lsh_topk",
+        "asof_join_nearest", "attribution_last_touch",
+        "bigram_surprisal", "bpe_pair_counts",
+        "corpus_filter_pipeline", "decontaminate_ngrams",
+        "doc_pii_scrub", "doc_winnowing", "embedding_stats",
+        # the slip slot forced by the quality_select_top promotion
+        # (quality_logit's r14 integer-value weights guard)
+        "fuzzy_name_match",
+        # the slip slot forced by the r14 registration (#172)
+        "hypertable_rollup",
+    }
+    assert len(designated) == 23
+    assert not designated & set(plan)
+    # no double-slip of anything that slipped in r14
+    assert not designated & r14_slips
+    # the r14 code-change promotion and the r14 registration are
+    # present (first in line)
+    assert "quality_select_top" in set(plan)
+    assert "quality_ngram_scores" in set(plan)
+    # the r12-rowed cohort is exactly partitioned: designated slips
+    # out, the other 25 in (importance_model_persisted and
+    # quality_select_grouped re-row in r14 by promotion)
+    with open("CORRECTNESS_r12.json") as fh:
+        cohort = set(json.load(fh)) - {
+            "importance_model_persisted", "quality_select_grouped",
+        }
+    assert len(cohort) == 48
+    assert designated <= cohort
+    assert cohort - designated <= set(plan)
+    # the plan never overlaps the CURRENT window (r14 rows are age 1
+    # entering r15)
+    assert not set(plan) & set(R14_FIRST_50_PLAN)
+    # SLIP ELIGIBILITY is machine-checked, not just claimed: every
+    # designated slip carries >= 3 hard rows, the latest in r12 (the
+    # cohort the r15 slips must come from) — which also pins that the
+    # seven single-r12-rowed r11 registrations and the double-rowed
+    # dedup_edit_distance were NOT designated
+    hist = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("_r")[1].split(".")[0])
+        with open(path) as fh:
+            for name in json.load(fh):
+                hist.setdefault(name, []).append(rnd)
+    bad = {
+        s: hist.get(s, [])
+        for s in designated
+        if len(hist.get(s, [])) < 3 or hist[s][-1] != 12
+    }
+    assert not bad, bad
+    # the composer note's fresh-twin claims, by freshness class:
+    # (a) twins rowed in r15 BY CONSTRUCTION (they lead as r14 slips)
+    for twin in ("dedup_ngram_jaccard",):
+        assert twin not in set(plan) or twin in r14_slips
+    # (b) twins carrying r13 rows (in the r13 window)
+    from sales_data_warehouse_spark.queries.corpus import (
+        R13_FIRST_50_PLAN,
+    )
+
+    for twin in (
+        "set_except_all", "set_intersect_all", "not_exists_customers",
+        "exists_subquery_orders", "dedup_keep_best", "dedup_lines",
+        "ann_bruteforce_topk", "ivf_recall_audit", "funnel_conversion",
+        "session_stats", "token_counting", "curation_pipeline",
+        "doc_chunking", "doc_fingerprint", "temperature_mixture",
+    ):
+        assert twin in set(R13_FIRST_50_PLAN), twin
+    # (c) twins rowed in r14 by construction (in the CURRENT window)
+    for twin in (
+        "dedup_exact_incremental", "pricing_summary",
+        "cleanse_reject_routing", "join_multiway",
+        "ann_ivf_persisted", "asof_join_forward", "asof_join_tolerance",
+        "dedup_minhash_lsh", "fuzzy_join_minhash", "unigram_surprisal",
+        "user_paths", "session_funnel", "embedding_normalize",
+        "embedding_truncate", "embedding_quantize",
+        "fuzzy_lookup_edit_distance", "grouping_sets_revenue",
+    ):
+        assert twin in set(R14_FIRST_50_PLAN), twin

@@ -174,11 +174,13 @@ def test_r13_handoff_projection_is_green():
     assert len(v["at_bound_exempt_via_next_plan"]) == 19, v
     # pending-next-window in this simulated handoff: the r12
     # registration #170 (first in line in the r13 plan) plus any LIVE
-    # registration made after the simulated point-in-time — #171,
-    # registered in r13 itself, first in line for r14
+    # registration made after the simulated point-in-time — #171
+    # (registered in r13, first in line for r14) and #172 (registered
+    # in r14, first in line for r15)
     assert v["never_rowed_pending_next_window"] == [
         "importance_model_report",
         "quality_classifier_scores",
+        "quality_ngram_scores",
     ], v
 
 

@@ -218,6 +218,23 @@ def main() -> None:
                 sampling.permille_hash(F.col("doc_id")) < 2
             )
         ),
+        "quality_ngram_fit_apply": lambda: (
+            lambda seed: text.score_with_ngram_classifier(
+                docs,
+                text.fit_quality_classifier_ngrams(
+                    seed,
+                    seed.select(
+                        "doc_id",
+                        (F.col("lang") == "en").alias("label"),
+                    ),
+                    num_buckets=4096,
+                ),
+            )
+        )(
+            docs.filter(
+                sampling.permille_hash(F.col("doc_id")) < 2
+            )
+        ),
     }
     if len(sys.argv) > 3:  # optional probe-name filter: a,b,c
         only = set(sys.argv[3].split(","))
