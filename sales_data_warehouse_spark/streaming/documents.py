@@ -9,13 +9,17 @@ table; admitted history is never re-read or re-hashed.
 
 Replay safety follows the module conventions (see
 ``streaming/dimensions.py``): admitted docs land in a ``batch_id=N``
-directory with per-batch overwrite; the fingerprint state goes through
-``staged_overwrite`` (write-then-rename) AFTER the admitted write. A
-replayed batch either recomputes identically (crash before the state
-rename) or is detected as fully-merged and skipped (crash after the
-rename but before the checkpoint commit) — the one case where
+directory with per-batch overwrite; the fingerprint state swaps in as
+one ``staged_overwrite_dir`` generation (``fingerprints/fp`` plus a
+``_last_batch`` high-water mark, landed atomically by the finalize
+hook) AFTER the admitted write. A replayed batch either recomputes
+identically (crash before the state swap — the mark still reads the
+previous batch) or is skipped by an O(1) mark comparison (crash after
+the swap but before the checkpoint commit) — the one case where
 recomputing would wrongly admit nothing and overwrite the batch's
-output with an empty directory.
+output with an empty directory. Pre-r14 states (flat parquet, no
+mark) are detected by a one-time state-sized containment fallback and
+migrated to the marked layout on their next fold.
 
 One shared caveat (inherited from ``staged_overwrite``, see its
 docstring): a crash INSIDE the two-rename swap window can leave the
@@ -39,8 +43,11 @@ from sales_data_warehouse_spark.operators.dedup import (
 )
 from sales_data_warehouse_spark.sources.compaction import (
     fs_exists,
+    fs_read_text,
+    fs_write_text,
     recover_staged,
     staged_overwrite,
+    staged_overwrite_dir,
 )
 
 #: documents-table schema (streaming sources need it declared).
@@ -77,33 +84,69 @@ def dedup_documents_batch(
 ) -> None:
     """Fold one micro-batch through the fingerprint state. Exposed as a
     plain function (the ``foreachBatch`` sink calls it) so replay
-    semantics are directly testable without driving a stream."""
+    semantics are directly testable without driving a stream.
+
+    Replay detection is O(1) since r14: the state directory carries a
+    ``_last_batch`` high-water mark written into the staging directory
+    by ``staged_overwrite_dir``'s finalize hook, so the mark lands
+    ATOMICALLY with the fingerprint table it describes — mark present
+    and >= batch_id iff this batch's fingerprints are already merged.
+    The pre-r14 detection anti-joined the batch against the FULL
+    fingerprint table, which is state-sized work at 100 TB state for a
+    check that runs on every crash replay; it survives below only as
+    the fallback for a legacy flat-layout state (no mark yet — the
+    first fold migrates the layout and retires the fallback for good).
+    Crash windows: before the state swap the mark is the old one, the
+    replay recomputes identically (admitted overwrite is idempotent);
+    after the swap the mark skips the batch outright, protecting the
+    admitted output from the empty-recompute clobber the detection
+    exists for."""
     admitted_path = f"{output_dir}/admitted/batch_id={batch_id}"
     state_path = f"{output_dir}/fingerprints"
 
     # restore a mid-swap-crashed state swap before reading (module
     # docstring) — a missing state dir must never read as "first batch"
     recover_staged(spark, state_path)
-    prior = (
-        spark.read.parquet(state_path)
-        if fs_exists(spark, state_path)
-        else None
-    )
+    if fs_exists(spark, f"{state_path}/fp"):
+        prior, legacy = spark.read.parquet(f"{state_path}/fp"), False
+    elif fs_exists(spark, state_path):
+        # pre-r14 flat layout (fingerprint parquet directly under the
+        # state path, no high-water mark)
+        prior, legacy = spark.read.parquet(state_path), True
+    else:
+        prior, legacy = None, False
     if prior is not None and fs_exists(spark, admitted_path):
-        # the batch's admitted output exists; if its fingerprints are
-        # all in state too, the whole batch committed before the crash
-        # — recomputing now would find zero fresh docs and clobber the
-        # admitted output with an empty overwrite
-        batch_fps = batch_df.select(
-            F.md5(F.col("text")).alias("fp")
-        ).distinct()
-        if batch_fps.join(prior, "fp", "left_anti").count() == 0:
-            return
+        mark = fs_read_text(spark, f"{state_path}/_last_batch")
+        try:
+            if mark is not None and int(mark) >= batch_id:
+                return  # state already contains this batch: O(1) skip
+        except ValueError:
+            pass  # unreadable mark: fall through to recompute/fallback
+        if legacy:
+            # legacy state carries no mark; one state-sized
+            # containment check, after which the fold below migrates
+            # the layout and the mark takes over
+            batch_fps = batch_df.select(
+                F.md5(F.col("text")).alias("fp")
+            ).distinct()
+            if batch_fps.join(prior, "fp", "left_anti").count() == 0:
+                return
     fresh, state = incremental_exact_dedup(batch_df, prior)
     fresh.write.mode("overwrite").parquet(admitted_path)
-    # the state plan reads state_path (prior) — materialize before the
-    # rename replaces the files under it
-    staged_overwrite(spark, state.localCheckpoint(), state_path)
+    # one atomic whole-directory swap: the new fingerprint table and
+    # the high-water mark that vouches for it land together or not at
+    # all (the staged_overwrite_dir contract — its part writes may
+    # lazily read the live {state_path}/fp, which survives untouched
+    # until the new generation is complete, so no materialization
+    # barrier is needed)
+    staged_overwrite_dir(
+        spark,
+        {"fp": (state, None)},
+        state_path,
+        finalize=lambda tmp: fs_write_text(
+            spark, f"{tmp}/_last_batch", str(batch_id)
+        ),
+    )
 
 
 def start_streaming_doc_dedup(

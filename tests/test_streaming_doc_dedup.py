@@ -43,7 +43,7 @@ def test_batches_admit_first_seen_only(spark, batches, tmp_path):
     }
     # first-seen copies only: 3 (dup of 1), 4 (dup of 2), 6 (dup of 5)
     assert got == {1: "alpha text", 2: "beta text", 5: "gamma text"}
-    state = spark.read.parquet(f"{out}/fingerprints")
+    state = spark.read.parquet(f"{out}/fingerprints/fp")
     assert state.count() == 3
     assert set(
         r["canonical_id"] for r in state.collect()
@@ -66,7 +66,7 @@ def test_replay_after_full_commit_is_a_noop(spark, batches, tmp_path):
         for r in spark.read.parquet(f"{out}/admitted").collect()
     )
     assert after == before  # no loss, no duplicates
-    assert spark.read.parquet(f"{out}/fingerprints").count() == 3
+    assert spark.read.parquet(f"{out}/fingerprints/fp").count() == 3
 
 
 def test_replay_before_state_commit_recomputes_identically(
@@ -82,7 +82,74 @@ def test_replay_before_state_commit_recomputes_identically(
     dedup_documents_batch(spark, b2, 1, out)  # the replay
     admitted = spark.read.parquet(f"{out}/admitted")
     assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 5]
-    assert spark.read.parquet(f"{out}/fingerprints").count() == 3
+    assert spark.read.parquet(f"{out}/fingerprints/fp").count() == 3
+
+
+def test_replay_skips_via_high_water_mark(spark, batches, tmp_path):
+    """r14: replay detection is an O(1) mark comparison, not a
+    state-sized anti-join — the ``_last_batch`` mark lands atomically
+    with the fingerprint generation (finalize hook inside the staged
+    swap) and a replayed batch is skipped without touching the batch
+    data at all. Proven by replaying a POISONED batch frame: the
+    pre-r14 containment check would have joined it (and found fresh
+    fingerprints, wrongly recomputing); the mark path must return
+    before any read of the batch."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    assert fs_read_text(spark, f"{out}/fingerprints/_last_batch") == "1"
+    before = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    poisoned = _docs(spark, [(99, "never seen text")])
+    dedup_documents_batch(spark, poisoned, 1, out)  # replay of batch 1
+    after = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    assert after == before  # skipped outright — nothing recomputed
+    assert spark.read.parquet(f"{out}/fingerprints/fp").count() == 3
+
+
+def test_legacy_flat_state_migrates_and_gains_mark(spark, batches, tmp_path):
+    """A pre-r14 state (flat fingerprint parquet, no mark) is read via
+    the containment fallback exactly once: the next fold migrates it
+    to the marked ``fp`` layout, after which replays skip by mark."""
+    import shutil
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    # rebuild the pre-r14 layout by hand: flat parquet, no mark
+    legacy = str(tmp_path / "legacy_fp")
+    spark.read.parquet(f"{out}/fingerprints/fp").write.parquet(legacy)
+    shutil.rmtree(f"{out}/fingerprints")
+    shutil.move(legacy, f"{out}/fingerprints")
+    # replay batch 0 against the legacy state: containment fallback
+    # detects the fully-merged batch and skips (no clobber)
+    dedup_documents_batch(spark, b1, 0, out)
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == [1, 2]
+    # next real fold migrates the layout and stamps the mark
+    dedup_documents_batch(spark, b2, 1, out)
+    assert fs_read_text(spark, f"{out}/fingerprints/_last_batch") == "1"
+    assert spark.read.parquet(f"{out}/fingerprints/fp").count() == 3
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == [1, 2, 5]
 
 
 def test_streamed_drain_matches_batch_dedup(spark, tmp_path):
@@ -104,7 +171,7 @@ def test_streamed_drain_matches_batch_dedup(spark, tmp_path):
     texts = sorted(r["text"] for r in admitted.collect())
     assert texts == ["t one", "t three", "t two"]
     # fingerprints cover every distinct text exactly once
-    fps = spark.read.parquet(f"{out}/fingerprints")
+    fps = spark.read.parquet(f"{out}/fingerprints/fp")
     assert fps.count() == 3
     assert fps.select("fp").distinct().count() == 3
 
