@@ -263,6 +263,23 @@ def test_classifier_apply_is_shuffle_free(spark):
     ), scans
 
 
+def test_ngram_classifier_apply_plan_shape(spark):
+    # r14: the n-gram classifier apply must stay the plan it is sold
+    # as — the weight table joins BROADCAST (model-sized, never a
+    # shuffled join side), the per-doc integer sum partial-aggregates
+    # map-side before the one doc-keyed exchange, and every documents
+    # scan is pruned to the two columns the features need
+    df = QUERIES["quality_ngram_scores"](spark, SF_DIR)
+    plan = _lib_executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "HashAggregate" in plan and "partial" in plan, plan[:2000]
+    assert not has_nested_loop_join(df), plan[:2000]
+    scans = scan_columns(df)
+    assert scans and all(
+        set(cols) <= {"doc_id", "text"} for cols in scans
+    ), scans
+
+
 def test_unigram_surprisal_aggregates_are_partial(spark):
     # vocab counts and per-doc sums must both partial-aggregate
     # map-side; HashAggregate appears in partial+final pairs
