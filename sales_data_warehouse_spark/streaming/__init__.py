@@ -48,6 +48,7 @@ from sales_data_warehouse_spark.streaming.documents import (
     read_documents_stream,
     start_streaming_doc_dedup,
     start_streaming_near_dedup,
+    start_streaming_ngram_quality_scores,
     start_streaming_quality_scores,
 )
 from sales_data_warehouse_spark.streaming.embeddings import (
@@ -84,6 +85,7 @@ __all__ = [
     "start_streaming_doc_dedup",
     "near_dedup_documents_batch",
     "start_streaming_near_dedup",
+    "start_streaming_ngram_quality_scores",
     "start_streaming_quality_scores",
     "EMBEDDINGS_SCHEMA",
     "read_embeddings_stream",

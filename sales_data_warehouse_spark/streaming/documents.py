@@ -301,3 +301,81 @@ def start_streaming_quality_scores(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_ngram_quality_scores(
+    spark: SparkSession,
+    drop_dir: str,
+    classifier_path: str,
+    output_dir: str,
+    keep_threshold_milli: int = 0,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous drop-dir → content-quality-scored documents with a
+    FITTED n-gram classifier (r14; the streaming twin of
+    ``text.score_with_ngram_classifier`` — fit once offline with
+    ``fit_quality_classifier_ngrams``, persist, score every arriving
+    shard against the frozen model).
+
+    Why ``foreachBatch`` and not the scalar scorer's pure streaming
+    plan (``start_streaming_quality_scores``): the n-gram score is a
+    grouped aggregate over the exploded features — one integer sum per
+    document — and a streaming groupBy would hold every document's
+    partial state forever (Spark cannot know a document never spans
+    micro-batches). Inside ``foreachBatch`` the batch is a plain
+    DataFrame: the aggregate completes per trigger, the weight side is
+    model-sized and broadcast, and the per-batch work is O(batch).
+    The classifier is loaded ONCE at start (weights live in the
+    driver-side model object, re-materialized as a tiny local frame
+    per batch — nothing vocabulary-scanning per trigger). Scored rows
+    land under ``scores/batch_id=N`` with per-batch overwrite; replay
+    is idempotent because scoring is stateless.
+
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE, enforced exactly as in
+    ``streaming.sampling.start_streaming_importance_scores`` (same
+    hazard: ``batch_id`` is unique only within a checkpoint lineage,
+    and mixing lineages under one ``scores/`` corrupts read-back
+    silently): a ``_lineage`` marker is stamped on first start and a
+    mismatch raises. Returns the StreamingQuery; read the scored
+    corpus back any time with
+    ``spark.read.parquet(f"{output_dir}/scores")``."""
+    import hashlib
+
+    from sales_data_warehouse_spark.operators.text import (
+        load_ngram_classifier,
+        score_with_ngram_classifier,
+    )
+
+    checkpoint = checkpoint_dir or f"{output_dir}/_ngram_checkpoint"
+    lineage = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    marker = f"{output_dir}/_lineage"
+    stamped = fs_read_text(spark, marker)
+    if stamped is None:
+        fs_write_text(spark, marker, lineage)
+    elif stamped.strip() != lineage:
+        raise ValueError(
+            f"start_streaming_ngram_quality_scores: {output_dir} was "
+            f"written by checkpoint lineage {stamped.strip()!r}; "
+            f"restarting it under lineage {lineage!r} would mix "
+            "batch_id partitions from two lineages. Use a fresh "
+            "output_dir, or keep the original checkpoint location."
+        )
+
+    clf = load_ngram_classifier(spark, classifier_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        score_with_ngram_classifier(
+            batch_df, clf, keep_threshold_milli=keep_threshold_milli
+        ).write.mode("overwrite").parquet(
+            f"{output_dir}/scores/batch_id={batch_id}"
+        )
+
+    stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -409,3 +409,106 @@ def test_streaming_quality_scores_match_batch(spark, tmp_path):
     assert got == want
     kept = {r for r in got if r[-1]}
     assert 0 < len(kept) < len(got)  # the threshold splits both ways
+
+
+def test_streaming_ngram_quality_scores_match_batch(spark, tmp_path):
+    """r14: the fitted n-gram classifier's streaming scorer
+    (foreachBatch — the per-doc sum is a grouped aggregate, the scalar
+    scorer's pure-plan shape doesn't apply) drained over a two-file
+    drop dir must reproduce the batch score_with_ngram_classifier rows
+    exactly, including the keep split; restarting the same output_dir
+    under a different checkpoint lineage must refuse."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators import text
+    from sales_data_warehouse_spark.streaming import (
+        start_streaming_ngram_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(["word"] * (5 + (i * 7) % 17))
+                + " the" * ((i * 5) % 7)
+                + " dot" * ((i * 3) % 5),
+                "en",
+                f"src{i % 3}",
+                0,
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    clf = text.fit_quality_classifier_ngrams(
+        docs,
+        docs.select("doc_id", (F.col("doc_id") % 3 == 0).alias("label")),
+        num_buckets=512,
+    )
+    model_path = str(tmp_path / "ngram_clf")
+    text.save_ngram_classifier(spark, clf, model_path)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = docs.toPandas()
+    for name, part in (
+        ("f1.parquet", pdf[pdf.doc_id < 20]),
+        ("f2.parquet", pdf[pdf.doc_id >= 20]),
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(drop / name),
+        )
+    # threshold at the fitted model's median logit so keep splits both
+    # ways
+    logits = sorted(
+        r["logit_milli"]
+        for r in text.score_with_ngram_classifier(docs, clf).collect()
+    )
+    thr = logits[len(logits) // 2]
+
+    out = str(tmp_path / "out")
+    q = start_streaming_ngram_quality_scores(
+        spark,
+        str(drop),
+        model_path,
+        out,
+        keep_threshold_milli=thr,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{out}/scores")
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            text.score_with_ngram_classifier(
+                docs, clf, keep_threshold_milli=thr
+            ).collect(),
+        )
+    )
+    assert got == want
+    kept = {r for r in got if r[-1]}
+    assert 0 < len(kept) < len(got)
+    # lineage guard: same output_dir + different checkpoint refuses
+    with _pytest.raises(ValueError, match="lineage"):
+        start_streaming_ngram_quality_scores(
+            spark,
+            str(drop),
+            model_path,
+            out,
+            checkpoint_dir=str(tmp_path / "other_ckpt"),
+        )
