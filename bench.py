@@ -1045,17 +1045,20 @@ def main() -> None:
                 # 23.8 -> 29.6 -> 52.8 s within hours at a stable JVM
                 # probe (0.105-0.114), load average ~10 with this
                 # container idle, zero steal, zero iowait. An
-                # interleaved attrib_rerun A/B of the r12-close commit
-                # vs the r13 tree read fully overlapping warm ranges
-                # (README r13 builder note), so ANY elevated r13
-                # headline on this host class should be read against
-                # that A/B before suspecting code.
+                # interleaved attrib_rerun A/Bs of the prior-close
+                # commit vs the current tree (r12-vs-r13 and
+                # r13-vs-r14) read fully overlapping warm ranges
+                # (README builder notes), so ANY elevated headline on
+                # this host class should be read against those A/Bs
+                # before suspecting code.
                 "host_volatility_note": (
                     "r13 builder same-code headline swing 23.8-52.8 s "
-                    "at stable probes; interleaved r12-vs-r13 A/B "
-                    "shows overlapping per-query ranges — elevation "
-                    "is a host parallel-throughput axis the 1-thread "
-                    "probes do not see (see README r13 builder note)"
+                    "at stable probes; r14 repeated the shape at "
+                    "smaller amplitude (19.9-27.4 s across four runs) "
+                    "and BOTH rounds' interleaved prior-vs-current "
+                    "A/Bs show overlapping per-query ranges — "
+                    "elevation is a host parallel-throughput axis the "
+                    "1-thread probes do not see (README builder notes)"
                 ),
                 "input_rows": input_rows,
                 "calibration": {
