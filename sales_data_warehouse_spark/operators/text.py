@@ -1051,9 +1051,15 @@ def fit_quality_classifier_ngrams(
 
     Scale shape: one seed-sized shuffle to per-doc counts, one
     bounded vocab collect (``<= min(num_buckets, seed vocabulary)``
-    rows), then LBFGS treeAggregate over dense dim-``B`` vectors —
-    one reduction per iteration, nothing corpus-sized on the driver;
-    fit cost is set by SEED size and ``num_buckets``, not the corpus.
+    rows), then LBFGS treeAggregate over dense vectors at the COMPACT
+    dimension ``n_seen = min(num_buckets, seed vocabulary)`` — seen
+    buckets are remapped to ``[0, n_seen)`` for the fit (unseen
+    buckets are all-zero columns whose MLE coefficient is zero, so
+    the compact model is identical) and exported under their
+    original ids — one reduction per iteration, nothing corpus-sized
+    on the driver; fit cost is set by SEED size alone, not the
+    corpus and not ``num_buckets`` (B = 1M fits like B = 4096 — the
+    fastText regime of a large hash space over a small labeled set).
     Deterministic on fixed data: LBFGS from a zero start, no sampling
     anywhere."""
     from pyspark.ml.classification import LogisticRegression
@@ -1074,14 +1080,31 @@ def fit_quality_classifier_ngrams(
         F.count(F.lit(1)).cast("double").alias("_c")
     )
     if num_buckets is not None:
-        # bucket ids ARE vector indices; record which buckets the seed
-        # set actually touched (bounded by min(B, seed vocabulary))
+        if vocab_size is not None:
+            raise ValueError(
+                "fit_quality_classifier_ngrams: vocab_size is the "
+                "exact-mode vocabulary cap; in hashed mode the bucket "
+                "space bounds the model — pass one or the other"
+            )
+        # The fit trains only over buckets the seed set actually
+        # touched (bounded by min(B, seed vocabulary)): unseen buckets
+        # have all-zero columns whose MLE coefficient is zero anyway,
+        # so remapping seen buckets to a COMPACT index [0, n_seen)
+        # fits the identical model at dense dim n_seen instead of B —
+        # B costs nothing at fit time (B = 1M fits like B = 4096;
+        # without this, gradient work is O(seed x B) and large B is
+        # the fastText regime you'd want). Weights export under the
+        # ORIGINAL bucket ids, so the apply side never sees the
+        # remap.
         seen = sorted(
             int(r["feat"])
             for r in cnts.select("feat").distinct().collect()
         )
-        dim = num_buckets
-        indexed = cnts.withColumn("_i", F.col("feat").cast("int"))
+        dim = len(seen)
+        mapping = spark.createDataFrame(
+            [(b, i) for i, b in enumerate(seen)], "feat long, _i int"
+        )
+        indexed = cnts.join(F.broadcast(mapping), "feat")
         vocab = [int(b) for b in seen]
     else:
         dfreq = (
@@ -1139,12 +1162,11 @@ def fit_quality_classifier_ngrams(
     finally:
         assembled.unpersist()
     coefs = model.coefficients.toArray()
-    if num_buckets is not None:
-        weights = {int(b): round(float(coefs[b]) * 1000) for b in vocab}
-    else:
-        weights = {
-            f: round(float(coefs[i]) * 1000) for i, f in enumerate(vocab)
-        }
+    # Both modes fit at compact dim len(vocab); export each
+    # coefficient under its ORIGINAL feature key (bucket id / string).
+    weights = {
+        f: round(float(coefs[i]) * 1000) for i, f in enumerate(vocab)
+    }
     return NgramQualityClassifier(
         bias_milli=round(float(model.intercept) * 1000),
         weights=weights,

@@ -230,11 +230,64 @@ def test_fit_hashed_mode_records_seen_buckets_only(spark):
     assert scored.filter(F.col("n_features") == 0).count() == 0
 
 
+def test_fit_large_bucket_space_equals_exact_fit(spark):
+    """The compact-remap property (r14): hashed-mode fit trains at
+    dim n_seen, not dim B, so a B = 2^20 hash space must fit — and,
+    under a collision-free bucketing, fit the IDENTICAL model to
+    exact mode (same design matrix up to column permutation; unseen
+    buckets are all-zero columns whose MLE coefficient is zero).
+    Unigram mode for the same reason as the IRLS mirror test: the
+    fixture's bigram counts are collinear, so the MLE would be
+    non-unique and column order could steer the optimizer."""
+    docs = _mk_docs(spark)
+    B = 1 << 20
+    # prove collision-freeness of the seed vocabulary at this B
+    feats = {
+        r["feat"]
+        for r in text.ngram_occurrences(docs, bigrams=False)
+        .select("feat")
+        .distinct()
+        .collect()
+    }
+    fb = {
+        r["feat"]: int(r["b"])
+        for r in spark.createDataFrame(
+            [(f,) for f in feats], "feat string"
+        )
+        .withColumn("b", F.pmod(F.xxhash64("feat"), F.lit(B)))
+        .collect()
+    }
+    assert len(set(fb.values())) == len(fb)
+    exact = text.fit_quality_classifier_ngrams(
+        docs,
+        docs.select("doc_id", "label"),
+        num_buckets=None,
+        bigrams=False,
+    )
+    hashed = text.fit_quality_classifier_ngrams(
+        docs,
+        docs.select("doc_id", "label"),
+        num_buckets=B,
+        bigrams=False,
+    )
+    assert set(hashed.weights) == {fb[f] for f in exact.weights}
+    assert abs(hashed.bias_milli - exact.bias_milli) <= 1
+    for f, w in exact.weights.items():
+        assert abs(hashed.weights[fb[f]] - w) <= 1, (f, fb[f], w)
+
+
 def test_guards(spark):
     docs = _mk_docs(spark)
     one_class = docs.select("doc_id", F.lit(1).alias("label"))
     with pytest.raises(ValueError, match="both classes"):
         text.fit_quality_classifier_ngrams(docs, one_class)
+    with pytest.raises(ValueError, match="one or the other"):
+        text.fit_quality_classifier_ngrams(
+            docs,
+            docs.select("doc_id", "label"),
+            num_buckets=4096,
+            vocab_size=8,
+        )
     with pytest.raises(ValueError, match="num_buckets"):
         text.ngram_occurrences(docs, num_buckets=0)
     clf = text.trained_ngram_classifier()
