@@ -15,6 +15,15 @@ probe ORDER. The loop now clears the cache and forces a JVM GC between
 probes (Spark's ContextCleaner piggybacks on GC, so this also reclaims
 dead shuffle/broadcast state); when a single probe still looks
 super-linear, re-measure it ISOLATED before believing the number.
+
+``--steady`` (protocol v2, introduced end of r14): measure each probe
+on a SECOND pass from the same cleaned state — the first pass becomes
+a warm-up, reported separately as ``first_pass``. The steady number is
+the operator's marginal cost (what a long-running cluster job pays per
+repetition); the cold number keeps the fixed-cost story. Introduced
+because three consecutive round sweeps each produced one late-position
+outlier (bm25 4x r12, minhash_lsh_pairs 3.4x r13, blocking_stats 2x
+r14) that a hand-run warm re-measure adjudicated away every time.
 """
 
 from __future__ import annotations
@@ -38,8 +47,9 @@ from sales_data_warehouse_spark.sources.synthetic import register  # noqa: E402
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    parts = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    argv = [a for a in sys.argv[1:] if a != "--steady"]
+    rows = int(argv[0]) if len(argv) > 0 else 1_000_000
+    parts = int(argv[1]) if len(argv) > 1 else 64
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     register(spark)
@@ -236,12 +246,14 @@ def main() -> None:
             )
         ),
     }
-    if len(sys.argv) > 3:  # optional probe-name filter: a,b,c
-        only = set(sys.argv[3].split(","))
+    steady = "--steady" in sys.argv[1:]
+    if len(argv) > 2:  # optional probe-name filter: a,b,c
+        only = set(argv[2].split(","))
         unknown = only - set(probes)
         assert not unknown, f"unknown probes: {sorted(unknown)}"
         probes = {k: v for k, v in probes.items() if k in only}
     out = {}
+    first_pass = {}
     for name, make in probes.items():
         # isolate probes from each other: drop any cache the previous
         # operator left and force a GC so the ContextCleaner reclaims
@@ -252,7 +264,28 @@ def main() -> None:
         t0 = time.perf_counter()
         make().write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"rows": rows, "partitions": parts, "probes": out}))
+        if steady:
+            # protocol v2 (--steady): the pass above becomes a
+            # warm-up and the probe is measured AGAIN from the same
+            # cleaned state, so the reported number is the operator's
+            # steady-state cost — not first-action codegen, not the
+            # previous probe's GC debris. The r12–r14 sweeps each
+            # produced one late-position outlier (bm25 4x, minhash
+            # 3.4x, blocking_stats 2x) that an isolated warm re-run
+            # adjudicated away by hand; --steady builds that
+            # adjudication into the measurement. The cold first pass
+            # is kept in the output for the fixed-cost story.
+            first_pass[name] = out[name]
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            make().write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 2)
+    res = {"rows": rows, "partitions": parts, "probes": out}
+    if steady:
+        res["protocol"] = "steady-v2"
+        res["first_pass"] = first_pass
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
