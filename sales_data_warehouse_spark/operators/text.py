@@ -1101,6 +1101,12 @@ def fit_quality_classifier_ngrams(
             for r in cnts.select("feat").distinct().collect()
         )
         dim = len(seen)
+        if dim == 0:
+            # match exact mode: an all-NULL/empty text column must
+            # fail loudly, not fit a bias-only model with no features
+            raise ValueError(
+                "fit_quality_classifier_ngrams: empty seed vocabulary"
+            )
         mapping = spark.createDataFrame(
             [(b, i) for i, b in enumerate(seen)], "feat long, _i int"
         )
@@ -1177,12 +1183,45 @@ def fit_quality_classifier_ngrams(
     )
 
 
+def ngram_weight_table(spark, clf: NgramQualityClassifier) -> DataFrame:
+    """The model's milli weights as a ``(feat, _w)`` DataFrame — at
+    most ``len(clf.weights)`` rows, model-sized never corpus-sized.
+    Values are validated and normalized exactly like
+    :func:`quality_logit`'s guard (r13 advice, same contract): any
+    integral type (int, numpy integer) is accepted and coerced to
+    Python int; bools and floats are refused loudly — a float milli
+    weight would silently truncate under the bigint sum."""
+    import numbers
+
+    bad = {
+        k: v
+        for k, v in clf.weights.items()
+        if isinstance(v, bool) or not isinstance(v, numbers.Integral)
+    }
+    if bad:
+        raise ValueError(
+            "ngram_weight_table: weights are integer milli-units by "
+            f"contract; got non-integer values {bad!r}. Quantize "
+            "first (round(w * 1000))."
+        )
+    if clf.num_buckets is None:
+        return spark.createDataFrame(
+            sorted((str(k), int(v)) for k, v in clf.weights.items()),
+            "feat string, _w long",
+        )
+    return spark.createDataFrame(
+        sorted((int(k), int(v)) for k, v in clf.weights.items()),
+        "feat long, _w long",
+    )
+
+
 def score_with_ngram_classifier(
     docs: DataFrame,
     clf: NgramQualityClassifier,
     keep_threshold_milli: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a fitted n-gram quality model in pure-JVM integer
     arithmetic: explode the document's unigrams+bigrams, hash to the
@@ -1199,32 +1238,33 @@ def score_with_ngram_classifier(
     Scale shape: one corpus scan + generate, one broadcast hash join,
     one partial-aggregated shuffle keyed by document, one
     column-pruned id scan for the zero-match left join. No float, no
-    UDF, no driver-side loop."""
+    UDF, no driver-side loop.
+
+    ``weights_df`` lets a long-lived caller (the streaming scorer)
+    build the weight table ONCE with :func:`ngram_weight_table` and
+    reuse it across applications — without it, every call pays the
+    driver-side sort + Python-to-JVM materialization of the model's
+    weights, which at fastText bucket counts is real per-trigger
+    work."""
     if not isinstance(clf, NgramQualityClassifier):
         raise TypeError(
             "score_with_ngram_classifier: clf must be an "
             f"NgramQualityClassifier, got {type(clf).__name__}"
         )
-    bad = {
-        k: v
-        for k, v in clf.weights.items()
-        if isinstance(v, bool) or not isinstance(v, int)
-    }
-    if bad:
+    import numbers
+
+    if isinstance(clf.bias_milli, bool) or not isinstance(
+        clf.bias_milli, numbers.Integral
+    ):
         raise ValueError(
-            "score_with_ngram_classifier: weights are integer "
-            f"milli-units by contract; got non-integer values {bad!r}"
+            "score_with_ngram_classifier: bias_milli is an integer "
+            f"milli-unit by contract; got {clf.bias_milli!r}"
         )
-    spark = docs.sparkSession
-    if clf.num_buckets is None:
-        wt = spark.createDataFrame(
-            sorted(clf.weights.items()), "feat string, _w long"
-        )
-    else:
-        wt = spark.createDataFrame(
-            sorted((int(k), int(v)) for k, v in clf.weights.items()),
-            "feat long, _w long",
-        )
+    wt = (
+        weights_df
+        if weights_df is not None
+        else ngram_weight_table(docs.sparkSession, clf)
+    )
     occ = ngram_occurrences(
         docs, text_col, id_col,
         num_buckets=clf.num_buckets, bigrams=clf.bigrams,

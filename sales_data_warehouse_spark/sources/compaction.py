@@ -79,6 +79,59 @@ def fs_read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def enforce_output_lineage(
+    spark: SparkSession, output_dir: str, checkpoint: str, caller: str
+) -> None:
+    """ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE, enforced before a
+    ``foreachBatch`` stream starts. ``batch_id`` is unique only WITHIN
+    a checkpoint lineage: re-driving the same ``output_dir`` under a
+    different lineage restarts batch ids at 0, so a sink that keys its
+    output on ``batch_id`` mixes partitions from two lineages
+    (duplicate rows on read-back), and a sink whose replay detection
+    compares against a high-water mark silently SKIPS batches the new
+    lineage has never folded — for the dedup sink that is permanent,
+    unreported document loss. The guard stamps a marker on first start
+    and refuses two ways:
+
+    * a DIFFERENT checkpoint path over a stamped ``output_dir``
+      (digest mismatch), and
+    * the SAME checkpoint path whose directory no longer exists — the
+      delete-the-checkpoint restart. Same digest, new lineage; the
+      marker alone cannot see it, the existence check can.
+
+    Crash window: the stamp lands immediately before ``start()``
+    creates the checkpoint, so a crash between the two makes the next
+    start raise the second arm spuriously — loud, with the remedy in
+    the message; the price of refusing silent corruption by default.
+    """
+    import hashlib
+
+    lineage = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    marker = f"{output_dir}/_lineage"
+    stamped = fs_read_text(spark, marker)
+    if stamped is None:
+        fs_write_text(spark, marker, lineage)
+        return
+    if stamped.strip() != lineage:
+        raise ValueError(
+            f"{caller}: {output_dir} was written by checkpoint "
+            f"lineage {stamped.strip()!r}; restarting it under "
+            f"lineage {lineage!r} would mix batch_id partitions from "
+            "two lineages. Use a fresh output_dir, or keep the "
+            "original checkpoint location."
+        )
+    if not fs_exists(spark, checkpoint):
+        raise ValueError(
+            f"{caller}: {output_dir} is stamped with this checkpoint "
+            f"path's lineage, but {checkpoint} does not exist — the "
+            "checkpoint was deleted (or never created), so batch ids "
+            "would restart at 0 over this directory's existing "
+            "batch_id output. Use a fresh output_dir or restore the "
+            "checkpoint; if this is a crash before the first trigger, "
+            f"delete {marker} and restart."
+        )
+
+
 def recover_staged(spark: SparkSession, path: str) -> bool:
     """Restore ``path`` after a :func:`staged_overwrite` that crashed
     between its two renames (``path`` missing, ``path + '.stage_old'``

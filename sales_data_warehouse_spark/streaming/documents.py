@@ -42,6 +42,7 @@ from sales_data_warehouse_spark.operators.dedup import (
     incremental_exact_dedup,
 )
 from sales_data_warehouse_spark.sources.compaction import (
+    enforce_output_lineage,
     fs_exists,
     fs_read_text,
     fs_write_text,
@@ -161,15 +162,26 @@ def start_streaming_doc_dedup(
     documents land per batch under ``admitted/batch_id=N``; the
     fingerprint table under ``fingerprints`` always reflects everything
     admitted. Readers scan ``admitted/`` (batch_id appears as a
-    partition column). Returns the StreamingQuery."""
+    partition column). Returns the StreamingQuery.
+
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
+    (``compaction.enforce_output_lineage``): this sink is the guard's
+    motivating case — besides the batch_id-partition mixing every
+    ``foreachBatch`` sink risks, its ``_last_batch`` high-water mark
+    would make a NEW lineage's early batches (ids restarting at 0,
+    below the old mark) read as already-merged replays and be skipped
+    outright: permanent, unreported document loss."""
+    checkpoint = checkpoint_dir or f"{output_dir}/_dedup_checkpoint"
+    enforce_output_lineage(
+        spark, output_dir, checkpoint, "start_streaming_doc_dedup"
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         dedup_documents_batch(spark, batch_df, batch_id, output_dir)
 
     stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation",
-        checkpoint_dir or f"{output_dir}/_dedup_checkpoint",
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -233,15 +245,25 @@ def start_streaming_near_dedup(
     against the persisted band state; the unioned ``pairs/`` output
     equals a full-corpus ``minhash_lsh_pairs`` run over everything
     drained so far (the incremental operator's property). Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
+    (``compaction.enforce_output_lineage``): a second lineage over the
+    same ``pairs/`` would overwrite ``batch_id=0`` with new-lineage
+    pairs while stale partitions 1..N persist — and its re-probed
+    batches would emit pairs the old lineage already emitted, so the
+    unioned read-back double-counts."""
+    checkpoint = checkpoint_dir or f"{output_dir}/_near_dedup_checkpoint"
+    enforce_output_lineage(
+        spark, output_dir, checkpoint, "start_streaming_near_dedup"
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         near_dedup_documents_batch(spark, batch_df, batch_id, output_dir)
 
     stream = read_documents_stream(spark, drop_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation",
-        checkpoint_dir or f"{output_dir}/_near_dedup_checkpoint",
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -333,41 +355,44 @@ def start_streaming_ngram_quality_scores(
     land under ``scores/batch_id=N`` with per-batch overwrite; replay
     is idempotent because scoring is stateless.
 
-    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE, enforced exactly as in
-    ``streaming.sampling.start_streaming_importance_scores`` (same
-    hazard: ``batch_id`` is unique only within a checkpoint lineage,
-    and mixing lineages under one ``scores/`` corrupts read-back
-    silently): a ``_lineage`` marker is stamped on first start and a
-    mismatch raises. Returns the StreamingQuery; read the scored
-    corpus back any time with
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
+    (``compaction.enforce_output_lineage``, shared with every
+    ``foreachBatch`` sink in the package — same hazard everywhere:
+    ``batch_id`` is unique only within a checkpoint lineage, and
+    mixing lineages under one ``scores/`` corrupts read-back
+    silently). Returns the StreamingQuery; read the scored corpus
+    back any time with
     ``spark.read.parquet(f"{output_dir}/scores")``."""
-    import hashlib
+    from pyspark import StorageLevel
 
     from sales_data_warehouse_spark.operators.text import (
         load_ngram_classifier,
+        ngram_weight_table,
         score_with_ngram_classifier,
     )
 
     checkpoint = checkpoint_dir or f"{output_dir}/_ngram_checkpoint"
-    lineage = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
-    marker = f"{output_dir}/_lineage"
-    stamped = fs_read_text(spark, marker)
-    if stamped is None:
-        fs_write_text(spark, marker, lineage)
-    elif stamped.strip() != lineage:
-        raise ValueError(
-            f"start_streaming_ngram_quality_scores: {output_dir} was "
-            f"written by checkpoint lineage {stamped.strip()!r}; "
-            f"restarting it under lineage {lineage!r} would mix "
-            "batch_id partitions from two lineages. Use a fresh "
-            "output_dir, or keep the original checkpoint location."
-        )
+    enforce_output_lineage(
+        spark, output_dir, checkpoint,
+        "start_streaming_ngram_quality_scores",
+    )
 
     clf = load_ngram_classifier(spark, classifier_path)
+    # materialize the model's weight table ONCE (the importance
+    # scorer's pattern): without this every trigger pays the
+    # driver-side sort + Python-to-JVM ship of the full weight dict —
+    # per FILE at the default one-file trigger, and vocabulary-sized
+    # at fastText bucket counts
+    wt = ngram_weight_table(spark, clf).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wt.count()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         score_with_ngram_classifier(
-            batch_df, clf, keep_threshold_milli=keep_threshold_milli
+            batch_df, clf,
+            keep_threshold_milli=keep_threshold_milli,
+            weights_df=wt,
         ).write.mode("overwrite").parquet(
             f"{output_dir}/scores/batch_id={batch_id}"
         )

@@ -224,36 +224,26 @@ def start_streaming_importance_scores(
     ``output_dir`` with a different checkpoint would overwrite
     ``scored/batch_id=0`` with a new lineage's rows while stale
     partitions 1..N from the old lineage persist — a silently
-    corrupted read-back. A ``_lineage`` marker (digest of the
-    checkpoint location) is stamped on first start and verified on
-    every start; a mismatch raises instead of mixing lineages (use a
-    fresh output_dir, or keep the original checkpoint)."""
-    import hashlib
-
+    corrupted read-back. Enforced by
+    ``compaction.enforce_output_lineage`` (shared with every
+    ``foreachBatch`` sink in the package): a mismatched checkpoint —
+    or a deleted one under a stamped output_dir — raises instead of
+    mixing lineages (use a fresh output_dir, or keep the original
+    checkpoint)."""
     from pyspark import StorageLevel
 
     from sales_data_warehouse_spark.operators.sampling import (
         load_importance_model,
     )
     from sales_data_warehouse_spark.sources.compaction import (
-        fs_read_text,
-        fs_write_text,
+        enforce_output_lineage,
     )
 
     checkpoint = checkpoint_dir or f"{output_dir}/_score_checkpoint"
-    lineage = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
-    marker = f"{output_dir}/_lineage"
-    stamped = fs_read_text(spark, marker)
-    if stamped is None:
-        fs_write_text(spark, marker, lineage)
-    elif stamped.strip() != lineage:
-        raise ValueError(
-            f"start_streaming_importance_scores: {output_dir} was "
-            f"written by checkpoint lineage {stamped.strip()!r}; "
-            f"restarting it under lineage {lineage!r} would mix "
-            "batch_id partitions from two lineages. Use a fresh "
-            "output_dir, or keep the original checkpoint location."
-        )
+    enforce_output_lineage(
+        spark, output_dir, checkpoint,
+        "start_streaming_importance_scores",
+    )
 
     model = load_importance_model(spark, model_path)
     model.scores = model.scores.persist(StorageLevel.MEMORY_AND_DISK)

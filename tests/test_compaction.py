@@ -412,3 +412,39 @@ def test_staged_overwrite_dir_survives_swap_failure(spark, tmp_path):
 
     # original pair intact after the failed swap
     assert _read_pair(spark, path) == (40, 1)
+
+
+def test_enforce_output_lineage_three_arms(spark, tmp_path):
+    """The shared foreachBatch-sink guard (r14): first start stamps;
+    a different checkpoint over a stamped output_dir refuses; the SAME
+    checkpoint whose directory was deleted refuses too (same digest,
+    new lineage — batch ids would restart at 0 over existing batch_id
+    output, and a high-water-mark sink would silently skip them); the
+    documented remedy (delete the marker) re-arms a fresh stamp."""
+    import shutil
+
+    import pytest
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        enforce_output_lineage,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    # first start: stamps and returns (start() has not created the
+    # checkpoint yet — that is the normal order)
+    enforce_output_lineage(spark, out, str(ckpt), "t")
+    assert (tmp_path / "out" / "_lineage").is_file()
+    ckpt.mkdir()  # simulate start() creating the checkpoint
+    # clean restart, same lineage: passes
+    enforce_output_lineage(spark, out, str(ckpt), "t")
+    # arm 1: different checkpoint path over the stamped output_dir
+    with pytest.raises(ValueError, match="lineage"):
+        enforce_output_lineage(spark, out, str(tmp_path / "ckpt2"), "t")
+    # arm 2: same checkpoint path, directory deleted
+    shutil.rmtree(ckpt)
+    with pytest.raises(ValueError, match="does not exist"):
+        enforce_output_lineage(spark, out, str(ckpt), "t")
+    # remedy from the arm-2 message: remove the marker, start fresh
+    (tmp_path / "out" / "_lineage").unlink()
+    enforce_output_lineage(spark, out, str(ckpt), "t")

@@ -326,3 +326,73 @@ def test_save_load_roundtrip_and_crash_recovery(spark, tmp_path):
         # mid-swap crash: path missing, .stage_old holding the model
         shutil.move(path, path + ".stage_old")
         assert text.load_ngram_classifier(spark, path) == clf
+
+
+def test_empty_seed_vocabulary_raises_both_modes(spark):
+    """All-NULL text yields zero features; both fit modes must fail
+    loudly (r14 — hashed mode previously built a 0-wide vector and
+    died deep inside createDataFrame instead of at the contract)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(4)], "doc_id long, label long"
+    )
+    for kw in (dict(num_buckets=512), dict(num_buckets=None)):
+        with pytest.raises(ValueError, match="empty seed vocabulary"):
+            text.fit_quality_classifier_ngrams(docs, labels, **kw)
+
+
+def test_ngram_weight_table_guard_and_reuse(spark):
+    """r14: the reusable weight table refuses float/bool milli weights
+    (same contract as quality_logit's r13 guard), coerces numpy
+    integers, and a prebuilt table passed via weights_df reproduces
+    the default path exactly (the streaming scorer's reuse shape —
+    build once, score many)."""
+    docs = _mk_docs(spark)
+    clf = text.fit_quality_classifier_ngrams(
+        docs, docs.select("doc_id", "label"), num_buckets=512
+    )
+    # numpy integral weights are fine and coerce to Python int
+    np_clf = text.NgramQualityClassifier(
+        bias_milli=np.int64(clf.bias_milli),
+        weights={k: np.int32(v) for k, v in clf.weights.items()},
+        num_buckets=clf.num_buckets,
+        bigrams=clf.bigrams,
+        n_pos=clf.n_pos,
+        n_neg=clf.n_neg,
+    )
+    wt = text.ngram_weight_table(spark, np_clf)
+    assert dict(wt.collect()) == {
+        int(k): int(v) for k, v in clf.weights.items()
+    }
+    # float and bool weights are refused loudly
+    for bad_w in ({7: 1.5}, {7: True}):
+        bad = text.NgramQualityClassifier(
+            bias_milli=0, weights=bad_w, num_buckets=512,
+            bigrams=True, n_pos=1, n_neg=1,
+        )
+        with pytest.raises(ValueError, match="integer milli-units"):
+            text.ngram_weight_table(spark, bad)
+    # a float bias is refused by the scorer itself (the weight checks
+    # moved into the table builder; bias never reaches it)
+    bad_bias = text.NgramQualityClassifier(
+        bias_milli=0.5, weights=dict(clf.weights), num_buckets=512,
+        bigrams=True, n_pos=1, n_neg=1,
+    )
+    with pytest.raises(ValueError, match="bias_milli"):
+        text.score_with_ngram_classifier(docs, bad_bias)
+    # weights_df reuse == default path, rows identical
+    got = sorted(
+        map(
+            tuple,
+            text.score_with_ngram_classifier(
+                docs, clf, weights_df=text.ngram_weight_table(spark, clf)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, text.score_with_ngram_classifier(docs, clf).collect())
+    )
+    assert got == want

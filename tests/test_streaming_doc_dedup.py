@@ -174,6 +174,19 @@ def test_streamed_drain_matches_batch_dedup(spark, tmp_path):
     fps = spark.read.parquet(f"{out}/fingerprints/fp")
     assert fps.count() == 3
     assert fps.select("fp").distinct().count() == 3
+    # lineage guard (r14): a restart under a different checkpoint
+    # would restart batch ids at 0 BELOW the _last_batch high-water
+    # mark — every early batch of the new lineage silently skipped as
+    # a "replay". Must refuse before starting.
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        start_streaming_doc_dedup(
+            spark,
+            str(drop) + "/*",
+            out,
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+        )
 
 
 def test_near_dedup_stream_matches_batch_lsh(spark, tmp_path):
@@ -236,3 +249,16 @@ def test_near_dedup_stream_matches_batch_lsh(spark, tmp_path):
     }
     assert got2 == want
     assert spark.read.parquet(f"{out}/band_state").count() == 18 * 8
+
+    # lineage guard (r14): same pairs/ dir under a fresh checkpoint
+    # lineage must refuse (batch_id partitions would mix and the
+    # unioned read-back double-counts re-probed pairs)
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        start_streaming_near_dedup(
+            spark,
+            str(drop) + "/*",
+            out,
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+        )
