@@ -104,7 +104,23 @@ def start_rollup_refresh(
     ``merge_partials`` output; correctness never depends on it.
 
     Returns the StreamingQuery (caller owns stop/awaitTermination).
+
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
+    (``compaction.enforce_output_lineage``, r14): partials are
+    append-only and mergeable by SUM, so a restart under a fresh
+    checkpoint — which forgets the source offsets and re-appends
+    every event's partial — would silently DOUBLE-COUNT on the next
+    ``merge_partials`` read. Refused at start instead.
     """
+    from sales_data_warehouse_spark.sources.compaction import (
+        enforce_output_lineage,
+    )
+
+    checkpoint = checkpoint_dir or f"{output_dir}/_checkpoint"
+    enforce_output_lineage(
+        events_stream.sparkSession, output_dir, checkpoint,
+        "start_rollup_refresh",
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         rollup_level(batch_df, ts_col, width_seconds, value_col).write.mode(
@@ -112,8 +128,7 @@ def start_rollup_refresh(
         ).parquet(f"{output_dir}/partials")
 
     writer = events_stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation",
-        checkpoint_dir or f"{output_dir}/_checkpoint",
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -83,15 +83,26 @@ def enforce_output_lineage(
     spark: SparkSession, output_dir: str, checkpoint: str, caller: str
 ) -> None:
     """ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE, enforced before a
-    ``foreachBatch`` stream starts. ``batch_id`` is unique only WITHIN
-    a checkpoint lineage: re-driving the same ``output_dir`` under a
-    different lineage restarts batch ids at 0, so a sink that keys its
-    output on ``batch_id`` mixes partitions from two lineages
-    (duplicate rows on read-back), and a sink whose replay detection
-    compares against a high-water mark silently SKIPS batches the new
-    lineage has never folded — for the dedup sink that is permanent,
-    unreported document loss. The guard stamps a marker on first start
-    and refuses two ways:
+    stream starts. ``batch_id`` is unique only WITHIN a checkpoint
+    lineage: re-driving the same ``output_dir`` under a different
+    lineage restarts batch ids at 0, so a sink that keys its output on
+    ``batch_id`` mixes partitions from two lineages (duplicate rows on
+    read-back); a sink whose replay detection compares against a
+    high-water mark silently SKIPS batches the new lineage has never
+    folded — for the dedup sink that is permanent, unreported document
+    loss; an append-only sink re-appends every already-processed file
+    (the new lineage forgets the source offsets); and a pure-plan file
+    sink's ``_spark_metadata`` log — which lives inside the output
+    path and outlives the checkpoint — makes FileStreamSink skip the
+    new lineage's early batches as already-committed. Every streaming
+    starter in the package whose output would corrupt one of those
+    ways calls this guard; the two that do NOT are lineage-safe by
+    design and must stay unguarded: the weighted-reservoir fold
+    (markers namespaced by checkpoint digest + id-idempotent re-fold)
+    and the IVF appender (``save_ivf_index`` clears its replay markers
+    so a rebuilt index deliberately hands the path to a fresh lineage
+    — pinned in ``test_round10_ops``). The guard stamps a marker on
+    first start and refuses two ways:
 
     * a DIFFERENT checkpoint path over a stamped ``output_dir``
       (digest mismatch), and

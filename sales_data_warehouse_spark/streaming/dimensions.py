@@ -21,7 +21,13 @@ already are. Replay-safety, concretely:
 * cleansed/invalid land in a ``batch_id=N`` partition directory with
   ``mode('overwrite')`` per batch — a replayed micro-batch rewrites
   its own partition instead of appending duplicates;
-* the checkpoint gives exactly-once at the source-offset level.
+* the checkpoint gives exactly-once at the source-offset level;
+* ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
+  (``compaction.enforce_output_lineage``, r14): batch_id is unique
+  only within a checkpoint lineage, so restarting the same
+  ``warehouse_dir`` under a different checkpoint would overwrite
+  ``cleansed/batch_id=0`` with new-lineage rows while stale
+  partitions 1..N persist — both starters refuse instead.
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ from sales_data_warehouse_spark.operators.time_dimension import (
     merge_time_dimension,
 )
 from sales_data_warehouse_spark.sources.compaction import (
+    enforce_output_lineage,
     fs_exists,
     recover_staged,
     staged_overwrite,
@@ -107,8 +114,13 @@ def start_streaming_dimensions(
 
     Returns the StreamingQuery (caller owns stop/awaitTermination).
     Restarting with the same checkpoint resumes at the next unprocessed
-    file; a replayed batch re-merges idempotently.
+    file; a replayed batch re-merges idempotently. A restart under a
+    DIFFERENT checkpoint refuses (module docstring, last bullet).
     """
+    checkpoint = checkpoint_dir or f"{warehouse_dir}/_dim_checkpoint"
+    enforce_output_lineage(
+        spark, warehouse_dir, checkpoint, "start_streaming_dimensions"
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cleansed, invalid = cleanse_stream(batch_df)
@@ -129,8 +141,7 @@ def start_streaming_dimensions(
 
     landing = read_sales_csv_stream(spark, drop_dir)
     writer = landing.writeStream.foreachBatch(sink).option(
-        "checkpointLocation",
-        checkpoint_dir or f"{warehouse_dir}/_dim_checkpoint",
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -155,9 +166,17 @@ def start_streaming_warehouse(
     same contract as cleansed/invalid), month-partitioned inside it so
     time-sliced readers still prune: ``fact/batch_id=N/month_id=M``.
     Dimensions merge BEFORE the fact build, so every batch's facts
-    resolve against dimensions that include their keys.
+    resolve against dimensions that include their keys. A restart
+    under a different checkpoint refuses (module docstring, last
+    bullet) — the fact/cleansed/invalid batch_id partitions would mix
+    lineages.
     """
     from sales_data_warehouse_spark.operators.fact import build_fact
+
+    checkpoint = checkpoint_dir or f"{warehouse_dir}/_wh_checkpoint"
+    enforce_output_lineage(
+        spark, warehouse_dir, checkpoint, "start_streaming_warehouse"
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cleansed, invalid = cleanse_stream(batch_df)
@@ -181,8 +200,7 @@ def start_streaming_warehouse(
 
     landing = read_sales_csv_stream(spark, drop_dir)
     writer = landing.writeStream.foreachBatch(sink).option(
-        "checkpointLocation",
-        checkpoint_dir or f"{warehouse_dir}/_wh_checkpoint",
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -300,10 +300,24 @@ def start_streaming_quality_scores(
     Output schema is ``quality_logit``'s (id, n_tokens, punct_ppm,
     stop_ppm, logit_milli, keep) at ``{output_dir}/scored``; read it
     back any time with ``spark.read.parquet``. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
+    (``compaction.enforce_output_lineage``): a pure-plan file sink is
+    not exempt — its ``_spark_metadata`` commit log lives INSIDE the
+    output path and outlives the checkpoint, so a restart under a
+    fresh checkpoint sees the old log's committed batch ids and
+    silently SKIPS the new lineage's early batches (FileStreamSink
+    treats "batch N committed" as "already written"). Refused at
+    start instead."""
     from sales_data_warehouse_spark.operators.text import (
         load_quality_classifier,
         score_with_classifier,
+    )
+
+    checkpoint = checkpoint_dir or f"{output_dir}/_quality_checkpoint"
+    enforce_output_lineage(
+        spark, output_dir, checkpoint, "start_streaming_quality_scores"
     )
 
     clf = load_quality_classifier(spark, classifier_path)
@@ -314,10 +328,7 @@ def start_streaming_quality_scores(
     writer = (
         scored.writeStream.format("parquet")
         .option("path", f"{output_dir}/scored")
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or f"{output_dir}/_quality_checkpoint",
-        )
+        .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
     if available_now:
@@ -356,12 +367,12 @@ def start_streaming_ngram_quality_scores(
     is idempotent because scoring is stateless.
 
     ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
-    (``compaction.enforce_output_lineage``, shared with every
-    ``foreachBatch`` sink in the package — same hazard everywhere:
-    ``batch_id`` is unique only within a checkpoint lineage, and
-    mixing lineages under one ``scores/`` corrupts read-back
-    silently). Returns the StreamingQuery; read the scored corpus
-    back any time with
+    (``compaction.enforce_output_lineage``, shared by every streaming
+    starter in the package with lineage-keyed output — same hazard
+    everywhere: ``batch_id`` is unique only within a checkpoint
+    lineage, and mixing lineages under one ``scores/`` corrupts
+    read-back silently). Returns the StreamingQuery; read the scored
+    corpus back any time with
     ``spark.read.parquet(f"{output_dir}/scores")``."""
     from pyspark import StorageLevel
 

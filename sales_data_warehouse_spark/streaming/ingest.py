@@ -123,7 +123,22 @@ def start_streaming_etl(
     (backfill mode); default runs forever.
 
     Returns the StreamingQuery (caller owns stop/awaitTermination).
+
+    ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
+    (``compaction.enforce_output_lineage``, r14): this sink APPENDS,
+    so the hazard is not batch_id mixing but full duplication — a
+    restart under a fresh checkpoint forgets the source offsets and
+    re-appends every already-processed file into the same cleansed/
+    and invalid/ tables. Refused at start instead.
     """
+    from sales_data_warehouse_spark.sources.compaction import (
+        enforce_output_lineage,
+    )
+
+    checkpoint = checkpoint_dir or f"{output_dir}/_checkpoint"
+    enforce_output_lineage(
+        spark, output_dir, checkpoint, "start_streaming_etl"
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         cleansed, invalid = cleanse_stream(batch_df)
@@ -136,8 +151,7 @@ def start_streaming_etl(
 
     landing = read_sales_csv_stream(spark, drop_dir)
     writer = landing.writeStream.foreachBatch(sink).option(
-        "checkpointLocation",
-        checkpoint_dir or f"{output_dir}/_checkpoint",
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

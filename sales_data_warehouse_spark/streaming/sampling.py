@@ -225,8 +225,11 @@ def start_streaming_importance_scores(
     ``scored/batch_id=0`` with a new lineage's rows while stale
     partitions 1..N from the old lineage persist — a silently
     corrupted read-back. Enforced by
-    ``compaction.enforce_output_lineage`` (shared with every
-    ``foreachBatch`` sink in the package): a mismatched checkpoint —
+    ``compaction.enforce_output_lineage`` (shared by every streaming
+    starter in the package with lineage-keyed output — this module's
+    reservoir fold is the documented exemption: its markers are
+    namespaced by checkpoint digest and the fold is id-idempotent, so
+    a second lineage is SAFE there by design): a mismatched checkpoint —
     or a deleted one under a stamped output_dir — raises instead of
     mixing lineages (use a fresh output_dir, or keep the original
     checkpoint)."""

@@ -287,6 +287,18 @@ def test_streaming_rollup_refresh_matches_batch(spark, events_dir, tmp_path):
             for r in want_daily.collect()}
     assert got == want
 
+    # lineage guard (r14): a fresh checkpoint over the same partials
+    # dir would re-append every event's partial and double-count on
+    # the next merge_partials read
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        R.start_rollup_refresh(
+            read_events_stream(spark, events_dir),
+            out,
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+        )
+
 
 def test_streaming_etl_checkpoint_resume_exactly_once(spark, tmp_path):
     """Restarting the drained query with the SAME checkpoint must
@@ -326,6 +338,18 @@ def test_streaming_etl_checkpoint_resume_exactly_once(spark, tmp_path):
     assert q3.awaitTermination(300)
     q3.stop()
     assert spark.read.parquet(str(out / "cleansed")).count() == 2
+
+    # lineage guard (r14): a fresh checkpoint over the same output_dir
+    # forgets the source offsets and would re-append both files
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        start_streaming_etl(
+            spark,
+            str(drop),
+            str(out),
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+        )
 
 
 def test_streaming_quality_scores_match_batch(spark, tmp_path):
@@ -409,6 +433,19 @@ def test_streaming_quality_scores_match_batch(spark, tmp_path):
     assert got == want
     kept = {r for r in got if r[-1]}
     assert 0 < len(kept) < len(got)  # the threshold splits both ways
+    # lineage guard (r14): the file sink's _spark_metadata log lives
+    # inside scored/ and outlives the checkpoint — a fresh-checkpoint
+    # restart would silently SKIP its early batches as committed
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        start_streaming_quality_scores(
+            spark,
+            str(drop),
+            model_path,
+            out,
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+        )
 
 
 def test_streaming_ngram_quality_scores_match_batch(spark, tmp_path):

@@ -101,6 +101,19 @@ def test_streaming_dimensions_match_batch(spark, tmp_path):
     assert spark.read.parquet(f"{wh}/cleansed").count() == 9681
     assert spark.read.parquet(f"{wh}/invalid").count() == 42
 
+    # lineage guard (r14): the restarts above reused ONE checkpoint;
+    # a fresh checkpoint over the same warehouse_dir would restart
+    # batch ids at 0 and mix cleansed/invalid batch_id partitions
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        start_streaming_dimensions(
+            spark,
+            str(drop),
+            wh,
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+        )
+
 
 def test_streaming_warehouse_fact_matches_batch(spark, tmp_path):
     """Full streaming warehouse: after two micro-batches (restarted
@@ -150,3 +163,15 @@ def test_streaming_warehouse_fact_matches_batch(spark, tmp_path):
         F.sum(F.col("quantity_ordered") * F.col("price_each"))
     ).first()[0]
     assert float(rev) >= 1814491.55 - 0.01
+
+    # lineage guard (r14): same warehouse_dir + fresh checkpoint
+    # refuses (fact/cleansed/invalid batch_id partitions would mix)
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        start_streaming_warehouse(
+            spark,
+            str(drop),
+            wh,
+            checkpoint_dir=str(tmp_path / "fresh_ckpt"),
+        )
