@@ -112,6 +112,7 @@ def incremental_exact_dedup(
     seen_fingerprints: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    delta: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-over-batch exact dedup: admit only documents whose text was
     never seen — in any prior batch (``seen_fingerprints``) or earlier
@@ -132,6 +133,15 @@ def incremental_exact_dedup(
     ``seen_fingerprints`` is the previous call's second return value
     (schema: fp STRING, canonical_id, n_copies) or None for the first
     batch.
+
+    ``delta=True`` returns only THIS batch's fresh fingerprint rows as
+    the second value instead of the whole union — the state the caller
+    APPENDS rather than rewrites. At 100 TB the union form means every
+    fold writes the full |distinct texts| state back out (O(state)
+    write per batch); the delta form keeps the per-batch write O(batch)
+    and lets the state live as an append-only partitioned table (the
+    streaming fold's layout since r14 —
+    ``streaming.documents.dedup_documents_batch``).
     """
     batch = exact_duplicates(new_docs, text_col, id_col)
     if seen_fingerprints is None:
@@ -141,7 +151,7 @@ def incremental_exact_dedup(
         fresh_fp = batch.join(
             seen_fingerprints.select("fp"), "fp", "left_anti"
         )
-        state = seen_fingerprints.unionByName(fresh_fp)
+        state = fresh_fp if delta else seen_fingerprints.unionByName(fresh_fp)
     fresh = new_docs.join(
         fresh_fp.select(
             "fp", F.col("canonical_id").alias(f"__canon_{id_col}")
@@ -1567,6 +1577,7 @@ def incremental_minhash_lsh(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.3,
+    delta: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-over-batch near-dup detection: LSH-band the NEW batch only,
     probe it against the persisted band-bucket ``state`` of everything
@@ -1589,6 +1600,16 @@ def incremental_minhash_lsh(
 
     ``state`` is the previous call's second return value (schema of
     :func:`banded_signatures`) or None for the first batch.
+
+    ``delta=True`` returns only THIS batch's banded rows as the second
+    value — the O(batch) rows the caller appends to a partitioned
+    state instead of rewriting the |seen docs| x bands union per fold
+    (same 100 TB write-path rationale as
+    :func:`incremental_exact_dedup`'s delta mode). Replay is still
+    safe when the batch's own rows are already IN the passed state:
+    the probe's self-matches are dropped by the ``doc_a != doc_b``
+    filter and duplicates by the (lo, hi) canonical dedup, so the pair
+    set is unchanged — property the streaming fold's replay test pins.
     """
     # localCheckpoint, not persist: three consumers (both probe sides +
     # the state union) read the banded batch, and the returned state's
@@ -1654,6 +1675,8 @@ def incremental_minhash_lsh(
             "est_jaccard",
         )
     )
+    if delta:
+        return pairs, banded_new
     new_state = (
         banded_new if state is None else state.unionByName(banded_new)
     )

@@ -6087,11 +6087,12 @@ def streaming_dedup_batch_contract(spark: SparkSession, sf: str) -> DataFrame:
     through its REAL persistence path: 3 micro-batches fold through
     ``streaming.documents.dedup_documents_batch`` (the exact function
     the ``foreachBatch`` sink calls — per-batch admitted parquet under
-    ``admitted/batch_id=N``, fingerprint state via staged overwrite),
-    then the admitted directory is read back. Exact oracle: each
-    distinct text is admitted exactly once, in the first batch that
-    carries it, by its min-id doc — and the batch_id partition column
-    must equal that doc's own batch."""
+    ``admitted/batch_id=N``, append-only fingerprint state partitions
+    advanced by the ``_last_batch`` high-water mark), then the
+    admitted directory is read back. Exact oracle: each distinct text
+    is admitted exactly once, in the first batch that carries it, by
+    its min-id doc — and the batch_id partition column must equal that
+    doc's own batch."""
     import tempfile
 
     from sales_data_warehouse_spark.streaming.documents import (

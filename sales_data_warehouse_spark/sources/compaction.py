@@ -48,6 +48,31 @@ def fs_delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(hpath, True))
 
 
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename through the Hadoop FileSystem API (any-store rationale of
+    :func:`fs_exists`). Hadoop semantics: fails (returns False) if
+    ``dst`` exists — callers wanting replace must delete first and own
+    that crash window."""
+    fs, hsrc, jvm = _hadoop_fs(spark, src)
+    hdst = jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(hsrc, hdst))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> bool:
+    """mkdir -p through the Hadoop FileSystem API."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.mkdirs(hpath))
+
+
+def fs_ls(spark: SparkSession, path: str) -> list[str]:
+    """Child entry NAMES (not full paths) of a directory; empty list if
+    the path does not exist."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [str(st.getPath().getName()) for st in fs.listStatus(hpath)]
+
+
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small ASCII marker/manifest file through the Hadoop
     FileSystem API (overwrite). Underscore-prefixed names placed inside

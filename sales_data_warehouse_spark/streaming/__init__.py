@@ -43,8 +43,10 @@ from sales_data_warehouse_spark.streaming.ingest import (
     start_streaming_etl,
 )
 from sales_data_warehouse_spark.streaming.documents import (
+    compact_dedup_state,
     dedup_documents_batch,
     near_dedup_documents_batch,
+    read_dedup_state,
     read_documents_stream,
     start_streaming_doc_dedup,
     start_streaming_near_dedup,
@@ -80,7 +82,9 @@ __all__ = [
     "dedupe_within",
     "start_streaming_etl",
     "running_user_totals",
+    "read_dedup_state",
     "read_documents_stream",
+    "compact_dedup_state",
     "dedup_documents_batch",
     "start_streaming_doc_dedup",
     "near_dedup_documents_batch",

@@ -9,27 +9,35 @@ table; admitted history is never re-read or re-hashed.
 
 Replay safety follows the module conventions (see
 ``streaming/dimensions.py``): admitted docs land in a ``batch_id=N``
-directory with per-batch overwrite; the fingerprint state swaps in as
-one ``staged_overwrite_dir`` generation (``fingerprints/fp`` plus a
-``_last_batch`` high-water mark, landed atomically by the finalize
-hook) AFTER the admitted write. A replayed batch either recomputes
-identically (crash before the state swap — the mark still reads the
-previous batch) or is skipped by an O(1) mark comparison (crash after
-the swap but before the checkpoint commit) — the one case where
-recomputing would wrongly admit nothing and overwrite the batch's
-output with an empty directory. Pre-r14 states (flat parquet, no
-mark) are detected by a one-time state-sized containment fallback and
-migrated to the marked layout on their next fold.
+directory with per-batch overwrite; the fingerprint state is
+APPEND-ONLY (late r14) — each fold writes only its batch's fresh
+fingerprints as their own ``fingerprints/fp/batch_id=N`` partition,
+AFTER the admitted write, then advances the ``_last_batch`` high-water
+mark. Prior state is always read partition-pruned to ``<= mark``, so
+an uncommitted or ahead-of-mark partition is invisible; a replayed
+batch either recomputes identically (crash before the mark advanced)
+or is skipped by an O(1) mark comparison (crash after — the one case
+where recomputing would wrongly admit nothing and overwrite the
+batch's output with an empty directory). The full crash-window
+walkthrough lives on ``dedup_documents_batch``. The previous designs
+migrate on first contact: the r14 staged-swap layout by pure rename,
+the pre-r14 flat layout via a one-time state-sized containment check.
 
-One shared caveat (inherited from ``staged_overwrite``, see its
-docstring): a crash INSIDE the two-rename swap window can leave the
-state path absent with the previous state preserved at
-``<path>.stage_old``. Treating that as "no state yet" would rebuild
-from nothing — since round 11 every fold calls
-``compaction.recover_staged`` before reading its state, restoring the
-pre-swap table automatically (previously documented as a manual
-rename; the automation closes the same silent-reset mode the r11
-review flagged in the weighted-reservoir fold).
+Why append-only: the staged-swap design rewrote the ENTIRE fingerprint
+union every fold — O(state) writes per micro-batch, which at 100 TB
+(|distinct texts| rows) dwarfs the O(batch) work the fold actually
+does. The swap bought atomicity for the mark; partition pruning plus
+the per-partition ``_SUCCESS`` job-commit markers buy the same
+guarantees at delta cost. ``compact_dedup_state`` bounds the partition
+count when triggers accumulate; correctness never depends on it.
+
+One inherited caveat (``staged_overwrite``, see its docstring): a
+pre-append state that crashed INSIDE its two-rename swap window sits
+at ``<path>.stage_old`` with the live path absent. Treating that as
+"no state yet" would rebuild from nothing — every fold still calls
+``compaction.recover_staged`` before reading (the r11 lesson from the
+weighted-reservoir fold), then finishes any half-done compaction or
+layout migration the same way.
 """
 
 from __future__ import annotations
@@ -43,12 +51,14 @@ from sales_data_warehouse_spark.operators.dedup import (
 )
 from sales_data_warehouse_spark.sources.compaction import (
     enforce_output_lineage,
+    fs_delete,
     fs_exists,
+    fs_ls,
+    fs_mkdirs,
     fs_read_text,
+    fs_rename,
     fs_write_text,
     recover_staged,
-    staged_overwrite,
-    staged_overwrite_dir,
 )
 
 #: documents-table schema (streaming sources need it declared).
@@ -77,6 +87,141 @@ def read_documents_stream(
     )
 
 
+def _committed_batches(spark: SparkSession, fp_dir: str) -> list[int]:
+    """batch ids of fully-written state partitions — those whose
+    directory carries the ``_SUCCESS`` job-commit marker. A partition
+    WITHOUT it is a crashed in-flight write and must not count."""
+    out = []
+    for name in fs_ls(spark, fp_dir):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs_exists(spark, f"{fp_dir}/{name}/_SUCCESS"):
+            out.append(b)
+    return sorted(out)
+
+
+def _state_mark(spark: SparkSession, state_path: str) -> int | None:
+    """The state's high-water mark: every batch with id <= mark is
+    fully folded. The ``_last_batch`` file is the O(1) fast path; a
+    missing or torn file (its write is a plain overwrite, NOT atomic)
+    falls back to the authoritative scan of partition ``_SUCCESS``
+    markers — each partition's job commit IS atomic, so the max
+    committed partition id is exactly the mark the torn file would
+    have recorded."""
+    mark = fs_read_text(spark, f"{state_path}/_last_batch")
+    if mark is not None:
+        try:
+            return int(mark)
+        except ValueError:
+            pass
+    done = _committed_batches(spark, f"{state_path}/fp")
+    return done[-1] if done else None
+
+
+def _recover_fp_compaction(spark: SparkSession, state_path: str) -> None:
+    """Finish a :func:`compact_dedup_state` that crashed mid-commit:
+    the staged combined table (``fp_compact_tmp_<M>``, full state
+    <= M) survives until the commit completes, so recovery deletes any
+    remaining source partitions <= M and renames the staged table into
+    ``fp/batch_id=<M>``. Idempotent; called before every state read."""
+    for name in fs_ls(spark, state_path):
+        if not name.startswith("fp_compact_tmp_"):
+            continue
+        m = int(name.rsplit("_", 1)[1])
+        fp_dir = f"{state_path}/fp"
+        for b in _committed_batches(spark, fp_dir):
+            if b <= m:
+                fs_delete(spark, f"{fp_dir}/batch_id={b}")
+        fs_mkdirs(spark, fp_dir)
+        fs_rename(spark, f"{state_path}/{name}", f"{fp_dir}/batch_id={m}")
+
+
+def _migrate_v2_state(spark: SparkSession, state_path: str) -> None:
+    """One-time layout migration for an r14-early state (``fp`` holding
+    a flat staged-swap generation + an atomic ``_last_batch`` mark):
+    move the flat table under ``fp/batch_id=<mark>`` so it becomes the
+    first partition of the append-only layout. Pure renames — O(1) in
+    state size. Crash-resumable: the half-moved table waits under
+    ``fp.v2mig`` and is finished before any read."""
+    fp_dir = f"{state_path}/fp"
+    mig = f"{state_path}/fp.v2mig"
+    if not fs_exists(spark, mig):
+        if not fs_exists(spark, fp_dir):
+            return
+        if any(
+            n.startswith("batch_id=") for n in fs_ls(spark, fp_dir)
+        ):
+            return  # already the append layout
+        fs_rename(spark, fp_dir, mig)
+    mark = fs_read_text(spark, f"{state_path}/_last_batch")
+    if mark is None:
+        raise IOError(
+            f"dedup state migration: {mig} exists but "
+            f"{state_path}/_last_batch is missing — the v2 layout "
+            "always carried the mark. Restore the mark file (or "
+            f"rename {mig} back to {fp_dir}) before restarting."
+        )
+    fs_mkdirs(spark, fp_dir)
+    fs_rename(spark, mig, f"{fp_dir}/batch_id={int(mark)}")
+
+
+def read_dedup_state(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The streaming exact-dedup sink's fingerprint state as one
+    DataFrame (fp, canonical_id, n_copies) — the union of the
+    append-only ``fingerprints/fp/batch_id=N`` partitions, recovered
+    and migrated first so readers never see a half-committed layout."""
+    state_path = f"{output_dir}/fingerprints"
+    recover_staged(spark, state_path)
+    _recover_fp_compaction(spark, state_path)
+    _migrate_v2_state(spark, state_path)
+    return spark.read.parquet(f"{state_path}/fp").drop("batch_id")
+
+
+def compact_dedup_state(spark: SparkSession, output_dir: str) -> int:
+    """Maintenance: merge every committed fingerprint partition
+    ``<= mark`` into the single partition ``batch_id=<mark>`` and
+    return the number of partitions merged. The append-only fold
+    (:func:`dedup_documents_batch`) writes one O(batch) partition per
+    micro-batch — correct forever, but at high trigger counts the
+    partition listing and small files add up; run this occasionally
+    (correctness never depends on it — the direct analogue of
+    ``rollup.merge_partials`` compaction guidance).
+
+    Crash-safe: the combined table is staged beside the state as
+    ``fp_compact_tmp_<mark>`` (written fully before anything is
+    deleted), then source partitions are dropped and the staged table
+    renamed in. A crash anywhere in the commit is finished by
+    ``_recover_fp_compaction`` before the next fold or read. Must not
+    run concurrently with a fold."""
+    state_path = f"{output_dir}/fingerprints"
+    recover_staged(spark, state_path)
+    _recover_fp_compaction(spark, state_path)
+    _migrate_v2_state(spark, state_path)
+    fp_dir = f"{state_path}/fp"
+    mark = _state_mark(spark, state_path)
+    if mark is None:
+        return 0
+    parts = [b for b in _committed_batches(spark, fp_dir) if b <= mark]
+    if len(parts) <= 1:
+        return len(parts)
+    tmp = f"{state_path}/fp_compact_tmp_{mark}"
+    (
+        spark.read.parquet(fp_dir)
+        .filter(F.col("batch_id") <= mark)
+        .drop("batch_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    for b in parts:
+        fs_delete(spark, f"{fp_dir}/batch_id={b}")
+    fs_rename(spark, tmp, f"{fp_dir}/batch_id={mark}")
+    return len(parts)
+
+
 def dedup_documents_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -87,67 +232,102 @@ def dedup_documents_batch(
     plain function (the ``foreachBatch`` sink calls it) so replay
     semantics are directly testable without driving a stream.
 
-    Replay detection is O(1) since r14: the state directory carries a
-    ``_last_batch`` high-water mark written into the staging directory
-    by ``staged_overwrite_dir``'s finalize hook, so the mark lands
-    ATOMICALLY with the fingerprint table it describes — mark present
-    and >= batch_id iff this batch's fingerprints are already merged.
-    The pre-r14 detection anti-joined the batch against the FULL
-    fingerprint table, which is state-sized work at 100 TB state for a
-    check that runs on every crash replay; it survives below only as
-    the fallback for a legacy flat-layout state (no mark yet — the
-    first fold migrates the layout and retires the fallback for good).
-    Crash windows: before the state swap the mark is the old one, the
-    replay recomputes identically (admitted overwrite is idempotent);
-    after the swap the mark skips the batch outright, protecting the
+    The state is APPEND-ONLY since late r14: each fold writes only its
+    batch's fresh fingerprints to ``fingerprints/fp/batch_id=N``
+    (``incremental_exact_dedup(delta=True)``) instead of rewriting the
+    whole union through a staged swap. That swap made every fold's
+    state write O(state) — at 100 TB the fingerprint table is
+    |distinct texts| rows, and rewriting it per micro-batch is the
+    write-side analogue of the state-sized replay scan r14 already
+    removed; the delta write is O(batch), always.
+
+    What the atomic swap used to guarantee, the high-water mark plus
+    partition pruning now guarantees without it:
+
+    * prior state is ALWAYS read as ``batch_id <= mark`` (partition
+      pruning, not a filter scan), so a partition written by a crashed
+      fold — present but ahead of the mark — is invisible until its
+      batch replays and overwrites it;
+    * replay detection is the O(1) ``mark >= batch_id`` comparison
+      (plus the admitted-output existence check), exactly as before;
+    * the mark file's own write is a plain overwrite, NOT atomic — a
+      torn mark falls back to the authoritative max-committed-partition
+      scan (``_SUCCESS`` job markers, which ARE atomic), see
+      :func:`_state_mark`.
+
+    Crash windows, end to end: before the admitted write — replay
+    recomputes identically; between admitted and state-partition
+    writes — mark unchanged, replay recomputes identically and
+    overwrites both; mid-partition-write — partition uncommitted (no
+    ``_SUCCESS``) and above the mark, replay overwrites it; between
+    partition write and mark write — replay recomputes against
+    ``<= mark`` (its own committed partition excluded by pruning) and
+    overwrites idempotently; mark torn — the ``_SUCCESS`` fallback
+    reads the same value; after the mark — O(1) skip, protecting the
     admitted output from the empty-recompute clobber the detection
-    exists for."""
+    exists for.
+
+    Legacy layouts migrate on first contact: the r14 staged-swap
+    layout by pure rename into ``batch_id=<mark>``
+    (:func:`_migrate_v2_state`, O(1)); the pre-r14 flat layout (no
+    mark at all) via the old state-sized containment check once, after
+    which its union is written as the first partition and the mark
+    takes over for good."""
     admitted_path = f"{output_dir}/admitted/batch_id={batch_id}"
     state_path = f"{output_dir}/fingerprints"
+    fp_dir = f"{state_path}/fp"
 
-    # restore a mid-swap-crashed state swap before reading (module
-    # docstring) — a missing state dir must never read as "first batch"
+    # restore any half-committed state first: a mid-swap v2 crash, a
+    # mid-commit compaction, a half-migrated v2 layout
     recover_staged(spark, state_path)
-    if fs_exists(spark, f"{state_path}/fp"):
-        prior, legacy = spark.read.parquet(f"{state_path}/fp"), False
+    _recover_fp_compaction(spark, state_path)
+    _migrate_v2_state(spark, state_path)
+
+    if fs_exists(spark, fp_dir):
+        mark = _state_mark(spark, state_path)
+        if (
+            mark is not None
+            and mark >= batch_id
+            and fs_exists(spark, admitted_path)
+        ):
+            return  # state already contains this batch: O(1) skip
+        prior = (
+            spark.read.parquet(fp_dir)
+            .filter(F.col("batch_id") <= mark)
+            .drop("batch_id")
+            if mark is not None
+            else None
+        )
     elif fs_exists(spark, state_path):
         # pre-r14 flat layout (fingerprint parquet directly under the
-        # state path, no high-water mark)
-        prior, legacy = spark.read.parquet(state_path), True
-    else:
-        prior, legacy = None, False
-    if prior is not None and fs_exists(spark, admitted_path):
-        mark = fs_read_text(spark, f"{state_path}/_last_batch")
-        try:
-            if mark is not None and int(mark) >= batch_id:
-                return  # state already contains this batch: O(1) skip
-        except ValueError:
-            pass  # unreadable mark: fall through to recompute/fallback
-        if legacy:
-            # legacy state carries no mark; one state-sized
-            # containment check, after which the fold below migrates
-            # the layout and the mark takes over
+        # state path, no high-water mark): one state-sized containment
+        # check, then migrate by writing the union as the first
+        # partition of the append layout
+        prior = spark.read.parquet(state_path)
+        if fs_exists(spark, admitted_path):
             batch_fps = batch_df.select(
                 F.md5(F.col("text")).alias("fp")
             ).distinct()
             if batch_fps.join(prior, "fp", "left_anti").count() == 0:
                 return
-    fresh, state = incremental_exact_dedup(batch_df, prior)
+        fresh, union = incremental_exact_dedup(batch_df, prior)
+        fresh.write.mode("overwrite").parquet(admitted_path)
+        union.write.mode("overwrite").parquet(
+            f"{fp_dir}/batch_id={batch_id}"
+        )
+        fs_write_text(spark, f"{state_path}/_last_batch", str(batch_id))
+        # drop the superseded v1 files (loose parquet at the state
+        # root; the fp/ subdir and mark stay)
+        for name in fs_ls(spark, state_path):
+            if name not in ("fp", "_last_batch"):
+                fs_delete(spark, f"{state_path}/{name}")
+        return
+    else:
+        prior = None
+    fresh, delta = incremental_exact_dedup(batch_df, prior, delta=True)
     fresh.write.mode("overwrite").parquet(admitted_path)
-    # one atomic whole-directory swap: the new fingerprint table and
-    # the high-water mark that vouches for it land together or not at
-    # all (the staged_overwrite_dir contract — its part writes may
-    # lazily read the live {state_path}/fp, which survives untouched
-    # until the new generation is complete, so no materialization
-    # barrier is needed)
-    staged_overwrite_dir(
-        spark,
-        {"fp": (state, None)},
-        state_path,
-        finalize=lambda tmp: fs_write_text(
-            spark, f"{tmp}/_last_batch", str(batch_id)
-        ),
-    )
+    delta.write.mode("overwrite").parquet(f"{fp_dir}/batch_id={batch_id}")
+    fs_write_text(spark, f"{state_path}/_last_batch", str(batch_id))
 
 
 def start_streaming_doc_dedup(
@@ -160,9 +340,11 @@ def start_streaming_doc_dedup(
 ):
     """Continuous drop-dir -> deduplicated corpus: admitted (first-seen)
     documents land per batch under ``admitted/batch_id=N``; the
-    fingerprint table under ``fingerprints`` always reflects everything
-    admitted. Readers scan ``admitted/`` (batch_id appears as a
-    partition column). Returns the StreamingQuery.
+    append-only fingerprint partitions under ``fingerprints/fp`` always
+    reflect everything admitted (read them as one table with
+    :func:`read_dedup_state`; bound their count with
+    :func:`compact_dedup_state`). Readers scan ``admitted/`` (batch_id
+    appears as a partition column). Returns the StreamingQuery.
 
     ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
     (``compaction.enforce_output_lineage``): this sink is the guard's
@@ -188,6 +370,26 @@ def start_streaming_doc_dedup(
     return writer.start()
 
 
+def _migrate_band_state(spark: SparkSession, state_path: str) -> None:
+    """One-time layout migration for a pre-append band state (banded
+    rows flat under the state path, written by the old staged swap):
+    move the flat table under ``batch_id=-1`` — a reserved id below
+    every real batch — so it becomes the first partition of the
+    append-only layout. Pure renames, crash-resumable via the
+    ``.bsmig`` waypoint."""
+    mig = f"{state_path}.bsmig"
+    if not fs_exists(spark, mig):
+        if not fs_exists(spark, state_path):
+            return
+        if any(
+            n.startswith("batch_id=") for n in fs_ls(spark, state_path)
+        ):
+            return  # already the append layout
+        fs_rename(spark, state_path, mig)
+    fs_mkdirs(spark, state_path)
+    fs_rename(spark, mig, f"{state_path}/batch_id=-1")
+
+
 def near_dedup_documents_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -196,19 +398,21 @@ def near_dedup_documents_batch(
 ) -> None:
     """Fold one micro-batch through the MinHash band state: emit the
     near-dup pairs this batch introduces (within-batch + new-vs-seen)
-    under ``pairs/batch_id=N`` and update the persisted band table.
+    under ``pairs/batch_id=N`` and append the batch's banded rows to
+    the persisted band table as their own ``batch_id=N`` partition
+    (``incremental_minhash_lsh(delta=True)``) — the state write is
+    O(batch), never the |seen docs| x bands rewrite the old staged
+    swap paid per fold.
 
-    Replay safety differs from the exact-dedup sink: recomputing a
-    batch whose state already merged is harmless FOR THE
-    CHECKPOINT-DRIVEN REPLAY CASES — the probe side unions new and
-    seen rows, and pair canonicalization dedups, so the replay emits
-    the identical pair set; only the state union would double its
-    rows, which the pre-write ``dropDuplicates`` on (doc, band) makes
-    idempotent (bucket and signature are pure functions of the doc).
-    No skip-detection needed for those. The module docstring's
-    ``staged_overwrite`` swap-window caveat is handled the same way as
-    the exact fold: ``recover_staged`` restores a mid-swap-crashed
-    state before it is read.
+    Replay safety needs NO mark here: pairs recompute identically even
+    when the replayed batch's own rows already sit in the state (the
+    probe's self-matches are dropped by ``doc_a != doc_b`` and
+    duplicates by the (lo, hi) canonical dedup — pinned property of
+    the delta mode), and the state partition is overwritten
+    idempotently (bucket and signature are pure functions of the doc).
+    A partition from a crashed mid-write fold holds a committed subset
+    of the batch's rows — extra probe matches against one's own subset
+    are the same self/dup cases — and is overwritten by the replay.
     """
     from sales_data_warehouse_spark.operators.dedup import (
         incremental_minhash_lsh,
@@ -216,19 +420,18 @@ def near_dedup_documents_batch(
 
     state_path = f"{output_dir}/band_state"
     recover_staged(spark, state_path)
+    _migrate_band_state(spark, state_path)
     prior = (
-        spark.read.parquet(state_path)
+        spark.read.parquet(state_path).drop("batch_id")
         if fs_exists(spark, state_path)
         else None
     )
-    pairs, state = incremental_minhash_lsh(batch_df, prior)
+    pairs, delta = incremental_minhash_lsh(batch_df, prior, delta=True)
     pairs.write.mode("overwrite").parquet(
         f"{output_dir}/pairs/batch_id={batch_id}"
     )
-    staged_overwrite(
-        spark,
-        state.dropDuplicates(["doc", "band"]).localCheckpoint(),
-        state_path,
+    delta.write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
     )
 
 

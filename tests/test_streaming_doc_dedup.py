@@ -130,9 +130,13 @@ def test_legacy_flat_state_migrates_and_gains_mark(spark, batches, tmp_path):
     out = str(tmp_path / "dedup")
     b1, b2 = batches
     dedup_documents_batch(spark, b1, 0, out)
-    # rebuild the pre-r14 layout by hand: flat parquet, no mark
+    # rebuild the pre-r14 layout by hand: flat parquet, no mark (and
+    # no batch_id — that column is the append layout's partition key,
+    # which a real v1 state never carried)
     legacy = str(tmp_path / "legacy_fp")
-    spark.read.parquet(f"{out}/fingerprints/fp").write.parquet(legacy)
+    spark.read.parquet(f"{out}/fingerprints/fp").drop(
+        "batch_id"
+    ).write.parquet(legacy)
     shutil.rmtree(f"{out}/fingerprints")
     shutil.move(legacy, f"{out}/fingerprints")
     # replay batch 0 against the legacy state: containment fallback
@@ -262,3 +266,253 @@ def test_near_dedup_stream_matches_batch_lsh(spark, tmp_path):
             out,
             checkpoint_dir=str(tmp_path / "fresh_ckpt"),
         )
+
+
+def test_state_is_append_only_deltas(spark, batches, tmp_path):
+    """late r14: each fold writes ONLY its batch's fresh fingerprints
+    as its own batch_id partition — the O(batch) write contract; no
+    fold rewrites the union."""
+    from sales_data_warehouse_spark.streaming.documents import (
+        read_dedup_state,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    state = spark.read.parquet(f"{out}/fingerprints/fp")
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in state.groupBy("batch_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # batch 0 introduced alpha+beta, batch 1 only gamma (beta was seen)
+    assert per_batch == {0: 2, 1: 1}
+    assert sorted(
+        r["canonical_id"] for r in read_dedup_state(spark, out).collect()
+    ) == [1, 2, 5]
+
+
+def test_replay_with_stale_mark_recomputes_identically(
+    spark, batches, tmp_path
+):
+    """Crash window between the state-partition write and the mark
+    write: the partition for batch 1 is committed but the mark still
+    reads 0. The replay must read prior PRUNED to <= mark (its own
+    committed partition invisible), recompute identically, and
+    re-advance the mark."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+        fs_write_text,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    before = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    fs_write_text(spark, f"{out}/fingerprints/_last_batch", "0")
+    dedup_documents_batch(spark, b2, 1, out)  # the replay
+    after = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    assert after == before
+    assert spark.read.parquet(f"{out}/fingerprints/fp").count() == 3
+    assert fs_read_text(spark, f"{out}/fingerprints/_last_batch") == "1"
+
+
+def test_torn_mark_falls_back_to_success_scan(spark, batches, tmp_path):
+    """A torn ``_last_batch`` write (the mark file is a plain
+    overwrite) must not degrade replay detection: the authoritative
+    max-committed-partition scan reads the same value, so a poisoned
+    replay is still skipped outright."""
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_write_text,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    before = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    fs_write_text(spark, f"{out}/fingerprints/_last_batch", "garbage")
+    poisoned = _docs(spark, [(99, "never seen text")])
+    dedup_documents_batch(spark, poisoned, 1, out)  # replay of batch 1
+    after = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    assert after == before  # skipped via the _SUCCESS fallback
+    assert spark.read.parquet(f"{out}/fingerprints/fp").count() == 3
+
+
+def test_v2_staged_layout_migrates_by_rename(spark, batches, tmp_path):
+    """An r14-early state (flat staged generation under fp/ + atomic
+    mark) migrates by pure rename into ``fp/batch_id=<mark>`` on first
+    contact; the next fold appends its delta beside it."""
+    import shutil
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    # rebuild the v2 layout by hand: the union parquet flat under fp/,
+    # the mark beside it
+    flat = str(tmp_path / "v2_flat")
+    spark.read.parquet(f"{out}/fingerprints/fp").drop(
+        "batch_id"
+    ).write.parquet(flat)
+    shutil.rmtree(f"{out}/fingerprints/fp")
+    shutil.move(flat, f"{out}/fingerprints/fp")
+    assert fs_read_text(spark, f"{out}/fingerprints/_last_batch") == "0"
+
+    dedup_documents_batch(spark, b2, 1, out)
+    state = spark.read.parquet(f"{out}/fingerprints/fp")
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in state.groupBy("batch_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert per_batch == {0: 2, 1: 1}  # migrated under mark + new delta
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == [1, 2, 5]
+
+
+def test_compact_dedup_state_merges_and_stays_correct(
+    spark, batches, tmp_path
+):
+    """compact_dedup_state folds every committed partition <= mark
+    into one batch_id=<mark> partition: same rows, replay skip intact,
+    the next fold appends beyond it."""
+    from sales_data_warehouse_spark.streaming.documents import (
+        compact_dedup_state,
+        read_dedup_state,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    rows_before = sorted(
+        map(tuple, read_dedup_state(spark, out).collect())
+    )
+    assert compact_dedup_state(spark, out) == 2
+    state = spark.read.parquet(f"{out}/fingerprints/fp")
+    assert {r["batch_id"] for r in state.select("batch_id").collect()} \
+        == {1}
+    assert sorted(map(tuple, read_dedup_state(spark, out).collect())) \
+        == rows_before
+    # replay of an already-folded batch still skips after compaction
+    poisoned = _docs(spark, [(99, "never seen text")])
+    dedup_documents_batch(spark, poisoned, 0, out)
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == [1, 2, 5]
+    # next real fold appends its own partition beyond the compacted one
+    b3 = _docs(spark, [(7, "delta text"), (8, "alpha text")])
+    dedup_documents_batch(spark, b3, 2, out)
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == [1, 2, 5, 7]
+    assert {r["batch_id"] for r in spark.read.parquet(
+        f"{out}/fingerprints/fp"
+    ).select("batch_id").collect()} == {1, 2}
+
+
+def test_compaction_crash_recovers_before_next_fold(
+    spark, batches, tmp_path
+):
+    """A compaction that crashed after staging the combined table but
+    before (or mid-way through) dropping the source partitions is
+    finished by the next fold's recovery pass — no row lost, no row
+    doubled."""
+    import shutil
+
+    from sales_data_warehouse_spark.streaming.documents import (
+        read_dedup_state,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    rows_before = sorted(
+        map(tuple, read_dedup_state(spark, out).collect())
+    )
+    # stage the combined table by hand (what compact does first), then
+    # "crash" having deleted only one source partition
+    fp = f"{out}/fingerprints/fp"
+    tmp = f"{out}/fingerprints/fp_compact_tmp_1"
+    spark.read.parquet(fp).drop("batch_id").write.parquet(tmp)
+    shutil.rmtree(f"{fp}/batch_id=0")
+    b3 = _docs(spark, [(7, "delta text")])
+    dedup_documents_batch(spark, b3, 2, out)  # recovery runs first
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == [1, 2, 5, 7]
+    got = sorted(
+        t for t in map(tuple, read_dedup_state(spark, out).collect())
+        if t[1] != 7
+    )
+    assert got == rows_before
+
+
+def test_near_dedup_legacy_band_state_migrates(spark, tmp_path):
+    """A pre-append band state (flat under band_state/) migrates by
+    rename into batch_id=-1; the next fold probes against it and
+    appends its own partition — pair set as if never migrated."""
+    import shutil
+
+    from sales_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from sales_data_warehouse_spark.streaming.documents import (
+        near_dedup_documents_batch,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    b1 = _docs(spark, [(0, t + " a"), (1, t + " b")])
+    b2 = _docs(spark, [(2, t + " a"), (3, "totally unrelated words")])
+    out = str(tmp_path / "near")
+    near_dedup_documents_batch(spark, b1, 0, out)
+    # flatten the state back to the legacy layout
+    flat = str(tmp_path / "legacy_band")
+    spark.read.parquet(f"{out}/band_state").drop(
+        "batch_id"
+    ).write.parquet(flat)
+    shutil.rmtree(f"{out}/band_state")
+    shutil.move(flat, f"{out}/band_state")
+
+    near_dedup_documents_batch(spark, b2, 1, out)
+    state = spark.read.parquet(f"{out}/band_state")
+    assert {r["batch_id"] for r in state.select(
+        "batch_id"
+    ).distinct().collect()} == {-1, 1}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            b1.unionByName(b2)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
