@@ -312,3 +312,43 @@ def test_lookup_join_min_is_partial_aggregate(spark):
     )
     assert "partial_min(struct" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+def test_dedup_fold_delta_plan_is_batch_sized(spark, tmp_path):
+    """late r14: the streaming exact-dedup fold's append-only state
+    contract, pinned in the plans. (a) delta mode returns ONLY the
+    batch's fresh fingerprints — no Union with the prior state in the
+    plan, which is what makes the per-fold state write O(batch).
+    (b) the fold reads prior state partition-PRUNED to the high-water
+    mark (PartitionFilters on batch_id), not filter-after-scan — a
+    crashed fold's ahead-of-mark partition never costs IO."""
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from sales_data_warehouse_spark.streaming.documents import (
+        dedup_documents_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}", "en", "u", 6) for i in range(40)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = str(tmp_path / "dedup")
+    dedup_documents_batch(spark, docs.filter(F.col("doc_id") < 20), 0, out)
+    dedup_documents_batch(spark, docs.filter(F.col("doc_id") >= 20), 1, out)
+
+    prior = spark.read.parquet(f"{out}/fingerprints/fp")
+    pruned = prior.filter(F.col("batch_id") <= 0).drop("batch_id")
+    _, delta = incremental_exact_dedup(docs, pruned, delta=True)
+    plan = _lib_executed_plan(delta)
+    assert "Union" not in plan, plan[:2000]
+    # the prior read prunes at the partition level
+    assert "PartitionFilters: [" in plan and "batch_id" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan[:2000]
+    # default (union) mode keeps the full-state return for batch users
+    _, union = incremental_exact_dedup(docs, pruned)
+    assert "Union" in _lib_executed_plan(union)
