@@ -128,7 +128,11 @@ def incremental_exact_dedup(
     (persist it parquet-side between runs; at 100 TB the state table is
     |distinct texts| fingerprint rows, partitioned by fp prefix, and the
     join is shuffle-on-fp or bucket-colocated — never a scan of the
-    corpus itself).
+    corpus itself; persisting the state through
+    ``sources.bucketed.write_bucketed(..., ["fp"])`` makes the probe
+    anti-join exchange the BATCH side only, the state scan reporting
+    its bucketing — plan pinned in
+    ``test_plan_quality.test_bucketed_fingerprint_state_joins_shuffle_free``).
 
     ``seen_fingerprints`` is the previous call's second return value
     (schema: fp STRING, canonical_id, n_copies) or None for the first

@@ -352,3 +352,53 @@ def test_dedup_fold_delta_plan_is_batch_sized(spark, tmp_path):
     # default (union) mode keeps the full-state return for batch users
     _, union = incremental_exact_dedup(docs, pruned)
     assert "Union" in _lib_executed_plan(union)
+
+
+def test_bucketed_fingerprint_state_joins_shuffle_free(spark):
+    """The dedup operators' documented 100 TB mitigation, pinned: the
+    per-fold membership probe (batch anti-join seen-fingerprints) is
+    one shuffle of the BATCH only when the state is persisted
+    bucketed-by-fp — the state-side scan reports its bucketing and is
+    never exchanged, so per-fold network cost is O(batch) even though
+    the state must be read. (The streaming sink keeps plain parquet —
+    this environment's in-memory catalog cannot persist a bucket spec
+    across sessions; on a deployment with a metastore, write the state
+    through sources.bucketed.write_bucketed to claim this plan.)"""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    table = "fp_bucketed_probe_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(wh.removeprefix("file:") + f"/{table}",
+                  ignore_errors=True)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        state = spark.range(10000).select(
+            F.md5(F.col("id").cast("string")).alias("fp"),
+            F.col("id").alias("canonical_id"),
+            F.lit(1).alias("n_copies"),
+        )
+        write_bucketed(state, table, ["fp"], num_buckets=4)
+        seen = read_bucketed(spark, table)
+        batch = spark.range(500).select(
+            F.md5((F.col("id") + 9000).cast("string")).alias("fp")
+        )
+        anti = batch.join(seen.select("fp"), "fp", "left_anti")
+        # AQE's executed string repeats the plan (final + initial
+        # sections) — audit the final section only
+        plan = _lib_executed_plan(anti).split("== Initial Plan ==")[0]
+        assert plan.count("Exchange") == 1, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        # the one exchange is the batch side, sized to the bucket count
+        assert "hashpartitioning(fp" in plan.split("Exchange")[1], plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
