@@ -65,8 +65,27 @@ def main() -> None:
         .option("partitions", parts).load()
     )
 
+    # one-time setup for the incremental-fold probe: the fingerprint
+    # state of the whole synthetic corpus, persisted the way the
+    # streaming fold reads it (parquet, re-read per call so the probe
+    # pays the real scan — setup cost stays outside the timing)
+    import tempfile
+
+    fp_state_dir = tempfile.mkdtemp(prefix="probe_fp_state_") + "/fp"
+    dedup.exact_duplicates(docs).write.mode("overwrite").parquet(
+        fp_state_dir
+    )
+
     probes = {
         "dedup_exact": lambda: dedup.exact_duplicates(docs),
+        # the streaming dedup fold's per-batch cost at corpus-sized
+        # state: 1k-doc batch anti-joined against the |docs| fp state,
+        # delta mode (late r14 — the O(batch) state-write payload);
+        # scaling with `rows` isolates the probe join's state term
+        "dedup_incremental_delta": lambda: dedup.incremental_exact_dedup(
+            docs.limit(1000), spark.read.parquet(fp_state_dir),
+            delta=True,
+        )[1],
         "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(docs),
         "simhash_pairs": lambda: dedup.simhash_near_pairs(
             docs, max_hamming=3, blocks=6
