@@ -43,6 +43,7 @@ from sales_data_warehouse_spark.streaming.ingest import (
     start_streaming_etl,
 )
 from sales_data_warehouse_spark.streaming.documents import (
+    compact_band_state,
     compact_dedup_state,
     dedup_documents_batch,
     near_dedup_documents_batch,
@@ -84,6 +85,7 @@ __all__ = [
     "running_user_totals",
     "read_dedup_state",
     "read_documents_stream",
+    "compact_band_state",
     "compact_dedup_state",
     "dedup_documents_batch",
     "start_streaming_doc_dedup",

@@ -370,6 +370,84 @@ def start_streaming_doc_dedup(
     return writer.start()
 
 
+def _committed_band_batches(
+    spark: SparkSession, state_path: str
+) -> list[int]:
+    """Committed band-state partition ids (``_SUCCESS`` present) —
+    same authority rule as the fingerprint state's scan."""
+    out = []
+    for name in fs_ls(spark, state_path):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs_exists(spark, f"{state_path}/batch_id={b}/_SUCCESS"):
+            out.append(b)
+    return sorted(out)
+
+
+def _recover_band_compaction(
+    spark: SparkSession, output_dir: str
+) -> None:
+    """Finish a :func:`compact_band_state` that crashed mid-commit:
+    the staged merge (``band_compact_tmp_<top>``, the union of every
+    partition BELOW top) survives until the commit completes, so
+    recovery deletes any remaining committed partitions < top and
+    renames the staged table into ``batch_id=-1``. Idempotent; runs
+    before every fold."""
+    state_path = f"{output_dir}/band_state"
+    for name in fs_ls(spark, output_dir):
+        if not name.startswith("band_compact_tmp_"):
+            continue
+        top = int(name.rsplit("_", 1)[1])
+        for b in _committed_band_batches(spark, state_path):
+            if b < top:
+                fs_delete(spark, f"{state_path}/batch_id={b}")
+        fs_mkdirs(spark, state_path)
+        fs_rename(
+            spark, f"{output_dir}/{name}", f"{state_path}/batch_id=-1"
+        )
+
+
+def compact_band_state(spark: SparkSession, output_dir: str) -> int:
+    """Maintenance for the near-dedup sink's append-only band state:
+    merge every committed partition BELOW the newest one into the
+    reserved ``batch_id=-1`` partition and return the number merged.
+    The newest partition is deliberately left alone — it is the only
+    one a checkpoint replay can ever rewrite (earlier batches are
+    checkpoint-committed, and the lineage guard forbids a second
+    lineage), so excluding it means a post-compaction replay
+    overwrites its own partition exactly as before and no state row is
+    ever lost or doubled. Same staged commit/recovery shape as
+    :func:`compact_dedup_state`; must not run concurrently with a
+    fold."""
+    state_path = f"{output_dir}/band_state"
+    recover_staged(spark, state_path)
+    _recover_band_compaction(spark, output_dir)
+    _migrate_band_state(spark, state_path)
+    parts = _committed_band_batches(spark, state_path)
+    if not parts:
+        return 0
+    top = parts[-1]
+    sources = [b for b in parts if b < top]
+    if len(sources) <= 1:
+        return len(sources)
+    tmp = f"{output_dir}/band_compact_tmp_{top}"
+    (
+        spark.read.parquet(state_path)
+        .filter(F.col("batch_id") < top)
+        .drop("batch_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    for b in sources:
+        fs_delete(spark, f"{state_path}/batch_id={b}")
+    fs_rename(spark, tmp, f"{state_path}/batch_id=-1")
+    return len(sources)
+
+
 def _migrate_band_state(spark: SparkSession, state_path: str) -> None:
     """One-time layout migration for a pre-append band state (banded
     rows flat under the state path, written by the old staged swap):
@@ -420,6 +498,7 @@ def near_dedup_documents_batch(
 
     state_path = f"{output_dir}/band_state"
     recover_staged(spark, state_path)
+    _recover_band_compaction(spark, output_dir)
     _migrate_band_state(spark, state_path)
     prior = (
         spark.read.parquet(state_path).drop("batch_id")
@@ -447,8 +526,9 @@ def start_streaming_near_dedup(
     directory: each micro-batch is MinHash-banded once and probed
     against the persisted band state; the unioned ``pairs/`` output
     equals a full-corpus ``minhash_lsh_pairs`` run over everything
-    drained so far (the incremental operator's property). Returns the
-    StreamingQuery.
+    drained so far (the incremental operator's property). Bound the
+    state's partition count occasionally with
+    :func:`compact_band_state`. Returns the StreamingQuery.
 
     ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
     (``compaction.enforce_output_lineage``): a second lineage over the

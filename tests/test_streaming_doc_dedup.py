@@ -516,3 +516,83 @@ def test_near_dedup_legacy_band_state_migrates(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_compact_band_state_preserves_pairs_and_replay(spark, tmp_path):
+    """compact_band_state merges every committed partition BELOW the
+    newest into batch_id=-1 (the newest partition stays — the only one
+    a checkpoint replay can rewrite): state rows identical, the next
+    fold's pairs unaffected, and a replay of the newest batch after
+    compaction still neither loses nor doubles state."""
+    import shutil
+
+    from sales_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from sales_data_warehouse_spark.streaming.documents import (
+        compact_band_state,
+        near_dedup_documents_batch,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    groups = [
+        _docs(spark, [(2 * k, t + f" v{k}"), (2 * k + 1, t + f" v{k} x")])
+        for k in range(4)
+    ]
+    out = str(tmp_path / "near")
+    for k in range(3):
+        near_dedup_documents_batch(spark, groups[k], k, out)
+    rows_before = sorted(map(tuple, spark.read.parquet(
+        f"{out}/band_state"
+    ).drop("batch_id").collect()))
+
+    assert compact_band_state(spark, out) == 2  # batches 0,1 -> -1
+    state = spark.read.parquet(f"{out}/band_state")
+    assert {r["batch_id"] for r in state.select(
+        "batch_id"
+    ).distinct().collect()} == {-1, 2}
+    assert sorted(map(tuple, state.drop("batch_id").collect())) \
+        == rows_before
+
+    # replay of the newest batch post-compaction: state unchanged
+    near_dedup_documents_batch(spark, groups[2], 2, out)
+    assert sorted(map(tuple, spark.read.parquet(
+        f"{out}/band_state"
+    ).drop("batch_id").collect())) == rows_before
+
+    # next fold probes the compacted state; cumulative pairs equal the
+    # full-corpus run
+    near_dedup_documents_batch(spark, groups[3], 3, out)
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in spark.read.parquet(f"{out}/pairs").drop(
+            "batch_id"
+        ).collect()
+    }
+    all_docs = groups[0]
+    for g in groups[1:]:
+        all_docs = all_docs.unionByName(g)
+    want = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(all_docs).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # crash mid-commit: stage the merge by hand, delete one source,
+    # then let the next fold's recovery finish it
+    rows_now = sorted(map(tuple, spark.read.parquet(
+        f"{out}/band_state"
+    ).drop("batch_id").collect()))
+    spark.read.parquet(f"{out}/band_state").filter(
+        F.col("batch_id") < 3
+    ).drop("batch_id").write.parquet(f"{out}/band_compact_tmp_3")
+    shutil.rmtree(f"{out}/band_state/batch_id=-1")
+    b5 = _docs(spark, [(98, "unrelated filler words entirely"),
+                       (99, "unrelated filler words entirely y")])
+    near_dedup_documents_batch(spark, b5, 4, out)  # recovery first
+    got_rows = sorted(
+        r for r in map(tuple, spark.read.parquet(
+            f"{out}/band_state"
+        ).drop("batch_id").collect()) if r[0] < 98
+    )
+    assert got_rows == rows_now
