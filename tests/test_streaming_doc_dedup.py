@@ -596,3 +596,61 @@ def test_compact_band_state_preserves_pairs_and_replay(spark, tmp_path):
         ).drop("batch_id").collect()) if r[0] < 98
     )
     assert got_rows == rows_now
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=1, max_size=12
+    ),
+    cuts=st.sets(st.integers(min_value=1, max_value=11), max_size=3),
+    replay=st.integers(min_value=0, max_value=3),
+    data=st.data(),
+)
+def test_fold_sequence_property(spark, tmp_path_factory, texts, cuts,
+                                replay, data):
+    """Property over the append-only state machine: for ANY partition
+    of a doc list into ordered batches, folding them sequentially
+    admits exactly the global first-seen copy of each distinct text —
+    and replaying any random earlier batch (with a poisoned frame, so
+    a wrong recompute would show) changes nothing. Mirrors the truth
+    in plain Python, not via the operator under test."""
+    docs = [(i, f"text {t}") for i, t in enumerate(texts)]
+    bounds = sorted(b for b in cuts if b < len(docs))
+    batches, lo = [], 0
+    for b in bounds + [len(docs)]:
+        if b > lo:
+            batches.append(docs[lo:b])
+            lo = b
+    out = str(tmp_path_factory.mktemp("fold_prop") / "dedup")
+    for bid, rows in enumerate(batches):
+        dedup_documents_batch(spark, _docs(spark, rows), bid, out)
+    # python-mirror truth: first doc id per distinct text
+    seen, want = set(), []
+    for i, t in docs:
+        if t not in seen:
+            seen.add(t)
+            want.append(i)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    assert got == sorted(want)
+    # replay an arbitrary already-folded batch with a poisoned frame:
+    # the mark must skip it outright
+    bid = replay % len(batches)
+    poisoned = _docs(spark, [(999, "poison never seen")])
+    dedup_documents_batch(spark, poisoned, bid, out)
+    again = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    assert again == sorted(want)
