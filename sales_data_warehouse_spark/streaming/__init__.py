@@ -47,6 +47,7 @@ from sales_data_warehouse_spark.streaming.documents import (
     compact_dedup_state,
     dedup_documents_batch,
     near_dedup_documents_batch,
+    read_band_state,
     read_dedup_state,
     read_documents_stream,
     start_streaming_doc_dedup,
@@ -83,6 +84,7 @@ __all__ = [
     "dedupe_within",
     "start_streaming_etl",
     "running_user_totals",
+    "read_band_state",
     "read_dedup_state",
     "read_documents_stream",
     "compact_band_state",

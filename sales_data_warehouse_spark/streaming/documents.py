@@ -448,6 +448,20 @@ def compact_band_state(spark: SparkSession, output_dir: str) -> int:
     return len(sources)
 
 
+def read_band_state(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The near-dedup sink's band state as one DataFrame (the
+    :func:`~sales_data_warehouse_spark.operators.dedup.banded_signatures`
+    schema) — the union of the append-only ``band_state/batch_id=N``
+    partitions, recovered and migrated first so readers never see a
+    half-committed layout (the read-side twin of
+    :func:`read_dedup_state`)."""
+    state_path = f"{output_dir}/band_state"
+    recover_staged(spark, state_path)
+    _recover_band_compaction(spark, output_dir)
+    _migrate_band_state(spark, state_path)
+    return spark.read.parquet(state_path).drop("batch_id")
+
+
 def _migrate_band_state(spark: SparkSession, state_path: str) -> None:
     """One-time layout migration for a pre-append band state (banded
     rows flat under the state path, written by the old staged swap):

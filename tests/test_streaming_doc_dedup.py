@@ -547,6 +547,12 @@ def test_compact_band_state_preserves_pairs_and_replay(spark, tmp_path):
     ).drop("batch_id").collect()))
 
     assert compact_band_state(spark, out) == 2  # batches 0,1 -> -1
+    from sales_data_warehouse_spark.streaming.documents import (
+        read_band_state,
+    )
+
+    assert sorted(map(tuple, read_band_state(spark, out).collect())) \
+        == rows_before
     state = spark.read.parquet(f"{out}/band_state")
     assert {r["batch_id"] for r in state.select(
         "batch_id"
