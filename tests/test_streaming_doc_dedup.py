@@ -660,3 +660,55 @@ def test_fold_sequence_property(spark, tmp_path_factory, texts, cuts,
         for r in spark.read.parquet(f"{out}/admitted").collect()
     )
     assert again == sorted(want)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    variants=st.lists(
+        st.integers(min_value=0, max_value=2), min_size=2, max_size=8
+    ),
+    cuts=st.sets(st.integers(min_value=1, max_value=7), max_size=2),
+)
+def test_near_dedup_fold_sequence_property(spark, tmp_path_factory,
+                                           variants, cuts):
+    """Property over the append-only band state: for ANY partition of
+    a doc list into ordered batches, the unioned per-batch pairs equal
+    one full-corpus minhash_lsh_pairs run — the incremental operator's
+    contract carried through the fold's persistence path."""
+    from sales_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from sales_data_warehouse_spark.streaming.documents import (
+        near_dedup_documents_batch,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "sphinx of black quartz judge my vow before sundown",
+    ]
+    docs = [(i, base[v] + f" t{i % 2}") for i, v in enumerate(variants)]
+    bounds = sorted(b for b in cuts if b < len(docs))
+    batches, lo = [], 0
+    for b in bounds + [len(docs)]:
+        if b > lo:
+            batches.append(docs[lo:b])
+            lo = b
+    out = str(tmp_path_factory.mktemp("near_prop") / "near")
+    for bid, rows in enumerate(batches):
+        near_dedup_documents_batch(spark, _docs(spark, rows), bid, out)
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in spark.read.parquet(f"{out}/pairs").drop(
+            "batch_id"
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(_docs(spark, docs)).collect()
+    }
+    assert got == want
