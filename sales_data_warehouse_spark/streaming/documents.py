@@ -87,6 +87,19 @@ def read_documents_stream(
     )
 
 
+def _must_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename or die loudly: every state-layout rename below moves the
+    ONLY copy of some rows, so a silent False from the Hadoop rename
+    (dst exists, src vanished, permission) must never read as success
+    — the next reader would see a state with those rows invisible."""
+    if not fs_rename(spark, src, dst):
+        raise IOError(
+            f"state rename failed: {src} -> {dst} (does the "
+            "destination already exist?). The state layout is "
+            "mid-transition; resolve the paths before restarting."
+        )
+
+
 def _committed_batches(spark: SparkSession, fp_dir: str) -> list[int]:
     """batch ids of fully-written state partitions — those whose
     directory carries the ``_SUCCESS`` job-commit marker. A partition
@@ -137,7 +150,9 @@ def _recover_fp_compaction(spark: SparkSession, state_path: str) -> None:
             if b <= m:
                 fs_delete(spark, f"{fp_dir}/batch_id={b}")
         fs_mkdirs(spark, fp_dir)
-        fs_rename(spark, f"{state_path}/{name}", f"{fp_dir}/batch_id={m}")
+        _must_rename(
+            spark, f"{state_path}/{name}", f"{fp_dir}/batch_id={m}"
+        )
 
 
 def _migrate_v2_state(spark: SparkSession, state_path: str) -> None:
@@ -156,7 +171,7 @@ def _migrate_v2_state(spark: SparkSession, state_path: str) -> None:
             n.startswith("batch_id=") for n in fs_ls(spark, fp_dir)
         ):
             return  # already the append layout
-        fs_rename(spark, fp_dir, mig)
+        _must_rename(spark, fp_dir, mig)
     mark = fs_read_text(spark, f"{state_path}/_last_batch")
     if mark is None:
         raise IOError(
@@ -166,7 +181,7 @@ def _migrate_v2_state(spark: SparkSession, state_path: str) -> None:
             f"rename {mig} back to {fp_dir}) before restarting."
         )
     fs_mkdirs(spark, fp_dir)
-    fs_rename(spark, mig, f"{fp_dir}/batch_id={int(mark)}")
+    _must_rename(spark, mig, f"{fp_dir}/batch_id={int(mark)}")
 
 
 def read_dedup_state(spark: SparkSession, output_dir: str) -> DataFrame:
@@ -218,7 +233,7 @@ def compact_dedup_state(spark: SparkSession, output_dir: str) -> int:
     )
     for b in parts:
         fs_delete(spark, f"{fp_dir}/batch_id={b}")
-    fs_rename(spark, tmp, f"{fp_dir}/batch_id={mark}")
+    _must_rename(spark, tmp, f"{fp_dir}/batch_id={mark}")
     return len(parts)
 
 
@@ -406,7 +421,7 @@ def _recover_band_compaction(
             if b < top:
                 fs_delete(spark, f"{state_path}/batch_id={b}")
         fs_mkdirs(spark, state_path)
-        fs_rename(
+        _must_rename(
             spark, f"{output_dir}/{name}", f"{state_path}/batch_id=-1"
         )
 
@@ -444,7 +459,7 @@ def compact_band_state(spark: SparkSession, output_dir: str) -> int:
     )
     for b in sources:
         fs_delete(spark, f"{state_path}/batch_id={b}")
-    fs_rename(spark, tmp, f"{state_path}/batch_id=-1")
+    _must_rename(spark, tmp, f"{state_path}/batch_id=-1")
     return len(sources)
 
 
@@ -477,9 +492,9 @@ def _migrate_band_state(spark: SparkSession, state_path: str) -> None:
             n.startswith("batch_id=") for n in fs_ls(spark, state_path)
         ):
             return  # already the append layout
-        fs_rename(spark, state_path, mig)
+        _must_rename(spark, state_path, mig)
     fs_mkdirs(spark, state_path)
-    fs_rename(spark, mig, f"{state_path}/batch_id=-1")
+    _must_rename(spark, mig, f"{state_path}/batch_id=-1")
 
 
 def near_dedup_documents_batch(
