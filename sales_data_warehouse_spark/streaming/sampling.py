@@ -38,7 +38,11 @@ from sales_data_warehouse_spark.operators.sampling import (
     weighted_sample_incremental,
 )
 from sales_data_warehouse_spark.sources.compaction import (
+    fs_delete,
     fs_exists,
+    fs_ls,
+    fs_read_text,
+    fs_write_text,
     recover_staged,
     staged_overwrite,
 )
@@ -64,21 +68,37 @@ def reservoir_fold_batch(
     the rewrite.
 
     State layout: ``{reservoir_path}/rows`` holds the ≤k-row sample
-    (document columns + ``aes_key``); ``{reservoir_path}/
-    _ingest_batches/<namespace>/batch_id=N`` are the replay markers
-    (``marker_namespace`` scopes them because batch_id is unique only
-    within one checkpoint lineage — see ``streaming.embeddings``)."""
+    (document columns + ``aes_key``);
+    ``{reservoir_path}/_ingest_batches/<namespace>/_last_batch`` is
+    the replay high-water mark (``marker_namespace`` scopes it because
+    batch_id is unique only within one checkpoint lineage — see
+    ``streaming.embeddings``). Late r14: the mark file replaced one
+    per-batch marker DIRECTORY per trigger — unbounded tiny-dir
+    accumulation for an O(1) check the single mark answers; safe here
+    precisely because a torn or lost mark merely re-folds, and the
+    fold is id-idempotent. Pre-existing per-batch markers are honored
+    and retired as the mark passes them."""
     ns = f"{marker_namespace}/" if marker_namespace else ""
-    marker = f"{reservoir_path}/_ingest_batches/{ns}batch_id={batch_id}"
+    marker_dir = f"{reservoir_path}/_ingest_batches/{ns}"
+    mark_file = f"{marker_dir}_last_batch"
     rows_path = f"{reservoir_path}/rows"
     # A fold that crashed between staged_overwrite's two renames leaves
     # `rows` missing and `rows.stage_old` holding the pre-crash
     # reservoir. Reading "missing" as "first batch" here would SILENTLY
     # RESET the reservoir to the current batch (r11 review) — restore
-    # the pre-swap state first; the interrupted batch has no marker, so
-    # it re-folds idempotently on top of the restored rows.
+    # the pre-swap state first; the interrupted batch has no mark yet,
+    # so it re-folds idempotently on top of the restored rows.
     recover_staged(spark, rows_path)
-    if not fs_exists(spark, marker):
+    mark = fs_read_text(spark, mark_file)
+    done = False
+    if mark is not None:
+        try:
+            done = int(mark) >= batch_id
+        except ValueError:
+            pass  # torn mark write: re-fold (idempotent), then rewrite
+    if not done:
+        done = fs_exists(spark, f"{marker_dir}batch_id={batch_id}")
+    if not done:
         prev = (
             spark.read.parquet(rows_path)
             if fs_exists(spark, rows_path)
@@ -88,12 +108,19 @@ def reservoir_fold_batch(
             batch_df, prev, weight_col, k, id_col
         )
         staged_overwrite(spark, folded, rows_path)
-        # marker AFTER the swap: a crash before it re-folds an
+        # mark AFTER the swap: a crash before it re-folds an
         # already-absorbed batch on replay, which the id-idempotent
         # fold turns into a no-op (module docstring)
-        spark.createDataFrame(
-            [(batch_id,)], "batch_id long"
-        ).write.mode("overwrite").parquet(marker)
+        fs_write_text(spark, mark_file, str(batch_id))
+        # retire legacy per-batch marker dirs the mark now supersedes
+        for name in fs_ls(spark, marker_dir.rstrip("/")):
+            if name.startswith("batch_id="):
+                try:
+                    b = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b <= batch_id:
+                    fs_delete(spark, f"{marker_dir}{name}")
     return spark.read.parquet(rows_path).count()
 
 

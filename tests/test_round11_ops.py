@@ -109,7 +109,6 @@ def test_reservoir_fold_batch_replay_semantics(spark, tmp_path):
     """The plain fold function: marker skips a re-delivered batch; even
     WITHOUT the marker a re-fold is a no-op (id-idempotent merge), so
     the crash window between swap and marker changes nothing."""
-    from sales_data_warehouse_spark.sources.compaction import fs_delete
     from sales_data_warehouse_spark.streaming import reservoir_fold_batch
 
     res = str(tmp_path / "res")
@@ -130,10 +129,32 @@ def test_reservoir_fold_batch_replay_semantics(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()
     } == after
-    # crash-window replay: marker gone, fold actually re-runs — the
-    # id-idempotent merge must leave the reservoir unchanged
-    fs_delete(spark, f"{res}/_ingest_batches/batch_id=0")
-    reservoir_fold_batch(spark, res, b0, 0, "n_chars", 25)
+    # crash-window replay (late r14 mark design): the swap landed but
+    # the mark write didn't — simulate by winding the mark back one
+    # batch, then replay the LAST batch; the fold actually re-runs and
+    # the id-idempotent merge must leave the reservoir unchanged
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+        fs_write_text,
+    )
+
+    fs_write_text(spark, f"{res}/_ingest_batches/_last_batch", "0")
+    reservoir_fold_batch(spark, res, b1, 1, "n_chars", 25)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()
+    } == after
+    assert fs_read_text(spark, f"{res}/_ingest_batches/_last_batch") == "1"
+    # legacy per-batch marker dirs are honored: plant one for a new
+    # batch id and the fold must skip it outright — proven with a
+    # POISONED batch whose giant weights would displace every
+    # reservoir row if the fold actually ran
+    poisoned = docs.selectExpr(
+        "doc_id + 1000000 AS doc_id", "lang", "n_chars * 1000 AS n_chars"
+    )
+    spark.createDataFrame([(9,)], "batch_id long").write.parquet(
+        f"{res}/_ingest_batches/batch_id=9"
+    )
+    assert reservoir_fold_batch(spark, res, poisoned, 9, "n_chars", 25) == 25
     assert {
         r.doc_id for r in spark.read.parquet(f"{res}/rows").collect()
     } == after
