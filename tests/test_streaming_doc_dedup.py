@@ -87,11 +87,12 @@ def test_replay_before_state_commit_recomputes_identically(
 
 def test_replay_skips_via_high_water_mark(spark, batches, tmp_path):
     """r14: replay detection is an O(1) mark comparison, not a
-    state-sized anti-join — the ``_last_batch`` mark lands atomically
-    with the fingerprint generation (finalize hook inside the staged
-    swap) and a replayed batch is skipped without touching the batch
-    data at all. Proven by replaying a POISONED batch frame: the
-    pre-r14 containment check would have joined it (and found fresh
+    state-sized anti-join — the ``_last_batch`` mark advances only
+    after the batch's state partition commits (late r14: append-only
+    layout; a torn mark falls back to the partition ``_SUCCESS`` scan)
+    and a replayed batch is skipped without touching the batch data at
+    all. Proven by replaying a POISONED batch frame: the pre-r14
+    containment check would have joined it (and found fresh
     fingerprints, wrongly recomputing); the mark path must return
     before any read of the batch."""
     from sales_data_warehouse_spark.sources.compaction import (
