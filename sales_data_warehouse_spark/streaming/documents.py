@@ -79,7 +79,13 @@ def read_documents_stream(
     """File-source stream over a documents drop directory (parquet).
     One file per trigger by default so multi-file backfills exercise
     the batch-over-batch state path instead of collapsing into one
-    giant batch."""
+    giant batch.
+
+    Drop-dir gotcha: Spark's file source does not recurse, and a
+    "file" written by Spark itself (``df.write.parquet(drop/x)``) is a
+    DIRECTORY — point the stream at ``drop_dir + "/*"`` in that case
+    or the source silently finds zero files. Plain parquet files
+    (e.g. ``pyarrow.parquet.write_table``) work with the bare dir."""
     return (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

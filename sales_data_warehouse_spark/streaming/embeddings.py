@@ -68,7 +68,8 @@ def read_embeddings_stream(
 ) -> DataFrame:
     """File-source stream over an embeddings drop directory (parquet),
     one file per trigger by default — same backfill-exercises-the-
-    state-path rationale as ``read_documents_stream``."""
+    state-path rationale (and the same Spark-written-subdirectory
+    glob gotcha) as ``read_documents_stream``."""
     return (
         spark.readStream.schema(EMBEDDINGS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
