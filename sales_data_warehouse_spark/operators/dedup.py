@@ -113,6 +113,7 @@ def incremental_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     delta: bool = False,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-over-batch exact dedup: admit only documents whose text was
     never seen — in any prior batch (``seen_fingerprints``) or earlier
@@ -146,16 +147,30 @@ def incremental_exact_dedup(
     and lets the state live as an append-only partitioned table (the
     streaming fold's layout since r14 —
     ``streaming.documents.dedup_documents_batch``).
+
+    ``materialize=True`` localCheckpoints the fresh-fingerprint set
+    before both return values are built from it. Both returned frames
+    embed that set — a caller that ACTIONS both (the streaming fold
+    writes admitted AND the state delta) would otherwise run the
+    batch aggregation and, far worse, the state-sized anti-join scan
+    TWICE per fold; the checkpoint (batch-sized, released by the
+    ContextCleaner — the ``incremental_minhash_lsh`` precedent) makes
+    it once. Default off: single-action callers (the corpus entries,
+    the scale probe) keep the pure lazy plan.
     """
     batch = exact_duplicates(new_docs, text_col, id_col)
     if seen_fingerprints is None:
         fresh_fp = batch
-        state = batch
     else:
         fresh_fp = batch.join(
             seen_fingerprints.select("fp"), "fp", "left_anti"
         )
-        state = fresh_fp if delta else seen_fingerprints.unionByName(fresh_fp)
+    if materialize:
+        fresh_fp = fresh_fp.localCheckpoint()
+    if seen_fingerprints is None or delta:
+        state = fresh_fp
+    else:
+        state = seen_fingerprints.unionByName(fresh_fp)
     fresh = new_docs.join(
         fresh_fp.select(
             "fp", F.col("canonical_id").alias(f"__canon_{id_col}")

@@ -345,7 +345,12 @@ def dedup_documents_batch(
         return
     else:
         prior = None
-    fresh, delta = incremental_exact_dedup(batch_df, prior, delta=True)
+    # materialize: the admitted write and the delta write both embed
+    # the fresh-fingerprint anti-join — without the checkpoint each
+    # fold scans the state TWICE (operator docstring)
+    fresh, delta = incremental_exact_dedup(
+        batch_df, prior, delta=True, materialize=True
+    )
     fresh.write.mode("overwrite").parquet(admitted_path)
     delta.write.mode("overwrite").parquet(f"{fp_dir}/batch_id={batch_id}")
     fs_write_text(spark, f"{state_path}/_last_batch", str(batch_id))
