@@ -713,3 +713,73 @@ def test_near_dedup_fold_sequence_property(spark, tmp_path_factory,
         for r in minhash_lsh_pairs(_docs(spark, docs)).collect()
     }
     assert got == want
+
+
+def test_v2_migration_resumes_after_crash(spark, batches, tmp_path):
+    """A v2 migration that crashed after its first rename leaves the
+    flat table waiting at fp.v2mig; the next fold must finish the move
+    (into batch_id=<mark>) before reading anything."""
+    import shutil
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    # rebuild the v2 layout, then simulate the crash: flat table
+    # already renamed to the migration waypoint, fp/ gone
+    flat = str(tmp_path / "v2_flat")
+    spark.read.parquet(f"{out}/fingerprints/fp").drop(
+        "batch_id"
+    ).write.parquet(flat)
+    shutil.rmtree(f"{out}/fingerprints/fp")
+    shutil.move(flat, f"{out}/fingerprints/fp.v2mig")
+
+    dedup_documents_batch(spark, b2, 1, out)
+    state = spark.read.parquet(f"{out}/fingerprints/fp")
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in state.groupBy("batch_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert per_batch == {0: 2, 1: 1}
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == [1, 2, 5]
+
+
+def test_missing_mark_file_falls_back_to_success_scan(
+    spark, batches, tmp_path
+):
+    """A DELETED mark file (not just torn) must also resolve through
+    the partition _SUCCESS scan: the poisoned replay is still skipped
+    and the next real fold re-stamps the mark."""
+    import os
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+    )
+
+    out = str(tmp_path / "dedup")
+    b1, b2 = batches
+    dedup_documents_batch(spark, b1, 0, out)
+    dedup_documents_batch(spark, b2, 1, out)
+    before = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    )
+    os.remove(f"{out}/fingerprints/_last_batch")
+    poisoned = _docs(spark, [(99, "never seen text")])
+    dedup_documents_batch(spark, poisoned, 1, out)  # replay of batch 1
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == before
+    # a real next fold recomputes the mark from the scan and re-stamps
+    b3 = _docs(spark, [(7, "delta text")])
+    dedup_documents_batch(spark, b3, 2, out)
+    assert fs_read_text(spark, f"{out}/fingerprints/_last_batch") == "2"
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted").collect()
+    ) == before + [7]
