@@ -253,13 +253,19 @@ def repetition_stats(
     distinct-token ratio, most-frequent-token share, duplicate 2-gram
     and 3-gram fractions.
 
-    Plan: the n-gram fractions come from one array projection per doc
-    (tokens materialized in their own select — see the
-    ``shingles_from_tokens`` PERF note); the top-token share needs a
-    within-doc mode, done relationally (explode -> two groupBys on
-    ``doc_id``) and joined back — both sides shuffle on the same key.
+    Plan: ONE scan, ONE projection, ZERO shuffles. Every signal —
+    including the top-token share — is per-document, so nothing here
+    ever needs data from another row: the within-doc mode is the
+    longest equal-run of the SORTED token array (``array_sort`` + one
+    ``aggregate`` run-length pass), not a corpus-wide
+    explode -> groupBy -> join-back (the pre-optimization shape, which
+    shuffled every token of every document twice and re-joined on
+    ``doc_id`` — 3 Exchanges for a quantity each row already holds; at
+    100 TB that was a full corpus-token shuffle for a per-row scalar).
     All arithmetic is integer counts + one rounded double division, so
-    both engines produce bit-identical results.
+    both engines produce bit-identical results. Rows with NULL text are
+    excluded, matching the explode formulation (explode of a NULL token
+    array emitted nothing, and the inner join dropped the doc).
     """
     w = F.col("_w")
 
@@ -281,10 +287,35 @@ def repetition_stats(
         )
 
     n_tok = F.size(w).cast("bigint")
+    # Within-doc mode as a pure array expression: sort the tokens, then
+    # one O(n) run-length fold — the longest run of equal adjacent
+    # elements IS the max token count. `eqNullSafe` only ever compares
+    # against the initial NULL sentinel (split() never yields NULL
+    # elements), and `split` of a non-NULL string is never empty (even
+    # "" tokenizes to [""]), so best >= 1 for every surviving row —
+    # identical to what the explode+groupBy+max path produced.
+    _run = lambda acc, x: F.when(  # noqa: E731 — shared by two fields
+        x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1).cast("bigint")
+    ).otherwise(F.lit(1).cast("bigint"))
+    top_cnt = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     base = (
         docs.select(
             F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
         )
+        .filter(w.isNotNull())
         .select(
             id_col,
             n_tok.alias("n_tokens"),
@@ -293,17 +324,8 @@ def repetition_stats(
             F.size(F.array_distinct(grams(2))).cast("bigint").alias("d2"),
             (n_tok - 2).alias("n_3grams"),
             F.size(F.array_distinct(grams(3))).cast("bigint").alias("d3"),
+            top_cnt.alias("top_cnt"),
         )
-    )
-    top = (
-        docs.select(
-            F.col(id_col),
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-        )
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_cnt"))
     )
 
     def frac(num, den):
@@ -311,7 +333,7 @@ def repetition_stats(
             den > 0, F.round(num.cast("double") / den, 6)
         ).otherwise(F.lit(0.0))
 
-    return base.join(top, id_col).select(
+    return base.select(
         id_col,
         "n_tokens",
         frac(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_ratio"),

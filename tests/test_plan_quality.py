@@ -247,6 +247,61 @@ def test_gopher_filter_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_repetition_stats_is_shuffle_free(spark):
+    # r14 optimization: every repetition signal is per-document, so the
+    # whole query is one projection over the scan — the within-doc mode
+    # comes from an array_sort + run-length aggregate, not the old
+    # explode -> groupBy(doc,tok) -> groupBy(doc) -> join-back (which
+    # shuffled every corpus token twice for a per-row scalar). An
+    # Exchange or Generate here means the single-scan shape regressed.
+    plan = _lib_executed_plan(QUERIES["repetition_quality"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]
+
+
+def test_repetition_stats_mode_matches_relational(spark):
+    # the run-length fold over the sorted token array must agree with
+    # the relational mode (explode + count + max) it replaced
+    from pyspark.sql import functions as F
+
+    from sales_data_warehouse_spark.operators.text import (
+        repetition_stats,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # mode a x3 of 5
+            (2, "x x x x"),            # single token repeated
+            (3, "all tokens distinct here"),
+            (4, ""),                   # split("") -> [""] -> top_cnt 1
+            (5, "tie tie break break"),  # two runs of 2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.top_token_frac
+        for r in repetition_stats(docs).collect()
+    }
+    rel = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    n = docs.select(
+        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("n")
+    )
+    want = {
+        r.doc_id: round(r.top_cnt / r.n, 6)
+        for r in rel.join(n, "doc_id").collect()
+    }
+    assert got == want
+
+
 def test_classifier_apply_is_shuffle_free(spark):
     # r13: the fitted-classifier apply side is quality_logit's plan —
     # one codegen projection over the scan; an Exchange here means the
