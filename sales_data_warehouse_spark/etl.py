@@ -88,14 +88,43 @@ def run_etl(
         # Write each dimension BEFORE the fact build and re-read it from
         # parquet: the fact (and dense cube) otherwise re-executes every
         # dimension's window pipeline once per downstream action.
-        write_table(invalid, f"{output_dir}/invalid")
+        #
+        # The four writes below are INDEPENDENT jobs (invalid reads the
+        # cached landing; each dimension reads the already-written
+        # cleansed parquet), so they are submitted from a small thread
+        # pool instead of sequentially: Spark's scheduler runs them
+        # concurrently, and each job's tail (the straggling last tasks
+        # of a write) is back-filled by the next job's tasks instead of
+        # leaving the executors idle. Sequentially these writes cost
+        # sum(job_i); overlapped they cost ~max(job_i) when the cluster
+        # has headroom — which it does here by construction, since each
+        # is a small dimension-sized output next to the fact.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(args: tuple[DataFrame, str]) -> None:
+            df, name = args
+            # job descriptions are thread-local — label each concurrent
+            # job so the UI attributes tasks to the right write
+            spark.sparkContext.setJobDescription(f"etl: write {name}")
+            write_table(df, f"{output_dir}/{name}")
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    _write,
+                    [
+                        (invalid, "invalid"),
+                        (time_dim, "time_dimension"),
+                        (loc_dim, "location_dimension"),
+                        (prod_dim, "product_dimension"),
+                    ],
+                )
+            )
+        spark.sparkContext.setJobDescription(None)
         # both landing consumers (cleansed, invalid) are materialized;
         # drop the cached parse. Blocking=False: eviction is async, the
         # returned landing plan stays valid (recomputes if re-used).
         landing.unpersist()
-        write_table(time_dim, f"{output_dir}/time_dimension")
-        write_table(loc_dim, f"{output_dir}/location_dimension")
-        write_table(prod_dim, f"{output_dir}/product_dimension")
         time_dim = spark.read.parquet(f"{output_dir}/time_dimension")
         loc_dim = spark.read.parquet(f"{output_dir}/location_dimension")
         prod_dim = spark.read.parquet(f"{output_dir}/product_dimension")

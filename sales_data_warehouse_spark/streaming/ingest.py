@@ -141,13 +141,42 @@ def start_streaming_etl(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        cleansed, invalid = cleanse_stream(batch_df)
-        (
-            cleansed.write.mode("append")
-            .partitionBy("order_date")
-            .parquet(f"{output_dir}/cleansed")
-        )
-        invalid.write.mode("append").parquet(f"{output_dir}/invalid")
+        # Persist the micro-batch once: BOTH sinks derive from it, and
+        # without the persist each write re-reads (re-parses) the
+        # batch's CSV files from the source — two source scans per
+        # micro-batch. The two writes are independent jobs over the
+        # cached batch, so they are submitted concurrently: each
+        # write's task tail back-fills with the other's tasks instead
+        # of idling the executors (the run_etl dimension-write pattern).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import StorageLevel
+
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            cleansed, invalid = cleanse_stream(batch_df)
+
+            def _write_cleansed() -> None:
+                (
+                    cleansed.write.mode("append")
+                    .partitionBy("order_date")
+                    .parquet(f"{output_dir}/cleansed")
+                )
+
+            def _write_invalid() -> None:
+                invalid.write.mode("append").parquet(
+                    f"{output_dir}/invalid"
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futures = [
+                    pool.submit(_write_cleansed),
+                    pool.submit(_write_invalid),
+                ]
+                for f in futures:
+                    f.result()
+        finally:
+            batch_df.unpersist()
 
     landing = read_sales_csv_stream(spark, drop_dir)
     writer = landing.writeStream.foreachBatch(sink).option(
