@@ -28,6 +28,33 @@ REQUIRED_CONF = {
     "spark.sql.session.timeZone": "UTC",
 }
 
+def _default_shuffle_partitions() -> str:
+    """Shuffle-partition default: scale-adaptive, not a constant.
+
+    The right value is a function of the deployment, not of this code:
+    size post-shuffle partitions toward the 100 MB-1 GB range and let
+    AQE coalesce the small ones. Resolution order:
+
+    * ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` — explicit production override
+      (a cluster deployment sets this to ~2-3x total executor cores, or
+      higher and lets AQE coalescing pull each stage back down).
+    * ``SPARK_GRAFT_CPUS`` — the local-mode core count the bench runs
+      under; partitions == cores is the right local default (every
+      shuffle here is far below one advisory partition size, so more
+      partitions is pure per-task overhead, and fewer would idle
+      cores on the rare large shuffle AQE cannot split).
+    * 32 — the historical constant, kept as the last-resort fallback so
+      bench numbers stay round-comparable on the 32-core driver box.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit and explicit.isdigit() and int(explicit) > 0:
+        return explicit
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus.isdigit() and int(cpus) > 0:
+        return cpus
+    return "32"
+
+
 #: Scale/perf defaults — overridable per session.
 DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
@@ -47,7 +74,7 @@ DEFAULT_CONF = {
     # whole-stage codegen at the default 100-field cap and run ~2.5x
     # slower interpreted.
     "spark.sql.codegen.maxFields": "512",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
