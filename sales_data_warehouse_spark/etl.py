@@ -74,60 +74,70 @@ def run_etl(
         landing = landing.persist(StorageLevel.MEMORY_AND_DISK)
     cleansed, invalid = cleanse(landing)
     if output_dir:
-        # Materialize cleansed once: three dims + fact all consume it.
-        write_table(cleansed, f"{output_dir}/cleansed")
-        cleansed = spark.read.parquet(f"{output_dir}/cleansed")
-    else:
-        cleansed = cleansed.cache()
-
-    time_dim = build_time_dimension(cleansed)
-    loc_dim = build_location_dimension(cleansed)
-    prod_dim = build_product_dimension(cleansed)
-
-    if output_dir:
-        # Write each dimension BEFORE the fact build and re-read it from
-        # parquet: the fact (and dense cube) otherwise re-executes every
-        # dimension's window pipeline once per downstream action.
-        #
-        # The four writes below are INDEPENDENT jobs (invalid reads the
-        # cached landing; each dimension reads the already-written
-        # cleansed parquet), so they are submitted from a small thread
-        # pool instead of sequentially: Spark's scheduler runs them
-        # concurrently, and each job's tail (the straggling last tasks
-        # of a write) is back-filled by the next job's tasks instead of
-        # leaving the executors idle. Sequentially these writes cost
-        # sum(job_i); overlapped they cost ~max(job_i) when the cluster
-        # has headroom — which it does here by construction, since each
-        # is a small dimension-sized output next to the fact.
+        # Independent jobs are submitted from a small thread pool so the
+        # scheduler overlaps them: each job's tail (the straggling last
+        # tasks of a write) is back-filled by the next job's tasks
+        # instead of leaving the executors idle. Sequentially the writes
+        # cost sum(job_i); overlapped they cost ~max(job_i) when the
+        # cluster has headroom — which it has here by construction,
+        # since each is a small dimension-sized output next to the
+        # fact. Two phases:
+        #   A) cleansed + invalid (both read only the cached landing;
+        #      concurrent materialization of the same cached partitions
+        #      is safe — Spark's block manager computes each missing
+        #      block once and the other job waits on the block lock);
+        #   B) the three dimensions (each reads the cleansed parquet
+        #      written in phase A).
         from concurrent.futures import ThreadPoolExecutor
 
-        def _write(args: tuple[DataFrame, str]) -> None:
-            df, name = args
+        def _write(args: tuple[DataFrame, str, list | None]) -> None:
+            df, name, part = args
             # job descriptions are thread-local — label each concurrent
             # job so the UI attributes tasks to the right write
             spark.sparkContext.setJobDescription(f"etl: write {name}")
-            write_table(df, f"{output_dir}/{name}")
+            write_table(df, f"{output_dir}/{name}", partition_by=part)
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             list(
                 pool.map(
                     _write,
                     [
-                        (invalid, "invalid"),
-                        (time_dim, "time_dimension"),
-                        (loc_dim, "location_dimension"),
-                        (prod_dim, "product_dimension"),
+                        (cleansed, "cleansed", None),
+                        (invalid, "invalid", None),
+                    ],
+                )
+            )
+            # both landing consumers are materialized; drop the cached
+            # parse. Blocking=False: eviction is async, the returned
+            # landing plan stays valid (recomputes if re-used).
+            landing.unpersist()
+            cleansed = spark.read.parquet(f"{output_dir}/cleansed")
+            time_dim = build_time_dimension(cleansed)
+            loc_dim = build_location_dimension(cleansed)
+            prod_dim = build_product_dimension(cleansed)
+            # Write each dimension BEFORE the fact build and re-read it
+            # from parquet: the fact (and dense cube) otherwise
+            # re-executes every dimension's window pipeline once per
+            # downstream action.
+            list(
+                pool.map(
+                    _write,
+                    [
+                        (time_dim, "time_dimension", None),
+                        (loc_dim, "location_dimension", None),
+                        (prod_dim, "product_dimension", None),
                     ],
                 )
             )
         spark.sparkContext.setJobDescription(None)
-        # both landing consumers (cleansed, invalid) are materialized;
-        # drop the cached parse. Blocking=False: eviction is async, the
-        # returned landing plan stays valid (recomputes if re-used).
-        landing.unpersist()
         time_dim = spark.read.parquet(f"{output_dir}/time_dimension")
         loc_dim = spark.read.parquet(f"{output_dir}/location_dimension")
         prod_dim = spark.read.parquet(f"{output_dir}/product_dimension")
+    else:
+        cleansed = cleansed.cache()
+        time_dim = build_time_dimension(cleansed)
+        loc_dim = build_location_dimension(cleansed)
+        prod_dim = build_product_dimension(cleansed)
 
     fact = build_fact(cleansed, prod_dim, loc_dim, time_dim)
     if dense:
