@@ -197,10 +197,16 @@ def test_r13_plan_satisfies_the_rotation_policy():
     assert not set(plan) & set(R12_FIRST_50_PLAN)
     # SLIP ELIGIBILITY is machine-checked, not just claimed: every
     # designated slip carries >= 3 hard rows, the latest in r10 (the
-    # cohort the r13 slips must come from)
+    # cohort the r13 slips must come from). Eligibility is judged AS OF
+    # the r12 swap when this plan was composed — CORRECTNESS files from
+    # later rounds legitimately re-row these entries (the r13 slips
+    # lead the r14 window by design) and must not invalidate the
+    # historical claim.
     hist = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(path.split("_r")[1].split(".")[0])
+        if rnd > 12:
+            continue
         with open(path) as fh:
             for name in json.load(fh):
                 hist.setdefault(name, []).append(rnd)
@@ -300,10 +306,13 @@ def test_r14_plan_satisfies_the_rotation_policy():
     # designated slip carries >= 3 hard rows, the latest in r11 (the
     # cohort the r14 slips must come from) — which also pins that the
     # four single-rowed and two double-rowed cohort members were NOT
-    # designated
+    # designated. Judged AS OF the r13 swap when this plan was
+    # composed — later rounds legitimately re-row slipped entries.
     hist = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(path.split("_r")[1].split(".")[0])
+        if rnd > 13:
+            continue
         with open(path) as fh:
             for name in json.load(fh):
                 hist.setdefault(name, []).append(rnd)
@@ -427,10 +436,14 @@ def test_r15_plan_satisfies_the_rotation_policy():
     # designated slip carries >= 3 hard rows, the latest in r12 (the
     # cohort the r15 slips must come from) — which also pins that the
     # seven single-r12-rowed r11 registrations and the double-rowed
-    # dedup_edit_distance were NOT designated
+    # dedup_edit_distance were NOT designated. Judged AS OF the r14
+    # swap when this plan was composed — later rounds legitimately
+    # re-row slipped entries.
     hist = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(path.split("_r")[1].split(".")[0])
+        if rnd > 14:
+            continue
         with open(path) as fh:
             for name in json.load(fh):
                 hist.setdefault(name, []).append(rnd)
