@@ -55,6 +55,35 @@ def _default_shuffle_partitions() -> str:
     return "32"
 
 
+def _state_store_conf() -> dict[str, str]:
+    """Streaming state-store provider, deployment-selected (r15 opt).
+
+    ``SPARK_GRAFT_STATE_STORE=rocksdb`` switches stateful streaming to
+    the RocksDB provider WITH changelog checkpointing — the production
+    configuration once state outgrows executor memory (HDFS-backed
+    state is an in-memory map per partition; RocksDB spills to local
+    disk and the changelog makes each commit incremental instead of a
+    full snapshot upload). Default is Spark's HDFS-backed provider:
+    measured on the bench drain (3,600 state rows, 32 partitions,
+    availableNow) the warm times are HDFS 1.87-2.21 s, RocksDB plain
+    3.3-4.4 s (snapshot-per-commit dominates at tiny state), RocksDB +
+    changelog 1.6-2.2 s — parity at local scale, so the default stays
+    HDFS for round-comparable bench numbers and the knob exists for
+    deployments whose state actually needs it. Applies to NEW
+    checkpoints only (Spark pins the provider per checkpoint lineage).
+    """
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() != "rocksdb":
+        return {}
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+
+
 #: Scale/perf defaults — overridable per session.
 DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
@@ -74,10 +103,37 @@ DEFAULT_CONF = {
     # whole-stage codegen at the default 100-field cap and run ~2.5x
     # slower interpreted.
     "spark.sql.codegen.maxFields": "512",
-    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
+
+
+def _resolve_conf(
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The full config a new session gets, resolved AT CALL TIME.
+
+    Environment-dependent values (shuffle partitions, driver memory,
+    state-store provider) are read here rather than at module import,
+    so ``SPARK_GRAFT_*`` exported after this module loads is honored —
+    the r14 shape baked ``_default_shuffle_partitions()`` into
+    ``DEFAULT_CONF`` at import and silently ignored later env changes
+    (r14 ADVICE). Split out from :func:`get_spark` so resolution is
+    testable without building a session.
+    """
+    conf = {
+        **DEFAULT_CONF,
+        "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        ),
+        **_state_store_conf(),
+        **REQUIRED_CONF,
+        **(extra_conf or {}),
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return conf
 
 
 def get_spark(
@@ -105,9 +161,7 @@ def get_spark(
         master = f"local[{cpus}]"
 
     builder = SparkSession.builder.appName(app_name).master(master)
-    conf = {**DEFAULT_CONF, **REQUIRED_CONF, **(extra_conf or {})}
-    if shuffle_partitions is not None:
-        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf = _resolve_conf(shuffle_partitions, extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
