@@ -81,71 +81,80 @@ def run_etl(
         # cost sum(job_i); overlapped they cost ~max(job_i) when the
         # cluster has headroom — which it has here by construction,
         # since each is a small dimension-sized output next to the
-        # fact. Two phases:
-        #   A) cleansed + invalid (both read only the cached landing;
-        #      concurrent materialization of the same cached partitions
-        #      is safe — Spark's block manager computes each missing
-        #      block once and the other job waits on the block lock);
-        #   B) the three dimensions (each reads the cleansed parquet
-        #      written in phase A).
+        # fact. Dependency structure (r15 widened the r14 two-phase
+        # barrier to the real DAG):
+        #   * cleansed write — everything downstream needs its parquet;
+        #   * invalid write — a LEAF: nothing reads it, so it overlaps
+        #     the dimension builds AND the fact build instead of
+        #     barriering phase B behind it (its only shared input is
+        #     the cached landing; concurrent materialization of the
+        #     same cached partitions is safe — the block manager
+        #     computes each missing block once, the other job waits on
+        #     the block lock);
+        #   * each dimension's BUILD + write runs in its own worker:
+        #     build_time_dimension's eager min/max-date job used to run
+        #     serially on the main thread before any dim write started.
         from concurrent.futures import ThreadPoolExecutor
 
-        def _write(args: tuple[DataFrame, str, list | None]) -> None:
-            df, name, part = args
+        def _write(df: DataFrame, name: str, part: list | None) -> None:
             # job descriptions are thread-local — label each concurrent
             # job so the UI attributes tasks to the right write
             spark.sparkContext.setJobDescription(f"etl: write {name}")
             write_table(df, f"{output_dir}/{name}", partition_by=part)
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            list(
-                pool.map(
-                    _write,
-                    [
-                        (cleansed, "cleansed", None),
-                        (invalid, "invalid", None),
-                    ],
-                )
-            )
-            # both landing consumers are materialized; drop the cached
-            # parse. Blocking=False: eviction is async, the returned
-            # landing plan stays valid (recomputes if re-used).
-            landing.unpersist()
+        pool = ThreadPoolExecutor(max_workers=4)
+        try:
+            f_cleansed = pool.submit(_write, cleansed, "cleansed", None)
+            f_invalid = pool.submit(_write, invalid, "invalid", None)
+            f_cleansed.result()
             cleansed = spark.read.parquet(f"{output_dir}/cleansed")
-            time_dim = build_time_dimension(cleansed)
-            loc_dim = build_location_dimension(cleansed)
-            prod_dim = build_product_dimension(cleansed)
             # Write each dimension BEFORE the fact build and re-read it
             # from parquet: the fact (and dense cube) otherwise
             # re-executes every dimension's window pipeline once per
             # downstream action.
-            list(
-                pool.map(
-                    _write,
-                    [
-                        (time_dim, "time_dimension", None),
-                        (loc_dim, "location_dimension", None),
-                        (prod_dim, "product_dimension", None),
-                    ],
+            dim_futures = [
+                pool.submit(
+                    lambda b, n: _write(b(cleansed), n, None), builder, name
                 )
+                for builder, name in [
+                    (build_time_dimension, "time_dimension"),
+                    (build_location_dimension, "location_dimension"),
+                    (build_product_dimension, "product_dimension"),
+                ]
+            ]
+            for f in dim_futures:
+                f.result()
+            time_dim = spark.read.parquet(f"{output_dir}/time_dimension")
+            loc_dim = spark.read.parquet(f"{output_dir}/location_dimension")
+            prod_dim = spark.read.parquet(
+                f"{output_dir}/product_dimension"
             )
-        spark.sparkContext.setJobDescription(None)
-        time_dim = spark.read.parquet(f"{output_dir}/time_dimension")
-        loc_dim = spark.read.parquet(f"{output_dir}/location_dimension")
-        prod_dim = spark.read.parquet(f"{output_dir}/product_dimension")
+            fact = build_fact(cleansed, prod_dim, loc_dim, time_dim)
+            if dense:
+                fact = dense_fact(fact, prod_dim, loc_dim, time_dim)
+            _write(fact, "fact", ["month_id"])
+            fact = spark.read.parquet(f"{output_dir}/fact")
+            # the one remaining landing consumer — surfacing its error
+            # (if any) before this function reports success
+            f_invalid.result()
+        finally:
+            # also reached on a failed write: without the unpersist the
+            # cached parsed CSV stayed pinned (MEMORY_AND_DISK) for the
+            # application lifetime (r14 ADVICE). shutdown(wait=True)
+            # first so no in-flight job still computes landing blocks.
+            # Blocking=False: eviction is async, the returned landing
+            # plan stays valid (recomputes if re-used).
+            pool.shutdown(wait=True)
+            landing.unpersist()
+            spark.sparkContext.setJobDescription(None)
     else:
         cleansed = cleansed.cache()
         time_dim = build_time_dimension(cleansed)
         loc_dim = build_location_dimension(cleansed)
         prod_dim = build_product_dimension(cleansed)
-
-    fact = build_fact(cleansed, prod_dim, loc_dim, time_dim)
-    if dense:
-        fact = dense_fact(fact, prod_dim, loc_dim, time_dim)
-
-    if output_dir:
-        write_table(fact, f"{output_dir}/fact", partition_by=["month_id"])
-        fact = spark.read.parquet(f"{output_dir}/fact")
+        fact = build_fact(cleansed, prod_dim, loc_dim, time_dim)
+        if dense:
+            fact = dense_fact(fact, prod_dim, loc_dim, time_dim)
 
     return EtlResult(
         landing=landing,
