@@ -292,11 +292,17 @@ def repetition_stats(
     # elements IS the max token count. `eqNullSafe` only ever compares
     # against the initial NULL sentinel (split() never yields NULL
     # elements), and `split` of a non-NULL string is never empty (even
-    # "" tokenizes to [""]), so best >= 1 for every surviving row —
-    # identical to what the explode+groupBy+max path produced.
-    _run = lambda acc, x: F.when(  # noqa: E731 — shared by two fields
-        x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1).cast("bigint")
-    ).otherwise(F.lit(1).cast("bigint"))
+    # "" tokenizes to [""]), so the result is >= 1 for every surviving
+    # row — identical to what the explode+groupBy+max path produced.
+    #
+    # The merge branches ONCE per element on `x <=> prev` and each
+    # branch builds the whole next accumulator: `best` tracks the max
+    # over COMPLETED runs (folded in only when a run resets) and the
+    # finisher closes the final open run with one `greatest`. The r14
+    # shape inlined the run-length CASE twice per element (once for
+    # `run`, again inside `greatest`), doubling the comparison work of
+    # this hot single-projection path (r14 ADVICE; interpreted
+    # higher-order lambdas get no common-subexpression elimination).
     top_cnt = F.aggregate(
         F.array_sort(w),
         F.struct(
@@ -304,12 +310,21 @@ def repetition_stats(
             F.lit(0).cast("bigint").alias("run"),
             F.lit(0).cast("bigint").alias("best"),
         ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            _run(acc, x).alias("run"),
-            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+        lambda acc, x: F.when(
+            x.eqNullSafe(acc["prev"]),
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + F.lit(1).cast("bigint")).alias("run"),
+                acc["best"].alias("best"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("bigint").alias("run"),
+                F.greatest(acc["best"], acc["run"]).alias("best"),
+            )
         ),
-        lambda acc: acc["best"],
+        lambda acc: F.greatest(acc["best"], acc["run"]),
     )
     base = (
         docs.select(
