@@ -113,6 +113,70 @@ def _load_table_uncached(
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: memoized driver-side byte probe per (app, sf_dir, table) — same
+#: keying discipline as _TABLE_CACHE / the as-of router's count memo.
+_TABLE_BYTES_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def _parse_size_bytes(value: str) -> int:
+    """Spark size-conf string -> bytes; -1 on anything unparseable or
+    non-positive (broadcast disabled), which routes to the shuffle plan
+    — the scale-safe default."""
+    s = value.strip().lower()
+    mult = 1
+    if s.endswith("b"):
+        s = s[:-1]
+    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    try:
+        n = int(s) * mult
+    except ValueError:
+        return -1
+    return n if n > 0 else -1
+
+
+def _tables_fit_broadcast(
+    spark: SparkSession, sf_dir: str, *names: str
+) -> bool:
+    """Route small-vs-large physical plans on the on-disk size of the
+    named tables vs the session's autoBroadcastJoinThreshold (guide
+    §3.1: pick the join strategy deliberately, from a signal you
+    control — the optimizer's estimates, not being wired through a
+    two-level aggregate, never collapse the eager shape on their own).
+
+    Parquet bytes UNDER-estimate in-memory broadcast size, but the
+    probe compares the FULL table's bytes where only a 2-column
+    projection broadcasts — conservative in the right direction. The
+    probe is a driver-side FileSystem metadata call (no job), memoized
+    per application+path like _TABLE_CACHE. Any error (missing path,
+    unparseable threshold, broadcast disabled) routes to the shuffle
+    plan: at 100 TB the large route is the one that must never be
+    mis-picked.
+    """
+    from sales_data_warehouse_spark.sources.compaction import table_bytes
+
+    threshold = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1")
+    )
+    if threshold <= 0:
+        return False
+    app = spark.sparkContext.applicationId
+    for name in names:
+        key = (app, sf_dir, name)
+        size = _TABLE_BYTES_CACHE.get(key)
+        if size is None:
+            try:
+                size = table_bytes(spark, f"{sf_dir}/{name}.parquet")
+            except Exception:  # noqa: BLE001 — unreadable: route large
+                size = -1
+            _TABLE_BYTES_CACHE[key] = size
+        if size < 0 or size > threshold:
+            return False
+    return True
+
+
 from sales_data_warehouse_spark.functions import money as _money  # noqa: E402
 
 
@@ -300,15 +364,60 @@ def join_multiway(spark: SparkSession, sf: str) -> DataFrame:
     """J1/J2: chained equi-joins up a hierarchy; nation/region broadcast
     (the reference's 5-way time-hierarchy assembly shape).
 
-    Eager aggregation: revenue needs no order/customer attributes until
-    the final rollup, so lineitem pre-aggregates per orderkey BEFORE the
-    orders join and re-aggregates per custkey before the customer join —
-    each shuffle carries partial sums at the next key's cardinality
-    instead of raw lineitem rows (the decimal partials stay exact, so
-    two-level summing is bit-identical to the flat aggregate). At 100 TB
-    this is the difference between shuffling the fact table twice and
-    shuffling |orders|- then |customers|-sized partials.
+    Size-routed dual plan (r15, guide §3.1): when the orders AND
+    customer sides both fit a broadcast (driver-side parquet byte
+    probe vs the session's autoBroadcastJoinThreshold), the whole
+    hierarchy collapses to broadcast lookups over ONE lineitem scan
+    with a single exchange — the final partial/merge aggregate. The
+    flat decimal sum is bit-identical to the eager two-level sum
+    (decimal partials are exact), so both routes produce the same
+    rows; pinned by tests over both routes and the DuckDB oracle.
     """
+    if _tables_fit_broadcast(spark, sf, "orders", "customer"):
+        return _join_multiway_broadcast(spark, sf)
+    return _join_multiway_eager(spark, sf)
+
+
+def _join_multiway_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Small route: every dimension side broadcasts, so lineitem is
+    never shuffled at all — scan -> 4 broadcast hash joins -> one
+    aggregate exchange (vs the eager route's three)."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return (
+        l.select(F.col("l_orderkey"), rev.alias("_rev"))
+        .join(
+            F.broadcast(o.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def _join_multiway_eager(spark: SparkSession, sf: str) -> DataFrame:
+    """Large route (the r14 shape, unchanged): eager aggregation —
+    revenue needs no order/customer attributes until the final rollup,
+    so lineitem pre-aggregates per orderkey BEFORE the orders join and
+    re-aggregates per custkey before the customer join — each shuffle
+    carries partial sums at the next key's cardinality instead of raw
+    lineitem rows (the decimal partials stay exact, so two-level
+    summing is bit-identical to the flat aggregate). At 100 TB this is
+    the difference between shuffling the fact table twice and shuffling
+    |orders|- then |customers|-sized partials."""
     l = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")

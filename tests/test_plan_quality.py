@@ -198,19 +198,69 @@ def test_funnel_single_scan_of_events(spark):
     assert final.count("Scan parquet") == 1, final
 
 
-def test_join_multiway_eager_aggregation(spark):
-    # revenue pre-aggregates per orderkey BELOW the orders join (and per
-    # custkey below the customer join): the first shuffle after the
-    # lineitem scan must be an aggregate exchange, not a join of raw
-    # fact rows — at 100 TB that is the difference between shuffling
-    # partials at |orders| cardinality and shuffling the fact table.
+def test_join_multiway_small_route_collapses(spark):
+    # r15: at testdata scale the router must pick the broadcast-collapse
+    # plan — lineitem scanned once, never shuffled, ONE aggregate
+    # exchange (the eager route pays three). A HashAggregate keyed on
+    # l_orderkey here means the router silently fell back to eager.
     plan = _lib_executed_plan(QUERIES["join_multiway"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert "HashAggregate(keys=[l_orderkey" not in final, final[:2000]
+    assert final.count("Exchange hashpartitioning") == 1, final[:2000]
+
+
+def test_join_multiway_large_route_eager_aggregation(spark):
+    # the 100 TB route (orders/customer over the broadcast threshold)
+    # must stay the r14 eager-aggregation shape: revenue pre-aggregates
+    # per orderkey BELOW the orders join (and per custkey below the
+    # customer join) — the first shuffle after the lineitem scan is an
+    # aggregate exchange, not a join of raw fact rows.
+    from sales_data_warehouse_spark.queries.corpus import (
+        _join_multiway_eager,
+    )
+
+    plan = _lib_executed_plan(_join_multiway_eager(spark, SF_DIR))
     final = plan.split("== Initial Plan ==")[0]
     # three aggregation levels: per-order, per-cust, per-(region, nation)
     assert final.count("HashAggregate") >= 6, final  # partial+final pairs
     # the lineitem-orders join consumes the per-order aggregate: the
     # plan joins on l_orderkey AFTER an aggregate keyed on it
     assert "HashAggregate(keys=[l_orderkey" in final, final
+
+
+def test_join_multiway_router_is_scale_safe(spark):
+    # broadcast disabled (threshold -1) or an unreadable side must route
+    # to the shuffle plan — at 100 TB the large route is the one that
+    # must never be mis-picked
+    from sales_data_warehouse_spark.queries.corpus import (
+        _parse_size_bytes,
+        _tables_fit_broadcast,
+    )
+
+    assert _parse_size_bytes("33554432") == 32 * 1024**2
+    assert _parse_size_bytes("32m") == 32 * 1024**2
+    assert _parse_size_bytes("1GB") == 1024**3
+    assert _parse_size_bytes("10k") == 10 * 1024
+    assert _parse_size_bytes("-1") == -1
+    assert _parse_size_bytes("junk") == -1
+
+    assert _tables_fit_broadcast(spark, SF_DIR, "orders", "customer")
+    assert not _tables_fit_broadcast(spark, SF_DIR, "no_such_table")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not _tables_fit_broadcast(spark, SF_DIR, "orders")
+        # a threshold below the table's bytes routes large too
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
+        from sales_data_warehouse_spark.queries.corpus import (
+            _TABLE_BYTES_CACHE,
+        )
+
+        _TABLE_BYTES_CACHE.clear()
+        assert not _tables_fit_broadcast(spark, SF_DIR, "orders")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_composite_key_join_never_broadcasts_the_fact(spark):
