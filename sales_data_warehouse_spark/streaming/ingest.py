@@ -105,6 +105,75 @@ def cleanse_stream(landing: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cleansed, invalid
 
 
+def etl_batch_sink(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+) -> None:
+    """Fold one landing micro-batch into the cleansed/invalid tables.
+    Plain function (the ``foreachBatch`` sink calls it) so replay
+    semantics are directly testable without driving a stream — see
+    :func:`start_streaming_etl` for the high-water-mark contract.
+
+    The micro-batch is persisted once (both outputs derive from it;
+    without the persist each write re-parses the batch's CSV files —
+    two source scans per trigger) and the two appends are submitted
+    concurrently so each write's task tail back-fills with the other's
+    tasks (the run_etl write pattern). Worker threads run under
+    ``pyspark.inheritable_thread_target``, so they inherit the
+    streaming micro-batch thread's JVM-local properties — job group,
+    execution id, streaming tags — which keeps ``StreamingQuery.stop()``
+    able to cancel in-flight batch writes and the UI attribution
+    correct (r14 ADVICE: a plain thread pool dropped both).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel, inheritable_thread_target
+
+    from sales_data_warehouse_spark.sources.compaction import (
+        fs_read_text,
+        fs_write_text,
+    )
+
+    def _committed(table: str) -> bool:
+        mark = fs_read_text(spark, f"{output_dir}/{table}/_last_batch")
+        if mark is None:
+            return False
+        try:
+            return int(mark) >= batch_id
+        except ValueError:
+            # torn mark write: re-append (the documented window)
+            return False
+
+    todo = [t for t in ("cleansed", "invalid") if not _committed(t)]
+    if not todo:
+        return
+
+    batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cleansed, invalid = cleanse_stream(batch_df)
+        outputs = {"cleansed": cleansed, "invalid": invalid}
+
+        def _append(table: str) -> None:
+            writer = outputs[table].write.mode("append")
+            if table == "cleansed":
+                writer = writer.partitionBy("order_date")
+            writer.parquet(f"{output_dir}/{table}")
+            # mark AFTER the append commit: a replay that sees it knows
+            # the data landed (docstring covers the torn-mark window)
+            fs_write_text(
+                spark, f"{output_dir}/{table}/_last_batch", str(batch_id)
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            worker = inheritable_thread_target(_append)
+            for f in [pool.submit(worker, t) for t in todo]:
+                f.result()
+    finally:
+        batch_df.unpersist()
+
+
 def start_streaming_etl(
     spark: SparkSession,
     drop_dir: str,
@@ -117,19 +186,28 @@ def start_streaming_etl(
     One source pass per micro-batch: ``foreachBatch`` applies the
     (stateless) cleanse to the batch DataFrame and appends both outputs
     — cleansed partitioned by order_date so downstream dimension/fact
-    rebuilds prune to the affected days. The checkpoint makes restarts
-    exactly-once at the sink-file level (parquet + checkpointed source
-    offsets). ``available_now=True`` drains pending files then stops
-    (backfill mode); default runs forever.
+    rebuilds prune to the affected days. ``available_now=True`` drains
+    pending files then stops (backfill mode); default runs forever.
 
     Returns the StreamingQuery (caller owns stop/awaitTermination).
 
+    Replay semantics (r15, closing the r14 double-append window): each
+    table carries a ``_last_batch`` high-water mark (the
+    ``embeddings.ivf_append_batch`` pattern) written AFTER its append
+    commits, so a checkpoint replay — including a crash BETWEEN the
+    two appends — skips the table(s) that already committed instead of
+    re-appending them. The remaining at-least-once window is a crash
+    between ONE table's parquet commit and its mark write, which
+    double-appends that one batch for that one table on replay — the
+    same torn-mark window every marked sink in the package documents
+    and tolerates (a later batch's mark retires it).
+
     ONE OUTPUT DIR = ONE CHECKPOINT LINEAGE
-    (``compaction.enforce_output_lineage``, r14): this sink APPENDS,
-    so the hazard is not batch_id mixing but full duplication — a
-    restart under a fresh checkpoint forgets the source offsets and
-    re-appends every already-processed file into the same cleansed/
-    and invalid/ tables. Refused at start instead.
+    (``compaction.enforce_output_lineage``, r14): ``batch_id`` (and so
+    the high-water marks) are meaningful only within one checkpoint
+    lineage — a restart under a fresh checkpoint would BOTH re-append
+    every already-processed file (forgotten source offsets) and read
+    stale marks as already-committed. Refused at start instead.
     """
     from sales_data_warehouse_spark.sources.compaction import (
         enforce_output_lineage,
@@ -141,42 +219,7 @@ def start_streaming_etl(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # Persist the micro-batch once: BOTH sinks derive from it, and
-        # without the persist each write re-reads (re-parses) the
-        # batch's CSV files from the source — two source scans per
-        # micro-batch. The two writes are independent jobs over the
-        # cached batch, so they are submitted concurrently: each
-        # write's task tail back-fills with the other's tasks instead
-        # of idling the executors (the run_etl dimension-write pattern).
-        from concurrent.futures import ThreadPoolExecutor
-
-        from pyspark import StorageLevel
-
-        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            cleansed, invalid = cleanse_stream(batch_df)
-
-            def _write_cleansed() -> None:
-                (
-                    cleansed.write.mode("append")
-                    .partitionBy("order_date")
-                    .parquet(f"{output_dir}/cleansed")
-                )
-
-            def _write_invalid() -> None:
-                invalid.write.mode("append").parquet(
-                    f"{output_dir}/invalid"
-                )
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                futures = [
-                    pool.submit(_write_cleansed),
-                    pool.submit(_write_invalid),
-                ]
-                for f in futures:
-                    f.result()
-        finally:
-            batch_df.unpersist()
+        etl_batch_sink(spark, batch_df, batch_id, output_dir)
 
     landing = read_sales_csv_stream(spark, drop_dir)
     writer = landing.writeStream.foreachBatch(sink).option(

@@ -232,6 +232,77 @@ def test_streaming_etl_to_parquet(spark, tmp_path):
     assert "order_date=2019-01-23" in parts
 
 
+def test_etl_batch_sink_replay_no_duplicates(spark, tmp_path):
+    """r15: the ingest sink's per-table high-water marks make a
+    checkpoint replay idempotent — including the crash-between-appends
+    window (one table committed, the other not): the restart must
+    re-append ONLY the missing table, never duplicate the committed
+    one."""
+    import sales_data_warehouse_spark.streaming.ingest as ing
+    from sales_data_warehouse_spark.sources.compaction import fs_read_text
+    from sales_data_warehouse_spark.sources.csv_ingest import (
+        landing_from_rows,
+    )
+
+    out = str(tmp_path / "w")
+    batch0 = landing_from_rows(
+        spark,
+        [
+            ("1", "Widget", "2", "9.99", "01/22/19 21:25",
+             "1 Main St, Boston, MA 02215"),
+            (None, None, None, None, None, None),
+        ],
+    )
+    batch1 = landing_from_rows(
+        spark,
+        [
+            ("2", "Gadget", "1", "5.00", "01/23/19 09:00",
+             "2 Elm St, Austin, TX 73301"),
+            ("3", "Thing", "oops", "1.00", "01/23/19 10:00",
+             "3 Oak St, Austin, TX 73301"),
+        ],
+    )
+
+    ing.etl_batch_sink(spark, batch0, 0, out)
+    counts = lambda: (  # noqa: E731
+        spark.read.parquet(f"{out}/cleansed").count(),
+        spark.read.parquet(f"{out}/invalid").count(),
+    )
+    assert counts() == (1, 1)
+
+    # full-batch replay (restart after crash between appends and the
+    # checkpoint offset commit): both tables marked -> no-op
+    ing.etl_batch_sink(spark, batch0, 0, out)
+    assert counts() == (1, 1)
+
+    # crash BETWEEN the two appends: the invalid append of batch 1
+    # fails after the cleansed append committed (a runtime error
+    # injected into the invalid plan only)
+    real = ing.cleanse_stream
+
+    def failing(landing):
+        c, i = real(landing)
+        return c, i.where(F.assert_true(F.lit(False)).isNull())
+
+    ing.cleanse_stream = failing
+    try:
+        with pytest.raises(Exception):
+            ing.etl_batch_sink(spark, batch1, 1, out)
+    finally:
+        ing.cleanse_stream = real
+    assert counts() == (2, 1)  # cleansed committed, invalid did not
+    assert fs_read_text(spark, f"{out}/cleansed/_last_batch") == "1"
+    assert fs_read_text(spark, f"{out}/invalid/_last_batch") == "0"
+
+    # the replay after restart: re-appends ONLY the missing table
+    ing.etl_batch_sink(spark, batch1, 1, out)
+    assert counts() == (2, 2)
+    cleansed = spark.read.parquet(f"{out}/cleansed")
+    assert sorted(
+        r["order_id"] for r in cleansed.select("order_id").collect()
+    ) == [1, 2]
+
+
 def test_interval_join_streams_matches_batch(spark, events_dir):
     """Stream-stream interval join == the identical join on the static
     files (unified semantics), using click->view attribution shape:
