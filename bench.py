@@ -940,6 +940,17 @@ def main() -> None:
             input_rows[t] = -1
 
     value = round(sum(timings[q] for q in HEADLINE if q in timings), 3)
+    # Additive ETL/streaming aggregate (r14 VERDICT #5): the headline
+    # value has never included these rows, so round-over-round "flat
+    # headline" reads hid the pipeline wins — this field makes them
+    # one number without touching the headline's comparability.
+    _ETL_ROWS = [
+        "run_etl", "dense_fact", "run_etl_x50",
+        "streaming_etl", "streaming_window_drain",
+    ]
+    etl_total = round(
+        sum(timings[q] for q in _ETL_ROWS if q in timings), 3
+    )
     # FIELD ORDER IS LOAD-BEARING: the driver records a 2 KB TAIL of
     # this line (r3's headline value sat near the front and was cut
     # off). Large dicts go first; the compact headline fields —
@@ -1102,6 +1113,9 @@ def main() -> None:
                 "value_per_probe": (
                     round(value / probe, 1) if probe > 0 else None
                 ),
+                # additive (r14 VERDICT #5): the ETL/streaming extra
+                # rows as one number; NOT part of value
+                "etl_total": etl_total,
                 "value": value,
     }
     # Round for the BENCH_full filename (r6 ADVICE #3): take it
@@ -1136,7 +1150,39 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout must not kill the stdout contract
-    print(json.dumps(payload))
+    # The stdout line is the DRIVER CONTRACT; the file above is the
+    # durable artifact holding everything. The r13 driver run recorded
+    # rc=0 but parsed: null on an ~8 KB line stuffed with freeform
+    # attribution prose, which voided that round's entire official PERF
+    # comparison (r14 VERDICT #2/#7) — so the printed copy now carries
+    # the numbers and a pointer, not the essays. Every timing field,
+    # the field ORDER (large dicts first, compact headline fields —
+    # including value — last, because the driver records a 2 KB tail),
+    # and the one-line shape are unchanged; only the long note strings
+    # are swapped for a reference to the committed file.
+    slim = dict(payload)
+    slim["notes"] = (
+        "value sums the HEADLINE corpus queries only; op_*/run_etl*/"
+        "dense_fact/streaming_* are extra rows (etl_total aggregates "
+        "the pipeline rows). Freeform attribution notes live in "
+        f"BENCH_full_r{rnd:02d}.json."
+    )
+    slim.pop("etl_extras_note", None)
+    slim.pop("host_volatility_note", None)
+    if isinstance(slim.get("sf1"), dict):
+        sf1_slim = dict(slim["sf1"])
+        sf1_slim.pop("scaling_note", None)
+        if isinstance(sf1_slim.get("new_ops"), dict):
+            sf1_slim["new_ops"] = {
+                name: {
+                    k: v
+                    for k, v in row.items()
+                    if not k.endswith("_note")
+                }
+                for name, row in sf1_slim["new_ops"].items()
+            }
+        slim["sf1"] = sf1_slim
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":
