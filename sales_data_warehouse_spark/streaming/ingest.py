@@ -167,7 +167,9 @@ def etl_batch_sink(
             )
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            worker = inheritable_thread_target(_append)
+            # session form: inherits JVM-local properties AND session
+            # tags (the bare-function form warns and skips tags)
+            worker = inheritable_thread_target(spark)(_append)
             for f in [pool.submit(worker, t) for t in todo]:
                 f.result()
     finally:
